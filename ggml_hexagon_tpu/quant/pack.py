@@ -1,0 +1,352 @@
+"""Repack GGUF wire-format blocks into TPU-planar HBM layouts.
+
+Design (TPU-first; the load-time-repack idea has precedent in the reference's
+ggml-cpu-aarch64.cpp interleaved tile layouts, but the layout here is chosen
+for VMEM/VPU, not NEON):
+
+Every supported quant type is normalized to `x = scale * q + bias` where `q`
+is an unsigned (or, for Q8_0, signed) integer rebuilt from one or two bit
+planes.  A weight [N, K] becomes a QTensor of separately-stored planes:
+
+  q    uint8 [N, K*bits_lo/8]   base bits, canonical chunk layout (below)
+  qh   uint8 [N, K*bits_hi/8]   optional high bits, same layout
+  d    f32   [N, K/gs] or [N, K/256]  wire-exact scale (f16 value, stored
+                                f32 — Mosaic lacks f16; exact superset)
+  sc   int8  [N, K/gs]          super-block sub-scales (K-quants only)
+  dmin f32   [N, K/256]         asymmetric super-block min scale (K-quants)
+  m    u8/f32 [N, K/gs]         asymmetric min (6-bit ints or direct f16 value)
+
+The effective per-group scale is d (simple formats) or f32(d)*sc (K-quants)
+— exact in f32, which is what perplexity parity requires.  Bias is
+offset*scale for symmetric formats (offset static per type) or
+-f32(dmin)*m for asymmetric ones.
+
+Row-planar layout: a plane of b bits/elem packs element `s*(K/per) + j`
+(per = 8/b shift-slices per byte) into byte j at bit-shift b*s.  Unpacking is
+then `(plane >> (b*s)) & mask` for each s followed by a *lane concatenation*
+of contiguous slices — no gathers, no lane interleaves, no scatter.  This is
+the structure XLA's TPU backend fuses completely into the consuming matmul
+(measured at HBM speed-of-light on v5e; interleaved layouts cost 15-20x).
+
+N is padded to a multiple of 128 (zero rows dequantize to zero); K must be a
+multiple of 256.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import numpy as np
+
+from .formats import GGMLType, QK_K, TYPE_TRAITS, row_size
+from . import ref_numpy as R
+
+
+@dataclass(frozen=True)
+class QConfig:
+    """Static per-type kernel configuration."""
+
+    qtype: GGMLType
+    bits_lo: int  # 2, 4, or 8
+    bits_hi: int  # 0, 1, or 2
+    gs: int  # scale group size (16 or 32)
+    superblock: bool  # True: scale = f32(d[per-256]) * sc[per-gs]
+    asym: str  # 'none' | 'min' (direct f16 m) | 'minsb' (dmin*m6)
+    offset: int  # symmetric zero offset: x = scale*(q + offset)
+    signed: bool = False  # q plane stored as signed int8 (Q8_0)
+
+
+QCONFIGS: dict[GGMLType, QConfig] = {
+    GGMLType.Q4_0: QConfig(GGMLType.Q4_0, 4, 0, 32, False, "none", -8),
+    GGMLType.Q4_1: QConfig(GGMLType.Q4_1, 4, 0, 32, False, "min", 0),
+    GGMLType.Q5_0: QConfig(GGMLType.Q5_0, 4, 1, 32, False, "none", -16),
+    GGMLType.Q5_1: QConfig(GGMLType.Q5_1, 4, 1, 32, False, "min", 0),
+    GGMLType.Q8_0: QConfig(GGMLType.Q8_0, 8, 0, 32, False, "none", 0, signed=True),
+    GGMLType.Q2_K: QConfig(GGMLType.Q2_K, 2, 0, 16, True, "minsb", 0),
+    GGMLType.Q3_K: QConfig(GGMLType.Q3_K, 2, 1, 16, True, "none", -4),
+    GGMLType.Q4_K: QConfig(GGMLType.Q4_K, 4, 0, 32, True, "minsb", 0),
+    GGMLType.Q5_K: QConfig(GGMLType.Q5_K, 4, 1, 32, True, "minsb", 0),
+    GGMLType.Q6_K: QConfig(GGMLType.Q6_K, 4, 2, 16, True, "none", -32),
+}
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class QTensor:
+    """Planar quantized tensor living in HBM. Logical value: [n, k] f32."""
+
+    cfg: QConfig
+    n: int  # true output-feature count (rows may be padded beyond)
+    k: int
+    q: Any  # uint8/int8 [n_pad, k*bits_lo/8]
+    d: Any  # f16 [n_pad, k/gs] or [n_pad, k/256]
+    qh: Any = None
+    sc: Any = None
+    dmin: Any = None
+    m: Any = None
+
+    @property
+    def n_pad(self) -> int:
+        return self.q.shape[0]
+
+    def tree_flatten(self):
+        leaves = (self.q, self.d, self.qh, self.sc, self.dmin, self.m)
+        return leaves, (self.cfg, self.n, self.k)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        cfg, n, k = aux
+        q, d, qh, sc, dmin, m = leaves
+        return cls(cfg, n, k, q, d, qh, sc, dmin, m)
+
+    def astype_device(self):
+        """Move planes to the default device as jax arrays."""
+        import jax.numpy as jnp
+
+        def put(x):
+            return None if x is None else jnp.asarray(x)
+
+        return QTensor(
+            self.cfg, self.n, self.k, put(self.q), put(self.d), put(self.qh),
+            put(self.sc), put(self.dmin), put(self.m),
+        )
+
+
+def _pack_bits(q: np.ndarray, bits: int) -> np.ndarray:
+    """[N, K] ints -> row-planar packed bytes [N, K*bits/8].
+
+    Byte j holds elements {s*(K/per) + j : s in [0, per)} at shifts b*s."""
+    N, K = q.shape
+    per = 8 // bits
+    qc = q.reshape(N, per, K // per).astype(np.uint8)
+    out = np.zeros((N, K // per), dtype=np.uint8)
+    for s in range(per):
+        out |= qc[:, s, :] << (bits * s)
+    return out
+
+
+def unpack_bits(packed: np.ndarray, bits: int, K: int) -> np.ndarray:
+    """Inverse of _pack_bits (numpy mirror of the jax unpack)."""
+    N = packed.shape[0]
+    per = 8 // bits
+    mask = (1 << bits) - 1
+    parts = [(packed >> (bits * s)) & mask for s in range(per)]
+    return np.concatenate(parts, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# wire -> integer planes, per type
+# ---------------------------------------------------------------------------
+
+def _wire_to_planes(buf: np.ndarray, qtype: GGMLType, N: int, K: int) -> dict:
+    """Decode wire bytes into {q:[N,K] int, d, sc, dmin, m} (group-major)."""
+    ts = TYPE_TRAITS[qtype].type_size
+    if qtype == GGMLType.Q4_0:
+        b = buf.reshape(N, K // 32, 18)
+        d = b[:, :, :2].copy().view("<f2").reshape(N, K // 32)
+        qs = b[:, :, 2:]
+        q = np.concatenate([qs & 0xF, qs >> 4], axis=2).reshape(N, K)
+        return dict(q=q, d=d)
+    if qtype == GGMLType.Q4_1:
+        b = buf.reshape(N, K // 32, 20)
+        d = b[:, :, 0:2].copy().view("<f2").reshape(N, K // 32)
+        m = b[:, :, 2:4].copy().view("<f2").reshape(N, K // 32)
+        qs = b[:, :, 4:]
+        q = np.concatenate([qs & 0xF, qs >> 4], axis=2).reshape(N, K)
+        return dict(q=q, d=d, m=m)
+    if qtype == GGMLType.Q5_0 or qtype == GGMLType.Q5_1:
+        hdr = 2 if qtype == GGMLType.Q5_0 else 4
+        b = buf.reshape(N, K // 32, hdr + 4 + 16)
+        d = b[:, :, 0:2].copy().view("<f2").reshape(N, K // 32)
+        m = None
+        if qtype == GGMLType.Q5_1:
+            m = b[:, :, 2:4].copy().view("<f2").reshape(N, K // 32)
+        qh = b[:, :, hdr : hdr + 4].copy().view("<u4").reshape(N, K // 32).astype(np.uint32)
+        qs = b[:, :, hdr + 4 :]
+        j = np.arange(16, dtype=np.uint32)
+        lo5 = (qs & 0xF) | ((((qh[:, :, None] >> j) & 1) << 4)).astype(np.uint8)
+        hi5 = (qs >> 4) | ((((qh[:, :, None] >> (j + 16)) & 1) << 4)).astype(np.uint8)
+        q = np.concatenate([lo5, hi5], axis=2).reshape(N, K)
+        out = dict(q=q, d=d)
+        if m is not None:
+            out["m"] = m
+        return out
+    if qtype == GGMLType.Q8_0:
+        b = buf.reshape(N, K // 32, 34)
+        d = b[:, :, :2].copy().view("<f2").reshape(N, K // 32)
+        q = b[:, :, 2:].copy().view(np.int8).reshape(N, K)
+        return dict(q=q, d=d)
+    if qtype == GGMLType.Q4_K:
+        b = buf.reshape(N * K // QK_K, ts)
+        nb = b.shape[0]
+        d = b[:, 0:2].copy().view("<f2").reshape(nb)
+        dmin = b[:, 2:4].copy().view("<f2").reshape(nb)
+        sc6, m6 = R._unpack_k4_scales(b[:, 4:16])
+        qs = b[:, 16:].reshape(nb, 4, 32)
+        q = np.stack([qs & 0xF, qs >> 4], axis=2).reshape(nb, 256)
+        return dict(
+            q=q.reshape(N, K),
+            d=d.reshape(N, K // 256),
+            sc=sc6.reshape(N, K // 32),
+            dmin=dmin.reshape(N, K // 256),
+            m=m6.reshape(N, K // 32),
+        )
+    if qtype == GGMLType.Q5_K:
+        b = buf.reshape(N * K // QK_K, ts)
+        nb = b.shape[0]
+        d = b[:, 0:2].copy().view("<f2").reshape(nb)
+        dmin = b[:, 2:4].copy().view("<f2").reshape(nb)
+        sc6, m6 = R._unpack_k4_scales(b[:, 4:16])
+        qh = b[:, 16:48]
+        ql = b[:, 48:].reshape(nb, 4, 32)
+        parts = []
+        for c in range(4):
+            hb1 = ((qh >> (2 * c)) & 1).astype(np.uint8)
+            hb2 = ((qh >> (2 * c + 1)) & 1).astype(np.uint8)
+            parts.append((ql[:, c, :] & 0xF) | (hb1 << 4))
+            parts.append((ql[:, c, :] >> 4) | (hb2 << 4))
+        q = np.stack(parts, axis=1).reshape(nb, 256)
+        return dict(
+            q=q.reshape(N, K),
+            d=d.reshape(N, K // 256),
+            sc=sc6.reshape(N, K // 32),
+            dmin=dmin.reshape(N, K // 256),
+            m=m6.reshape(N, K // 32),
+        )
+    if qtype == GGMLType.Q6_K:
+        b = buf.reshape(N * K // QK_K, ts)
+        nb = b.shape[0]
+        ql = b[:, 0:128].reshape(nb, 2, 2, 32)
+        qh = b[:, 128:192].reshape(nb, 2, 32)
+        sc = b[:, 192:208].copy().view(np.int8)
+        d = b[:, 208:210].copy().view("<f2").reshape(nb)
+        q = np.empty((nb, 2, 4, 32), dtype=np.uint8)
+        for h in range(2):
+            q[:, h, 0] = (ql[:, h, 0, :] & 0xF) | (((qh[:, h, :] >> 0) & 3) << 4)
+            q[:, h, 1] = (ql[:, h, 1, :] & 0xF) | (((qh[:, h, :] >> 2) & 3) << 4)
+            q[:, h, 2] = (ql[:, h, 0, :] >> 4) | (((qh[:, h, :] >> 4) & 3) << 4)
+            q[:, h, 3] = (ql[:, h, 1, :] >> 4) | (((qh[:, h, :] >> 6) & 3) << 4)
+        return dict(
+            q=q.reshape(N, K),
+            d=d.reshape(N, K // 256),
+            sc=sc.reshape(N, K // 16),
+        )
+    if qtype == GGMLType.Q2_K:
+        b = buf.reshape(N * K // QK_K, ts)
+        nb = b.shape[0]
+        scb = b[:, 0:16]
+        qs = b[:, 16:80].reshape(nb, 2, 32)
+        d = b[:, 80:82].copy().view("<f2").reshape(nb)
+        dmin = b[:, 82:84].copy().view("<f2").reshape(nb)
+        q = np.empty((nb, 2, 4, 32), dtype=np.uint8)
+        for h in range(2):
+            for j in range(4):
+                q[:, h, j] = (qs[:, h, :] >> (2 * j)) & 3
+        return dict(
+            q=q.reshape(N, K),
+            d=d.reshape(N, K // 256),
+            sc=(scb & 0xF).astype(np.int8).reshape(N, K // 16),
+            dmin=dmin.reshape(N, K // 256),
+            m=(scb >> 4).reshape(N, K // 16),
+        )
+    if qtype == GGMLType.Q3_K:
+        b = buf.reshape(N * K // QK_K, ts)
+        nb = b.shape[0]
+        hmask = b[:, 0:32]
+        qs = b[:, 32:96].reshape(nb, 2, 32)
+        scb = b[:, 96:108]
+        d = b[:, 108:110].copy().view("<f2").reshape(nb)
+        sc6 = np.zeros((nb, 16), dtype=np.int8)
+        for j in range(16):
+            lo = (scb[:, j] & 0xF) if j < 8 else (scb[:, j - 8] >> 4)
+            hi = (scb[:, 8 + j % 4] >> (2 * (j // 4))) & 3
+            sc6[:, j] = ((lo | (hi << 4)).astype(np.int32) - 32).astype(np.int8)
+        q = np.empty((nb, 2, 4, 32), dtype=np.uint8)
+        for h in range(2):
+            for j in range(4):
+                lo2 = (qs[:, h, :] >> (2 * j)) & 3
+                hb = ((hmask >> (4 * h + j)) & 1).astype(np.uint8)
+                # q3 = lo2 | (hbit<<2): value = q3 - 4 (offset folded in cfg)
+                q[:, h, j] = lo2 | (hb << 2)
+        return dict(q=q.reshape(N, K), d=d.reshape(N, K // 256), sc=sc6.reshape(N, K // 16))
+    raise NotImplementedError(f"pack: {qtype.name}")
+
+
+def pack_tensor(
+    wire: np.ndarray, qtype: GGMLType, shape: tuple[int, int], n_align: int = 128
+) -> QTensor:
+    """Repack wire bytes for a [N, K] weight into the planar QTensor layout."""
+    cfg = QCONFIGS[qtype]
+    N, K = shape
+    assert K % 256 == 0, f"K={K} must be a multiple of 256 (chunk size)"
+    assert wire.size == row_size(qtype, K) * N, (wire.size, qtype, shape)
+    planes = _wire_to_planes(np.ascontiguousarray(wire, np.uint8), qtype, N, K)
+
+    q_int = planes["q"]
+    if cfg.signed:
+        q_lo = q_int.astype(np.int8).reshape(N, K)  # 8-bit signed, no sub-byte packing
+        qh = None
+    else:
+        mask_lo = (1 << cfg.bits_lo) - 1
+        q_lo = _pack_bits(q_int & mask_lo, cfg.bits_lo)
+        qh = None
+        if cfg.bits_hi:
+            qh = _pack_bits((q_int >> cfg.bits_lo) & ((1 << cfg.bits_hi) - 1), cfg.bits_hi)
+
+    def pad_n(a, fill=0):
+        if a is None:
+            return None
+        npad = (N + n_align - 1) // n_align * n_align
+        if npad == N:
+            return a
+        out = np.full((npad,) + a.shape[1:], fill, dtype=a.dtype)
+        out[:N] = a
+        return out
+
+    return QTensor(
+        cfg=cfg,
+        n=N,
+        k=K,
+        q=pad_n(q_lo),
+        d=pad_n(planes["d"].astype(np.float32)),
+        qh=pad_n(qh),
+        sc=pad_n(planes.get("sc")),
+        dmin=pad_n(planes["dmin"].astype(np.float32)) if "dmin" in planes else None,
+        m=pad_n(planes["m"].astype(np.float32) if cfg.asym == "min" else planes.get("m")),
+    )
+
+
+def quantize_tensor(
+    w: np.ndarray, qtype: GGMLType, quant_weights: np.ndarray | None = None
+) -> QTensor:
+    """Quantize an f32 [N, K] weight and repack (test/bench convenience)."""
+    N, K = w.shape
+    wire = R.quantize(np.ascontiguousarray(w, np.float32).reshape(-1), qtype, quant_weights)
+    return pack_tensor(wire, qtype, (N, K))
+
+
+def dequantize_planes_numpy(qt: QTensor) -> np.ndarray:
+    """Reference dequantization from planes (must equal wire dequant exactly)."""
+    cfg = qt.cfg
+    N, K = qt.n_pad, qt.k
+    if cfg.signed:
+        q = np.asarray(qt.q).astype(np.int32)
+    else:
+        q = unpack_bits(np.asarray(qt.q), cfg.bits_lo, K).astype(np.int32)
+        if cfg.bits_hi:
+            q |= unpack_bits(np.asarray(qt.qh), cfg.bits_hi, K).astype(np.int32) << cfg.bits_lo
+    d = np.asarray(qt.d).astype(np.float32)
+    if cfg.superblock:
+        scale = np.repeat(d, 256 // cfg.gs, axis=1) * np.asarray(qt.sc).astype(np.float32)
+    else:
+        scale = d
+    if cfg.asym == "minsb":
+        dmin = np.asarray(qt.dmin).astype(np.float32)
+        bias = -np.repeat(dmin, 256 // cfg.gs, axis=1) * np.asarray(qt.m).astype(np.float32)
+    elif cfg.asym == "min":
+        bias = np.asarray(qt.m).astype(np.float32)
+    else:
+        bias = scale * cfg.offset
+    x = q.reshape(N, K // cfg.gs, cfg.gs) * scale[:, :, None] + bias[:, :, None]
+    return x.reshape(N, K).astype(np.float32)
