@@ -1,0 +1,110 @@
+"""Multi-chip sharding: mesh construction + weight/KV partition specs.
+
+Replaces the reference's two distribution mechanisms (SURVEY §2.10):
+- LLAMA_SPLIT_MODE_ROW tensor parallel (split-buffer type, ggml-cuda.cu:761)
+  -> NamedSharding of QTensor planes over the 'tp' mesh axis; XLA GSPMD
+  inserts the all-reduces the split-buffer backend did by hand.
+- ggml-rpc multi-node (ggml-rpc.cpp) -> jax.distributed + the same mesh
+  spanning hosts; collectives ride ICI/DCN instead of a TCP replay protocol.
+
+Megatron-style layout: column-parallel QKV/gate/up (shard output features =
+attention heads), row-parallel o/down (shard the contraction dim; partial
+sums all-reduced).  The packed planes of a QTensor shard exactly like the
+dense matrix they encode because every plane's axes are proportional to
+(N, K).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..quant.pack import QTensor
+
+
+def make_mesh(dp: int = 1, tp: int = 1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    assert dp * tp <= len(devices), f"need {dp*tp} devices, have {len(devices)}"
+    devs = np.asarray(devices[: dp * tp]).reshape(dp, tp)
+    return Mesh(devs, axis_names=("dp", "tp"))
+
+
+def _shard_qtensor(qt: QTensor, mesh: Mesh, spec: P) -> QTensor:
+    """Apply the 2-D spec to every plane (all axes scale with N, K).
+
+    A plane axis that isn't divisible by its mesh-axis size (e.g. the d
+    plane's K/256 columns on a tiny test model) is replicated instead;
+    GSPMD reconciles mixed layouts in the fused dequant expression.
+    """
+
+    def put(a):
+        if a is None:
+            return None
+        a = jnp.asarray(a)
+        axes = []
+        for dim, ax in zip(a.shape, spec):
+            n_shards = mesh.shape[ax] if ax else 1
+            axes.append(ax if ax and dim % n_shards == 0 else None)
+        return jax.device_put(a, NamedSharding(mesh, P(*axes)))
+
+    return QTensor(qt.cfg, qt.n, qt.k, put(qt.q), put(qt.d), put(qt.qh),
+                   put(qt.sc), put(qt.dmin), put(qt.m))
+
+
+def _put(x, mesh: Mesh, spec: P):
+    if isinstance(x, QTensor):
+        return _shard_qtensor(x, mesh, spec)
+    return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+
+
+def shard_llama_weights(weights: dict, cfg, mesh: Mesh) -> dict:
+    """Place weights for tensor parallelism over mesh axis 'tp'.
+
+    col-parallel (shard N / output rows): wq wk wv ffn_gate ffn_up output
+    row-parallel (shard K / contraction): wo ffn_down
+    replicated: norms, token embedding (lookup is cheap; vocab-sharding the
+    embedding would make every lookup a collective).
+    """
+    tp = mesh.shape["tp"]
+    assert cfg.n_head % tp == 0, f"n_head {cfg.n_head} % tp {tp}"
+    assert cfg.n_head_kv % tp == 0 or tp % cfg.n_head_kv == 0, (
+        f"n_head_kv {cfg.n_head_kv} vs tp {tp}"
+    )
+    assert cfg.n_ff % tp == 0, f"n_ff {cfg.n_ff} % tp {tp}"
+    col = P("tp", None)  # shard output features
+    row = P(None, "tp")  # shard contraction dim
+    rep = P()
+    out = {
+        "tok_embd": _put(weights["tok_embd"], mesh, rep),
+        "output_norm": _put(weights["output_norm"], mesh, rep),
+        "output": _put(weights["output"], mesh, col),
+        "layers": [],
+    }
+    for lw in weights["layers"]:
+        out["layers"].append(
+            {
+                "attn_norm": _put(lw["attn_norm"], mesh, rep),
+                "wq": _put(lw["wq"], mesh, col),
+                "wk": _put(lw["wk"], mesh, col),
+                "wv": _put(lw["wv"], mesh, col),
+                "wo": _put(lw["wo"], mesh, row),
+                "ffn_norm": _put(lw["ffn_norm"], mesh, rep),
+                "ffn_gate": _put(lw["ffn_gate"], mesh, col),
+                "ffn_up": _put(lw["ffn_up"], mesh, col),
+                "ffn_down": _put(lw["ffn_down"], mesh, row),
+            }
+        )
+    return out
+
+
+def shard_kv_cache(kv: dict, mesh: Mesh) -> dict:
+    """KV cache [L, B, S, H_kv, hd]: batch over dp, heads over tp."""
+    spec = P(None, "dp", None, "tp", None)
+    return {k: jax.device_put(v, NamedSharding(mesh, spec)) for k, v in kv.items()}
+
+
+def shard_tokens(tokens, mesh: Mesh):
+    return jax.device_put(jnp.asarray(tokens), NamedSharding(mesh, P("dp", None)))

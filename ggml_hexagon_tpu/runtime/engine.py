@@ -1,0 +1,241 @@
+"""Inference engine: jitted decode loop over a GGUF model.
+
+The runtime analog of the reference's llama_context (src/llama-context.cpp):
+owns the KV cache, compiles one XLA program per (batch, chunk-size) bucket
+(where the reference re-plans a ggml graph per ubatch, llama-context.cpp:1317
+— here compilation is cached by shape), streams prompt chunks, and samples
+host-side.  Perf counters mirror llama_perf_context (llama.h:1402).
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..gguf.reader import GGUFReader
+from ..models.llama import LlamaConfig, forward, init_kv_cache, load_llama_weights
+from ..tokenizer import Vocab, build_tokenizer
+from .sampling import SamplerChain, greedy_chain
+
+PREFILL_BUCKETS = (8, 32, 128, 512)
+
+
+@dataclass
+class PerfCounters:
+    """llama_perf_context-style counters (t_* in seconds)."""
+
+    t_load: float = 0.0
+    t_prefill: float = 0.0
+    t_decode: float = 0.0
+    n_prefill: int = 0
+    n_decode: int = 0
+
+    def report(self) -> str:
+        pp = self.n_prefill / self.t_prefill if self.t_prefill else 0.0
+        tg = self.n_decode / self.t_decode if self.t_decode else 0.0
+        return (
+            f"load {self.t_load*1e3:.0f} ms | "
+            f"prefill {self.n_prefill} tok {pp:.1f} t/s | "
+            f"decode {self.n_decode} tok {tg:.1f} t/s"
+        )
+
+
+class Engine:
+    def __init__(
+        self,
+        cfg: LlamaConfig,
+        weights: dict,
+        vocab: Optional[Vocab] = None,
+        max_seq: int = 2048,
+        batch: int = 1,
+        kv_dtype=jnp.bfloat16,
+        compute_dtype=jnp.bfloat16,
+    ):
+        self.cfg = cfg
+        self.weights = weights
+        self.vocab = vocab
+        self.tokenizer = build_tokenizer(vocab) if vocab and vocab.tokens else None
+        self.max_seq = max_seq
+        self.batch = batch
+        self.kv_dtype = kv_dtype
+        self.compute_dtype = compute_dtype
+        self.kv = init_kv_cache(cfg, batch, max_seq, kv_dtype)
+        self.n_past = 0
+        self.perf = PerfCounters()
+        self._fwd = jax.jit(
+            partial(forward, cfg, compute_dtype=compute_dtype),
+            static_argnames=("logits_all",),
+            donate_argnames=("kv_cache",),
+        )
+
+    # -- construction --------------------------------------------------------
+
+    @classmethod
+    def from_gguf(cls, path: str, **kw) -> "Engine":
+        t0 = time.perf_counter()
+        with GGUFReader.open(path) as r:
+            cfg, weights = load_llama_weights(r)
+            vocab = Vocab.from_gguf(r.metadata)
+        eng = cls(cfg, weights, vocab, **kw)
+        eng.perf.t_load = time.perf_counter() - t0
+        return eng
+
+    # -- KV management (llama_kv_self_* analogs) -----------------------------
+
+    def reset(self):
+        self.kv = init_kv_cache(self.cfg, self.batch, self.max_seq, self.kv_dtype)
+        self.n_past = 0
+
+    # -- decoding ------------------------------------------------------------
+
+    def _chunks(self, n: int):
+        """Split n prompt tokens into bucket-sized chunks.
+
+        Bucket shapes bound compilation count (the reference instead re-plans
+        its graph per ubatch size); the padded tail never exceeds cache space.
+        """
+        out = []
+        left = n
+        past = self.n_past
+        while left > 0:
+            space = self.max_seq - past
+            b = next((b for b in PREFILL_BUCKETS if b >= min(left, space)), None)
+            if b is None or b > space:
+                b = next((bb for bb in reversed(PREFILL_BUCKETS) if bb <= space), space)
+            take = min(left, b)
+            out.append((take, b))
+            left -= take
+            past += take
+        return out
+
+    def prefill(self, ids: np.ndarray) -> np.ndarray:
+        """Feed prompt tokens; returns logits at the last true position [B, V]."""
+        ids = np.atleast_2d(np.asarray(ids, dtype=np.int32))
+        B, T = ids.shape
+        assert B == self.batch, f"engine batch {self.batch} vs prompt batch {B}"
+        assert self.n_past + T <= self.max_seq, "context overflow"
+        t0 = time.perf_counter()
+        logits = None
+        off = 0
+        for take, bucket in self._chunks(T):
+            chunk = ids[:, off : off + take]
+            if take < bucket:  # pad tail chunk; garbage KV slots stay masked
+                chunk = np.pad(chunk, ((0, 0), (0, bucket - take)))
+            out, self.kv = self._fwd(
+                self.weights, jnp.asarray(chunk), self.kv,
+                jnp.int32(self.n_past), logits_all=True
+            )
+            logits = np.asarray(out[:, take - 1, :])
+            self.n_past += take
+            off += take
+        jax.block_until_ready(self.kv["k"])
+        self.perf.t_prefill += time.perf_counter() - t0
+        self.perf.n_prefill += T
+        return logits
+
+    def decode_one(self, tokens: np.ndarray) -> np.ndarray:
+        """One decode step for [B] tokens -> last-position logits [B, V]."""
+        t0 = time.perf_counter()
+        tok = jnp.asarray(np.asarray(tokens, dtype=np.int32).reshape(self.batch, 1))
+        logits, self.kv = self._fwd(
+            self.weights, tok, self.kv, jnp.int32(self.n_past), logits_all=False
+        )
+        self.n_past += 1
+        out = np.asarray(logits)
+        self.perf.t_decode += time.perf_counter() - t0
+        self.perf.n_decode += 1
+        return out
+
+    def generate(
+        self,
+        prompt_ids,
+        n_predict: int = 64,
+        sampler: Optional[SamplerChain] = None,
+        stop_ids: Optional[set] = None,
+    ) -> Iterator[int]:
+        """Greedy/sampled generation for batch=1."""
+        assert self.batch == 1
+        sampler = sampler or greedy_chain()
+        stop_ids = stop_ids if stop_ids is not None else (
+            {self.vocab.eos_id} if self.vocab else set()
+        )
+        logits = self.prefill(np.asarray(prompt_ids, dtype=np.int32)[None, :])
+        for _ in range(n_predict):
+            tok = sampler.sample(logits[0])
+            if tok in stop_ids:
+                return
+            yield tok
+            logits = self.decode_one(np.array([tok]))
+
+    def generate_ondevice(
+        self,
+        prompt_ids,
+        n_predict: int = 64,
+        params: "DeviceSamplerParams | None" = None,
+        seed: int = 0,
+        stop_at_eos: bool = True,
+    ) -> np.ndarray:
+        """Whole generation as one device program (lax.scan decode loop with
+        on-device sampling) — a single host sync at the end.  This is the
+        production path: per-token host syncs cost a full dispatch RTT.
+        """
+        from .device_sampling import DeviceSamplerParams, sample_logits
+
+        params = params or DeviceSamplerParams()
+        eos = self.vocab.eos_id if (self.vocab and stop_at_eos) else -1
+        logits = self.prefill(np.atleast_2d(np.asarray(prompt_ids, dtype=np.int32)))
+        first = sample_logits(jnp.asarray(logits), jax.random.PRNGKey(seed), params)
+
+        cache_key = (n_predict - 1, params, eos)
+        if not hasattr(self, "_scan_cache"):
+            self._scan_cache = {}
+        if cache_key not in self._scan_cache:
+            fwd = self._fwd
+            n = n_predict - 1
+
+            @partial(jax.jit, donate_argnames=("kv",))
+            def scan_decode(weights, kv, tok0, pos0, key):
+                def step(carry, _):
+                    tok, kv, pos, key, done = carry
+                    logits, kv = fwd(weights, tok[:, None], kv, pos, logits_all=False)
+                    key, sub = jax.random.split(key)
+                    nxt = sample_logits(logits, sub, params)
+                    nxt = jnp.where(done, eos if eos >= 0 else 0, nxt)
+                    done = done | (nxt == eos)
+                    return (nxt, kv, pos + 1, key, done), nxt
+
+                done0 = tok0 == eos
+                (tok, kv, pos, _, _), toks = jax.lax.scan(
+                    step, (tok0, kv, pos0, key, done0), None, length=n
+                )
+                return kv, toks  # toks [n, B]
+
+            self._scan_cache[cache_key] = scan_decode
+
+        self.kv, toks = self._scan_cache[cache_key](
+            self.weights, self.kv, first, jnp.int32(self.n_past),
+            jax.random.PRNGKey(seed + 1),
+        )
+        t0 = time.perf_counter()
+        out = np.concatenate([np.asarray(first)[None], np.asarray(toks)], axis=0).T  # [B, n]
+        self.n_past += n_predict - 1
+        self.perf.t_decode += time.perf_counter() - t0
+        self.perf.n_decode += n_predict - 1
+        if eos >= 0:
+            trimmed = []
+            for row in out:
+                stop = np.flatnonzero(row == eos)
+                trimmed.append(row[: stop[0]] if stop.size else row)
+            return trimmed if self.batch > 1 else trimmed[0]
+        return out if self.batch > 1 else out[0]
+
+    def generate_text(self, prompt: str, n_predict: int = 64, sampler=None) -> str:
+        assert self.tokenizer is not None, "model has no tokenizer vocab"
+        ids = self.tokenizer.encode(prompt)
+        out = list(self.generate(ids, n_predict, sampler))
+        return self.tokenizer.decode(out)

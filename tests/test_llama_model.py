@@ -1,0 +1,125 @@
+"""Model-math differential test: our LLaMA forward vs HuggingFace transformers.
+
+transformers (CPU torch) is an independent oracle for the full decoder
+semantics — RoPE (incl. the GGUF Q/K permutation), GQA, RMSNorm, SwiGLU,
+causal masking, and KV-cache equivalence (prefill+decode == full prefill).
+"""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from ggml_hexagon_tpu.gguf import GGUFReader
+from ggml_hexagon_tpu.models.convert_hf import convert_hf_llama
+from ggml_hexagon_tpu.models.llama import (
+    LlamaConfig,
+    forward,
+    init_kv_cache,
+    load_llama_weights,
+)
+from ggml_hexagon_tpu.quant.formats import GGMLType
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+@pytest.fixture(scope="module")
+def tiny_hf_model():
+    cfg = transformers.LlamaConfig(
+        vocab_size=512,
+        hidden_size=256,
+        intermediate_size=512,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=256,
+        rms_norm_eps=1e-5,
+        rope_theta=10000.0,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    model = transformers.LlamaForCausalLM(cfg)
+    model.eval()
+    return model, cfg
+
+
+@pytest.fixture(scope="module")
+def our_model(tiny_hf_model, tmp_path_factory):
+    model, cfg = tiny_hf_model
+    path = str(tmp_path_factory.mktemp("gguf") / "tiny_f32.gguf")
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    convert_hf_llama(sd, cfg, path, qtype=GGMLType.F32)
+    with GGUFReader.open(path) as r:
+        return load_llama_weights(r, dtype=jnp.float32)
+
+
+def hf_logits(model, ids):
+    with torch.no_grad():
+        return model(torch.tensor(ids)).logits.numpy()
+
+
+def test_config_parsing(our_model):
+    cfg, _ = our_model
+    assert (cfg.n_vocab, cfg.n_embd, cfg.n_layer) == (512, 256, 3)
+    assert (cfg.n_head, cfg.n_head_kv, cfg.n_ff) == (4, 2, 512)
+    assert cfg.rms_eps == pytest.approx(1e-5)
+    assert cfg.rope_theta == pytest.approx(10000.0)
+    assert cfg.n_ctx_train == 256
+    assert cfg.hd == 64
+
+
+def test_prefill_logits_match_hf(tiny_hf_model, our_model):
+    model, _ = tiny_hf_model
+    cfg, weights = our_model
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 512, size=(2, 17))
+    ref = hf_logits(model, ids)
+    kv = init_kv_cache(cfg, 2, 32, dtype=jnp.float32)
+    logits, _ = forward(
+        cfg, weights, jnp.asarray(ids, jnp.int32), kv, 0,
+        logits_all=True, compute_dtype=jnp.float32,
+    )
+    ours = np.asarray(logits)
+    err = np.abs(ours - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 2e-3, f"max rel err {err}"
+
+
+def test_kv_cache_decode_equals_prefill(tiny_hf_model, our_model):
+    """Prefill T tokens then decode 3 one at a time == prefill T+3."""
+    model, _ = tiny_hf_model
+    cfg, weights = our_model
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, 512, size=(1, 12))
+    kv = init_kv_cache(cfg, 1, 32, dtype=jnp.float32)
+    _, kv = forward(cfg, weights, jnp.asarray(ids[:, :9], jnp.int32), kv, 0,
+                    compute_dtype=jnp.float32)
+    outs = []
+    for t in range(9, 12):
+        logits, kv = forward(cfg, weights, jnp.asarray(ids[:, t : t + 1], jnp.int32),
+                             kv, t, compute_dtype=jnp.float32)
+        outs.append(np.asarray(logits))
+    full, _ = forward(cfg, weights, jnp.asarray(ids, jnp.int32),
+                      init_kv_cache(cfg, 1, 32, dtype=jnp.float32), 0,
+                      logits_all=True, compute_dtype=jnp.float32)
+    full = np.asarray(full)
+    for i, o in enumerate(outs):
+        np.testing.assert_allclose(o, full[:, 9 + i], rtol=2e-3, atol=2e-4)
+
+
+def test_quantized_model_close(tiny_hf_model, tmp_path):
+    """Q8_0-quantized weights stay close to the f32 oracle logits."""
+    model, hf_cfg = tiny_hf_model
+    path = str(tmp_path / "tiny_q8.gguf")
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    convert_hf_llama(sd, hf_cfg, path, qtype=GGMLType.Q8_0)
+    with GGUFReader.open(path) as r:
+        cfg, weights = load_llama_weights(r)
+    rng = np.random.default_rng(2)
+    ids = rng.integers(0, 512, size=(1, 8))
+    ref = hf_logits(model, ids)
+    kv = init_kv_cache(cfg, 1, 16)
+    logits, _ = forward(cfg, weights, jnp.asarray(ids, jnp.int32), kv, 0, logits_all=True)
+    ours = np.asarray(logits)
+    # quantization + bf16: correlation must be extremely high
+    c = np.corrcoef(ours.reshape(-1), ref.reshape(-1))[0, 1]
+    assert c > 0.999, f"corr {c}"
+    assert np.argmax(ours[0, -1]) == np.argmax(ref[0, -1])

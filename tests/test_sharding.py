@@ -1,0 +1,91 @@
+"""Sharding tests on the 8-device virtual CPU mesh: sharded forward must
+produce the same logits as unsharded, and weights must actually distribute."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ggml_hexagon_tpu.models.llama import LlamaConfig, forward, init_kv_cache
+from ggml_hexagon_tpu.parallel import (
+    make_mesh, shard_kv_cache, shard_llama_weights, shard_tokens,
+)
+from ggml_hexagon_tpu.quant.formats import GGMLType
+from ggml_hexagon_tpu.quant.pack import quantize_tensor
+
+
+def tiny_weights(cfg, qtype=GGMLType.Q8_0, seed=0):
+    rng = np.random.default_rng(seed)
+    s = 0.05
+    def qt(n, k):
+        return quantize_tensor(rng.normal(size=(n, k)).astype(np.float32) * s, qtype).astype_device()
+    d = cfg.n_embd
+    layers = []
+    for _ in range(cfg.n_layer):
+        layers.append({
+            "attn_norm": jnp.ones(d, jnp.float32),
+            "wq": qt(cfg.n_head * cfg.hd, d),
+            "wk": qt(cfg.n_head_kv * cfg.hd, d),
+            "wv": qt(cfg.n_head_kv * cfg.hd, d),
+            "wo": qt(d, cfg.n_head * cfg.hd),
+            "ffn_norm": jnp.ones(d, jnp.float32),
+            "ffn_gate": qt(cfg.n_ff, d),
+            "ffn_up": qt(cfg.n_ff, d),
+            "ffn_down": qt(d, cfg.n_ff),
+        })
+    return {
+        "tok_embd": jnp.asarray(rng.normal(size=(cfg.n_vocab, d)).astype(np.float32) * s),
+        "output_norm": jnp.ones(d, jnp.float32),
+        "output": qt(cfg.n_vocab, d),
+        "layers": layers,
+    }
+
+
+CFG = LlamaConfig(n_vocab=512, n_embd=256, n_layer=2, n_head=4, n_head_kv=2,
+                  n_ff=512, n_ctx_train=128)
+
+
+def test_eight_virtual_devices():
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual CPU devices"
+
+
+def test_sharded_forward_matches_unsharded():
+    weights = tiny_weights(CFG)
+    tokens = np.array([[3, 17, 99, 250]], dtype=np.int32)
+    kv = init_kv_cache(CFG, 1, 16)
+    ref, _ = forward(CFG, weights, jnp.asarray(tokens), kv, 0, logits_all=True)
+
+    mesh = make_mesh(dp=1, tp=2)
+    with mesh:
+        sw = shard_llama_weights(weights, CFG, mesh)
+        skv = shard_kv_cache(init_kv_cache(CFG, 1, 16), mesh)
+        out, _ = jax.jit(forward, static_argnames=("cfg", "logits_all"))(
+            CFG, sw, jnp.asarray(tokens), skv, 0, logits_all=True)
+    # sharding changes bf16 reduction order; compare at logits scale
+    a, b = np.asarray(out), np.asarray(ref)
+    scale = np.abs(b).max()
+    assert np.abs(a - b).max() < 0.02 * max(scale, 1.0) + 0.02
+    assert np.corrcoef(a.reshape(-1), b.reshape(-1))[0, 1] > 0.999
+
+
+def test_weights_actually_sharded():
+    mesh = make_mesh(dp=1, tp=4)
+    weights = tiny_weights(CFG)
+    sw = shard_llama_weights(weights, CFG, mesh)
+    q = sw["layers"][0]["ffn_up"].q
+    # column-parallel: each device holds n_pad/4 rows
+    shard_shapes = {s.data.shape for s in q.addressable_shards}
+    assert shard_shapes == {(q.shape[0] // 4, q.shape[1])}
+
+
+def test_dp_tp_mesh_decode():
+    mesh = make_mesh(dp=2, tp=2)
+    weights = tiny_weights(CFG)
+    B = 2
+    with mesh:
+        sw = shard_llama_weights(weights, CFG, mesh)
+        skv = shard_kv_cache(init_kv_cache(CFG, B, 16), mesh)
+        toks = shard_tokens(np.array([[5, 6], [7, 8]], dtype=np.int32), mesh)
+        logits, kv2 = jax.jit(forward, static_argnames=("cfg", "logits_all"))(
+            CFG, sw, toks, skv, 0, logits_all=False)
+    assert logits.shape == (B, CFG.n_vocab)
+    assert np.isfinite(np.asarray(logits)).all()

@@ -1,0 +1,77 @@
+"""Tokenizer tests: SPM greedy-merge + BPE, plus differential vs HF when a
+real tokenizer is available locally (none is in this image, so handcrafted
+vocabs mirror the reference's golden-file strategy)."""
+import numpy as np
+import pytest
+
+from ggml_hexagon_tpu.tokenizer import Vocab, build_tokenizer
+from ggml_hexagon_tpu.tokenizer.vocab import TokenType
+
+
+def make_spm_vocab():
+    # tiny SPM-like vocab: scores drive merge order
+    toks = ["<unk>", "<s>", "</s>"]
+    types = [TokenType.UNKNOWN, TokenType.CONTROL, TokenType.CONTROL]
+    scores = [0.0, 0.0, 0.0]
+    for b in range(256):
+        toks.append(f"<0x{b:02X}>")
+        types.append(TokenType.BYTE)
+        scores.append(0.0)
+    pieces = [("▁", -2.0), ("h", -3.0), ("e", -3.0), ("l", -3.0), ("o", -3.0),
+              ("he", -1.0), ("ll", -1.5), ("hell", -0.5), ("hello", -0.1),
+              ("▁hello", -0.05), ("▁w", -4.0), ("w", -3.0), ("r", -3.0), ("d", -3.0),
+              ("or", -1.2), ("orl", -1.1), ("orld", -0.8), ("▁world", -0.3)]
+    for t, s in pieces:
+        toks.append(t); types.append(TokenType.NORMAL); scores.append(s)
+    return Vocab(tokens=toks, scores=scores, token_types=[int(t) for t in types],
+                 model="llama", bos_id=1, eos_id=2, unk_id=0)
+
+
+def test_spm_merge_roundtrip():
+    v = make_spm_vocab()
+    tok = build_tokenizer(v)
+    ids = tok.encode("hello world")
+    assert ids[0] == v.bos_id
+    # greedy merging should find the whole-word pieces
+    texts = [v.tokens[i] for i in ids[1:]]
+    assert texts == ["▁hello", "▁world"]
+    assert tok.decode(ids) == "hello world"
+
+
+def test_spm_byte_fallback():
+    v = make_spm_vocab()
+    tok = build_tokenizer(v)
+    ids = tok.encode("hé")  # é not in vocab -> utf-8 bytes
+    texts = [v.tokens[i] for i in ids[1:]]
+    assert "<0xC3>" in texts and "<0xA9>" in texts
+    assert tok.decode(ids) == "hé"
+
+
+def make_bpe_vocab():
+    from ggml_hexagon_tpu.tokenizer.bpe import bytes_to_unicode
+    b2u = bytes_to_unicode()
+    toks = ["<unk>", "<s>", "</s>"]
+    base = [b2u[b] for b in range(256)]
+    toks += base
+    merges = ["h e", "l l", "he ll", "hell o", "Ġ w", "o r", "or l", "orl d", "Ġw orld"]
+    merged_tokens = ["he", "ll", "hell", "hello", "Ġw", "or", "orl", "orld", "Ġworld"]
+    toks += merged_tokens
+    n = len(toks)
+    return Vocab(tokens=toks, scores=[0.0]*n, token_types=[int(TokenType.NORMAL)]*n,
+                 model="gpt2", merges=merges, bos_id=1, eos_id=2, unk_id=0, add_bos=False)
+
+
+def test_bpe_roundtrip():
+    v = make_bpe_vocab()
+    tok = build_tokenizer(v)
+    ids = tok.encode("hello world")
+    texts = [v.tokens[i] for i in ids]
+    assert texts == ["hello", "Ġworld"]
+    assert tok.decode(ids) == "hello world"
+
+
+def test_bpe_unknown_chars_safe():
+    v = make_bpe_vocab()
+    tok = build_tokenizer(v)
+    s = "héllo wörld ✓"
+    assert isinstance(tok.encode(s), list)  # must not crash
