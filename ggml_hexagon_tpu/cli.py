@@ -1,0 +1,256 @@
+"""Command-line interface — the reference's tool suite as subcommands.
+
+Mapping to /root/reference/examples/:
+  generate    <- llama-cli (main): prompt -> tokens, sampling flags
+  quantize    <- llama-quantize: f16/f32 GGUF -> quantized GGUF (+imatrix)
+  perplexity  <- llama-perplexity: WikiText-style PPL protocol
+  imatrix     <- llama-imatrix: importance-matrix collection
+  bench       <- llama-bench: pp/tg sweep matrix with JSON/MD output
+  tokenize    <- llama-tokenize
+  gguf-info   <- gguf-hash/inspect: header, metadata, tensor table
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def cmd_generate(args):
+    import numpy as np
+
+    from .runtime import Engine, make_chain
+    from .runtime.device_sampling import DeviceSamplerParams
+
+    eng = Engine.from_gguf(args.model, max_seq=args.ctx_size)
+    if args.prompt is None:
+        print("error: --prompt required", file=sys.stderr)
+        return 1
+    ids = eng.tokenizer.encode(args.prompt)
+    print(f"prompt tokens: {ids}", file=sys.stderr)
+    t0 = time.time()
+    if args.on_device:
+        out = eng.generate_ondevice(
+            ids, n_predict=args.n_predict,
+            params=DeviceSamplerParams(temp=args.temp, top_k=args.top_k,
+                                       top_p=args.top_p, min_p=args.min_p),
+            seed=args.seed,
+        )
+        toks = list(out)
+    else:
+        chain = make_chain(temp=args.temp, top_k=args.top_k, top_p=args.top_p,
+                           min_p=args.min_p, seed=args.seed,
+                           penalty_repeat=args.repeat_penalty,
+                           penalty_last_n=args.repeat_last_n)
+        toks = []
+        for t in eng.generate(ids, n_predict=args.n_predict, sampler=chain):
+            toks.append(t)
+            if args.stream:
+                sys.stdout.write(eng.tokenizer.decode([t], skip_special=False))
+                sys.stdout.flush()
+    if not args.stream:
+        print(eng.tokenizer.decode(toks))
+    else:
+        print()
+    print(f"[{eng.perf.report()}]", file=sys.stderr)
+    return 0
+
+
+def cmd_quantize(args):
+    from .gguf import GGUFReader
+    from .quant.policy import FTYPES, quantize_model
+    from .runtime.evaluate import IMatrixCollector
+
+    if args.ftype not in FTYPES:
+        print(f"unknown ftype {args.ftype}; choices: {sorted(FTYPES)}", file=sys.stderr)
+        return 1
+    imatrix = IMatrixCollector.load(args.imatrix) if args.imatrix else None
+
+    def progress(name, ttype):
+        print(f"  {name} -> {ttype.name}", file=sys.stderr)
+
+    with GGUFReader.open(args.input) as r:
+        quantize_model(r, args.output, args.ftype, imatrix=imatrix, progress=progress)
+    print(f"wrote {args.output}")
+    return 0
+
+
+def cmd_perplexity(args):
+    import jax.numpy as jnp
+
+    from .gguf import GGUFReader
+    from .models.llama import load_llama_weights
+    from .runtime.evaluate import perplexity
+    from .tokenizer import Vocab, build_tokenizer
+
+    with GGUFReader.open(args.model) as r:
+        cfg, weights = load_llama_weights(r)
+        vocab = Vocab.from_gguf(r.metadata)
+    text = open(args.file).read() if args.file else sys.stdin.read()
+    tok = build_tokenizer(vocab)
+    ids = tok.encode(text, add_bos=False)
+    print(f"{len(ids)} tokens, n_ctx={args.ctx_size}", file=sys.stderr)
+
+    def progress(i, n, ppl):
+        print(f"[{i}/{n}] ppl={ppl:.4f}", file=sys.stderr)
+
+    res = perplexity(cfg, weights, ids, n_ctx=args.ctx_size,
+                     bos_id=vocab.bos_id, progress=progress)
+    print(json.dumps({"ppl": res.ppl, "err": res.err, "tokens": res.nll_count}))
+    return 0
+
+
+def cmd_imatrix(args):
+    from .gguf import GGUFReader
+    from .models.llama import load_llama_weights
+    from .runtime.evaluate import IMatrixCollector
+    from .tokenizer import Vocab, build_tokenizer
+
+    with GGUFReader.open(args.model) as r:
+        cfg, weights = load_llama_weights(r)
+        vocab = Vocab.from_gguf(r.metadata)
+    text = open(args.file).read()
+    ids = build_tokenizer(vocab).encode(text, add_bos=False)
+    col = IMatrixCollector(cfg, weights)
+    n_ctx = args.ctx_size
+    chunks = len(ids) // n_ctx
+    for c in range(chunks):
+        col.process_chunk(ids[c * n_ctx : (c + 1) * n_ctx])
+        print(f"[{c+1}/{chunks}]", file=sys.stderr)
+    col.save(args.output)
+    print(f"wrote {args.output} ({len(col.sums)} tensors)")
+    return 0
+
+
+def cmd_tokenize(args):
+    from .gguf import GGUFReader
+    from .tokenizer import Vocab, build_tokenizer
+
+    with GGUFReader.open(args.model) as r:
+        vocab = Vocab.from_gguf(r.metadata)
+    tok = build_tokenizer(vocab)
+    ids = tok.encode(args.text)
+    for i in ids:
+        print(f"{i:7d} -> {vocab.tokens[i]!r}")
+    return 0
+
+
+def cmd_gguf_info(args):
+    from .gguf import GGUFReader
+
+    with GGUFReader.open(args.model) as r:
+        print(f"version: {r.version}  alignment: {r.alignment}")
+        print(f"metadata ({len(r.metadata)}):")
+        for k, v in r.metadata.items():
+            s = repr(v)
+            print(f"  {k} = {s[:80]}{'...' if len(s) > 80 else ''}")
+        print(f"tensors ({len(r.tensors)}):")
+        total = 0
+        for t in r.tensors.values():
+            total += t.n_bytes
+            print(f"  {t.name:40s} {t.ggml_type.name:6s} ne={list(t.ne)} {t.n_bytes/1e6:.2f} MB")
+        print(f"total tensor bytes: {total/1e9:.3f} GB")
+    return 0
+
+
+def cmd_bench(args):
+    """llama-bench-style sweep: pp/tg over a matrix of sizes."""
+    import numpy as np
+
+    from .runtime import Engine
+
+    rows = []
+    for m in args.model:
+        eng = Engine.from_gguf(m, max_seq=max(args.n_prompt) + max(args.n_gen) + 8)
+        rng = np.random.default_rng(0)
+        for pp in args.n_prompt:
+            eng.reset()
+            ids = rng.integers(3, eng.cfg.n_vocab - 1, size=pp)
+            eng.prefill(ids[None, :])  # warm/compile
+            eng.reset()
+            t0 = time.perf_counter()
+            eng.prefill(ids[None, :])
+            dt = time.perf_counter() - t0
+            rows.append({"model": m, "test": f"pp{pp}", "t/s": round(pp / dt, 2)})
+        for tg in args.n_gen:
+            eng.reset()
+            eng.generate_ondevice([1, 2, 3], n_predict=tg, stop_at_eos=False)  # compile
+            eng.reset()
+            t0 = time.perf_counter()
+            eng.generate_ondevice([1, 2, 3], n_predict=tg, stop_at_eos=False)
+            dt = time.perf_counter() - t0
+            rows.append({"model": m, "test": f"tg{tg}", "t/s": round(tg / dt, 2)})
+    if args.output == "json":
+        print(json.dumps(rows, indent=2))
+    else:  # markdown
+        print("| model | test | t/s |")
+        print("| --- | --- | --- |")
+        for r in rows:
+            print(f"| {r['model']} | {r['test']} | {r['t/s']} |")
+    return 0
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="ggml_hexagon_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="generate text from a prompt")
+    g.add_argument("-m", "--model", required=True)
+    g.add_argument("-p", "--prompt")
+    g.add_argument("-n", "--n-predict", type=int, default=64)
+    g.add_argument("-c", "--ctx-size", type=int, default=2048)
+    g.add_argument("--temp", type=float, default=0.8)
+    g.add_argument("--top-k", type=int, default=40)
+    g.add_argument("--top-p", type=float, default=0.95)
+    g.add_argument("--min-p", type=float, default=0.05)
+    g.add_argument("--repeat-penalty", type=float, default=1.0)
+    g.add_argument("--repeat-last-n", type=int, default=64)
+    g.add_argument("-s", "--seed", type=int, default=42)
+    g.add_argument("--stream", action="store_true")
+    g.add_argument("--on-device", action="store_true",
+                   help="device-side decode loop (no per-token host sync)")
+    g.set_defaults(fn=cmd_generate)
+
+    q = sub.add_parser("quantize", help="quantize a GGUF model")
+    q.add_argument("input")
+    q.add_argument("output")
+    q.add_argument("ftype")
+    q.add_argument("--imatrix")
+    q.set_defaults(fn=cmd_quantize)
+
+    pp = sub.add_parser("perplexity", help="perplexity over a text file")
+    pp.add_argument("-m", "--model", required=True)
+    pp.add_argument("-f", "--file")
+    pp.add_argument("-c", "--ctx-size", type=int, default=512)
+    pp.set_defaults(fn=cmd_perplexity)
+
+    im = sub.add_parser("imatrix", help="collect importance matrix")
+    im.add_argument("-m", "--model", required=True)
+    im.add_argument("-f", "--file", required=True)
+    im.add_argument("-o", "--output", default="imatrix.npz")
+    im.add_argument("-c", "--ctx-size", type=int, default=512)
+    im.set_defaults(fn=cmd_imatrix)
+
+    tk = sub.add_parser("tokenize", help="tokenize text")
+    tk.add_argument("-m", "--model", required=True)
+    tk.add_argument("text")
+    tk.set_defaults(fn=cmd_tokenize)
+
+    gi = sub.add_parser("gguf-info", help="inspect a GGUF file")
+    gi.add_argument("model")
+    gi.set_defaults(fn=cmd_gguf_info)
+
+    b = sub.add_parser("bench", help="pp/tg throughput sweep")
+    b.add_argument("-m", "--model", action="append", required=True)
+    b.add_argument("-p", "--n-prompt", type=int, nargs="+", default=[512])
+    b.add_argument("-n", "--n-gen", type=int, nargs="+", default=[128])
+    b.add_argument("-o", "--output", choices=["json", "md"], default="md")
+    b.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

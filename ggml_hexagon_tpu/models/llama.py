@@ -214,10 +214,14 @@ def forward(
     pos_start,  # scalar int32: cache slots already filled
     logits_all: bool = False,
     compute_dtype=jnp.bfloat16,
+    tap=None,  # optional fn(weight_name, activation) for imatrix collection
 ):
     """One decoder step over T new tokens.  Returns (logits, new_kv_cache).
 
     logits: [B, T, n_vocab] if logits_all else [B, n_vocab] (last position).
+    tap mirrors the reference's scheduler eval-callback hook used by
+    imatrix (examples/imatrix/imatrix.cpp:617): it observes the *input*
+    of each quantized matmul, keyed by the weight tensor name.
     """
     B, T = tokens.shape
     rope = cfg.rope_params
@@ -227,6 +231,10 @@ def forward(
     new_k, new_v = [], []
     for il, lw in enumerate(weights["layers"]):
         a = rms_norm(h, lw["attn_norm"], cfg.rms_eps)
+        if tap is not None:
+            tap(f"blk.{il}.attn_q.weight", a)
+            tap(f"blk.{il}.attn_k.weight", a)
+            tap(f"blk.{il}.attn_v.weight", a)
         q = matmul(a, lw["wq"]).reshape(B, T, cfg.n_head, cfg.hd)
         k = matmul(a, lw["wk"]).reshape(B, T, cfg.n_head_kv, cfg.hd)
         v = matmul(a, lw["wv"]).reshape(B, T, cfg.n_head_kv, cfg.hd)
@@ -241,15 +249,25 @@ def forward(
         new_k.append(k_l)
         new_v.append(v_l)
         attn = _attention(cfg, q, k_l, v_l, pos_start, T).astype(compute_dtype)
+        if tap is not None:
+            tap(f"blk.{il}.attn_output.weight", attn)
         h = h + matmul(attn, lw["wo"]).astype(compute_dtype)
         f = rms_norm(h, lw["ffn_norm"], cfg.rms_eps)
+        if tap is not None:
+            tap(f"blk.{il}.ffn_gate.weight", f)
+            tap(f"blk.{il}.ffn_up.weight", f)
         gate = silu(matmul(f, lw["ffn_gate"]).astype(compute_dtype))
         up = matmul(f, lw["ffn_up"]).astype(compute_dtype)
-        h = h + matmul(gate * up, lw["ffn_down"]).astype(compute_dtype)
+        gu = gate * up
+        if tap is not None:
+            tap(f"blk.{il}.ffn_down.weight", gu)
+        h = h + matmul(gu, lw["ffn_down"]).astype(compute_dtype)
 
     kv_cache = {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
     h = rms_norm(h, weights["output_norm"], cfg.rms_eps)
     if not logits_all:
         h = h[:, -1, :]
+    if tap is not None:
+        tap("output.weight", h)
     logits = matmul(h, weights["output"])
     return logits.astype(jnp.float32), kv_cache

@@ -1,0 +1,142 @@
+"""Model quantization policy — per-tensor type selection.
+
+The analog of the reference's llama_model_quantize driver
+(src/llama-quant.cpp): an ftype names the mixture, and per-tensor
+heuristics bump sensitive tensors (attn_v, ffn_down, output/embedding)
+to higher-precision types (llama_tensor_get_type, llama-quant.cpp:122-310).
+The policy here reproduces the load-bearing rules for the common ftypes;
+exotic branches (MoE expert counts, imatrix-presence switches) are noted
+where simplified.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from .formats import GGMLType
+
+
+# ftype table (llama.h:148-189 subset)
+FTYPES = {
+    "F16": GGMLType.F16,
+    "BF16": GGMLType.BF16,
+    "Q8_0": GGMLType.Q8_0,
+    "Q6_K": GGMLType.Q6_K,
+    "Q5_K_M": GGMLType.Q5_K,
+    "Q5_K_S": GGMLType.Q5_K,
+    "Q4_K_M": GGMLType.Q4_K,
+    "Q4_K_S": GGMLType.Q4_K,
+    "Q3_K_M": GGMLType.Q3_K,
+    "Q3_K_S": GGMLType.Q3_K,
+    "Q3_K_L": GGMLType.Q3_K,
+    "Q2_K": GGMLType.Q2_K,
+    "Q5_0": GGMLType.Q5_0,
+    "Q5_1": GGMLType.Q5_1,
+    "Q4_0": GGMLType.Q4_0,
+    "Q4_1": GGMLType.Q4_1,
+}
+
+
+@dataclass
+class QuantPolicy:
+    ftype: str
+    n_layer: int
+
+    def tensor_type(self, name: str, shape: tuple[int, ...]) -> GGMLType:
+        """Choose the quant type for a tensor (llama_tensor_get_type rules)."""
+        base = FTYPES[self.ftype]
+        if base in (GGMLType.F16, GGMLType.BF16):
+            return base
+        # 1-D tensors (norms) always stay f32
+        if len(shape) == 1:
+            return GGMLType.F32
+        # output / token embedding: protected (llama-quant.cpp: output gets
+        # Q6_K for all K-quant ftypes unless already >= 6 bits)
+        if name == "output.weight":
+            return base if base in (GGMLType.Q8_0,) else GGMLType.Q6_K
+        if name == "token_embd.weight":
+            if self.ftype in ("Q2_K", "Q3_K_S"):
+                return GGMLType.Q2_K
+            if self.ftype.startswith("Q3_K"):
+                return GGMLType.Q3_K
+            return base
+        layer = self._layer_of(name)
+        use_more_bits = layer is not None and (
+            layer < self.n_layer // 8
+            or layer >= 7 * self.n_layer // 8
+            or (layer - self.n_layer // 8) % 3 == 2
+        )
+        if ".attn_v.weight" in name:
+            if self.ftype == "Q4_K_M":
+                return GGMLType.Q6_K if use_more_bits else GGMLType.Q4_K
+            if self.ftype == "Q5_K_M":
+                return GGMLType.Q6_K if use_more_bits else GGMLType.Q5_K
+            if self.ftype in ("Q3_K_M", "Q3_K_L"):
+                return GGMLType.Q5_K
+            if self.ftype == "Q2_K":
+                return GGMLType.Q4_K
+            return base
+        if ".ffn_down" in name:
+            if self.ftype == "Q4_K_M":
+                return GGMLType.Q6_K if use_more_bits else GGMLType.Q4_K
+            if self.ftype == "Q5_K_M":
+                return GGMLType.Q6_K if use_more_bits else GGMLType.Q5_K
+            if self.ftype == "Q3_K_M":
+                return GGMLType.Q4_K if layer is not None and layer < self.n_layer // 8 else GGMLType.Q3_K
+            return base
+        if ".attn_k.weight" in name or ".attn_q.weight" in name:
+            return base
+        return base
+
+    @staticmethod
+    def _layer_of(name: str):
+        if name.startswith("blk."):
+            try:
+                return int(name.split(".")[1])
+            except ValueError:
+                return None
+        return None
+
+
+def quantize_model(
+    reader,
+    out_path: str,
+    ftype: str,
+    imatrix: dict | None = None,
+    progress=None,
+):
+    """Re-quantize every tensor of a GGUF per policy; write a new file.
+
+    imatrix: name -> per-column weights (Σx² from tools/imatrix.py), fed to
+    the imatrix-aware encoders exactly as llama-quant.cpp:544 feeds
+    quant_weights.
+    """
+    import numpy as np
+
+    from ..gguf.writer import GGUFWriter
+    from . import ref_numpy
+    from .formats import TYPE_TRAITS
+
+    md = reader.metadata
+    n_layer = int(md.get(f"{md.get('general.architecture','llama')}.block_count", 0))
+    policy = QuantPolicy(ftype, n_layer)
+    w = GGUFWriter()
+    for k, v in md.items():
+        if k == "general.file_type":
+            continue
+        w.add(k, v)
+    for name, info in reader.tensors.items():
+        data = reader.tensor_f32(name)
+        ttype = policy.tensor_type(name, data.shape)
+        if TYPE_TRAITS[ttype].block_size > 1 and data.shape[-1] % TYPE_TRAITS[ttype].block_size:
+            ttype = GGMLType.F16  # row not blockable (llama-quant fallback)
+        qw = None
+        if imatrix is not None and name in imatrix and ttype in ref_numpy.QUANTIZE_IMATRIX:
+            qw = np.tile(
+                np.asarray(imatrix[name], np.float32), data.size // data.shape[-1]
+            )
+        packed = ref_numpy.quantize(data.reshape(-1), ttype, quant_weights=qw)
+        w.add_tensor(name, packed, ttype, raw_ne=info.ne)
+        if progress:
+            progress(name, ttype)
+    w.write_file(out_path)
+    return out_path
