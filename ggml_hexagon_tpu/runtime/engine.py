@@ -66,6 +66,7 @@ class Engine:
         self.compute_dtype = compute_dtype
         self.kv = init_kv_cache(cfg, batch, max_seq, kv_dtype)
         self.n_past = 0
+        self.cached_tokens: list[int] = []  # prompt-cache (batch=1 reuse)
         self.perf = PerfCounters()
         self._fwd = jax.jit(
             partial(forward, cfg, compute_dtype=compute_dtype),
@@ -90,6 +91,36 @@ class Engine:
     def reset(self):
         self.kv = init_kv_cache(self.cfg, self.batch, self.max_seq, self.kv_dtype)
         self.n_past = 0
+        self.cached_tokens = []
+
+    def truncate(self, n: int):
+        """Keep only the first n positions (llama_kv_self_seq_rm of a suffix:
+        masking hides slots >= n_past, so rewinding the counter suffices)."""
+        assert 0 <= n <= self.n_past
+        self.n_past = n
+        self.cached_tokens = self.cached_tokens[:n]
+
+    def shift_context(self, n_keep: int, n_discard: int):
+        """Context shift (llama-cli/server style): drop positions
+        [n_keep, n_keep+n_discard), slide the rest down re-rotating K."""
+        from .kv_ops import kv_shift
+
+        assert n_keep + n_discard <= self.n_past
+        self.kv = kv_shift(self.cfg, self.kv, n_keep, n_discard, self.n_past)
+        self.n_past -= n_discard
+        self.cached_tokens = (
+            self.cached_tokens[:n_keep] + self.cached_tokens[n_keep + n_discard :]
+        )
+
+    def save_state(self, path):
+        from .kv_ops import save_state
+
+        save_state(self, path)
+
+    def load_state(self, path):
+        from .kv_ops import load_state
+
+        load_state(self, path)
 
     # -- decoding ------------------------------------------------------------
 
@@ -113,12 +144,31 @@ class Engine:
             past += take
         return out
 
-    def prefill(self, ids: np.ndarray) -> np.ndarray:
-        """Feed prompt tokens; returns logits at the last true position [B, V]."""
+    def prefill(self, ids: np.ndarray, reuse_cache: bool = False) -> np.ndarray:
+        """Feed prompt tokens; returns logits at the last true position [B, V].
+
+        reuse_cache (batch=1): longest-common-prefix reuse against the
+        tokens already in the KV cache (the server's prompt-cache matching,
+        server.cpp:2883) — only the unseen tail is evaluated.
+        """
         ids = np.atleast_2d(np.asarray(ids, dtype=np.int32))
         B, T = ids.shape
+        if reuse_cache and B == 1 and self.n_past == len(self.cached_tokens):
+            flat = ids[0].tolist()
+            common = 0
+            for a, b in zip(self.cached_tokens, flat):
+                if a != b:
+                    break
+                common += 1
+            common = min(common, len(flat) - 1)  # must eval >= 1 token for logits
+            if common > 0:
+                self.truncate(common)
+                ids = ids[:, common:]
+                B, T = ids.shape
         assert B == self.batch, f"engine batch {self.batch} vs prompt batch {B}"
         assert self.n_past + T <= self.max_seq, "context overflow"
+        if B == 1:
+            self.cached_tokens = self.cached_tokens[: self.n_past] + ids[0].tolist()
         t0 = time.perf_counter()
         logits = None
         off = 0
@@ -146,6 +196,8 @@ class Engine:
             self.weights, tok, self.kv, jnp.int32(self.n_past), logits_all=False
         )
         self.n_past += 1
+        if self.batch == 1:
+            self.cached_tokens.append(int(tokens.reshape(-1)[0]))
         out = np.asarray(logits)
         self.perf.t_decode += time.perf_counter() - t0
         self.perf.n_decode += 1

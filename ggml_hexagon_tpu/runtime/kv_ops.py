@@ -1,0 +1,103 @@
+"""KV-cache manipulation: context shift, truncation, state serialization.
+
+Reference counterparts:
+- context shift: llama_kv_self_seq_add + build_kv_self_shift
+  (src/llama-context.cpp:542) — evicted tokens' positions are subtracted
+  and cached K is re-rotated *by the delta* (the cache stores rotated K,
+  SURVEY §A.1, so a shift is one incremental rotation, not a re-RoPE).
+- truncation: llama_kv_self_seq_rm for suffixes (host-side: masking makes
+  slots beyond n_past invisible, so truncation is just rewinding n_past).
+- state save/load: llama_state_get/set_data (GGSN, llama.h:801) — here the
+  KV arrays + bookkeeping serialize via npz with a config fingerprint.
+"""
+from __future__ import annotations
+
+import io
+import json
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.llama import LlamaConfig
+from ..ops.basic import apply_rope
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_keep", "n_discard"), donate_argnames=("kv",))
+def kv_shift(cfg: LlamaConfig, kv: dict, n_keep: int, n_discard: int, n_past):
+    """Discard cache slots [n_keep, n_keep+n_discard); move the rest down.
+
+    K is re-rotated by -n_discard (positions of moved tokens decrease).
+    Returns the new cache; caller rewinds n_past by n_discard.
+    Slots beyond the new n_past keep stale data — masked off by attention.
+    """
+    k, v = kv["k"], kv["v"]  # [L, B, S, H, D]
+    S = k.shape[2]
+    src = n_keep + n_discard
+
+    moved_k = k[:, :, src:, :, :]
+    # re-rotate: moved K gets position delta -n_discard applied on top
+    L, B, M, H, D = moved_k.shape
+    delta = jnp.full((1, M), -n_discard, dtype=jnp.int32)
+    mk = moved_k.reshape(L * B, M, H, D)
+    mk = apply_rope(mk, delta, cfg.rope_params)
+    moved_k = mk.reshape(L, B, M, H, D)
+    moved_v = v[:, :, src:, :, :]
+
+    k = jax.lax.dynamic_update_slice(k, moved_k.astype(k.dtype), (0, 0, n_keep, 0, 0))
+    v = jax.lax.dynamic_update_slice(v, moved_v, (0, 0, n_keep, 0, 0))
+    return {"k": k, "v": v}
+
+
+def save_state(engine, f) -> None:
+    """Serialize full context state (kv + positions + sampler-agnostic meta)."""
+    close = False
+    if isinstance(f, str):
+        f = open(f, "wb")
+        close = True
+    try:
+        meta = {
+            "magic": "GHTS",  # ggml-hexagon-tpu state
+            "version": 1,
+            "n_past": engine.n_past,
+            "batch": engine.batch,
+            "max_seq": engine.max_seq,
+            "cfg": {
+                "n_vocab": engine.cfg.n_vocab,
+                "n_embd": engine.cfg.n_embd,
+                "n_layer": engine.cfg.n_layer,
+                "n_head": engine.cfg.n_head,
+                "n_head_kv": engine.cfg.n_head_kv,
+            },
+            "cached_tokens": getattr(engine, "cached_tokens", []),
+        }
+        np.savez(
+            f,
+            __meta__=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+            k=np.asarray(engine.kv["k"]).astype(np.float32),
+            v=np.asarray(engine.kv["v"]).astype(np.float32),
+        )
+    finally:
+        if close:
+            f.close()
+
+
+def load_state(engine, f) -> None:
+    """Restore state saved by save_state; validates the config fingerprint."""
+    z = np.load(f if not isinstance(f, str) else f, allow_pickle=False)
+    meta = json.loads(bytes(z["__meta__"]).decode())
+    if meta.get("magic") != "GHTS":
+        raise ValueError("not a saved state file")
+    c = meta["cfg"]
+    for key, val in c.items():
+        if getattr(engine.cfg, key) != val:
+            raise ValueError(f"state/model mismatch: {key} {val} vs {getattr(engine.cfg, key)}")
+    if meta["max_seq"] != engine.max_seq or meta["batch"] != engine.batch:
+        raise ValueError("state shape mismatch (batch/max_seq)")
+    engine.kv = {
+        "k": jnp.asarray(z["k"], dtype=engine.kv_dtype),
+        "v": jnp.asarray(z["v"], dtype=engine.kv_dtype),
+    }
+    engine.n_past = int(meta["n_past"])
+    engine.cached_tokens = list(meta.get("cached_tokens", []))

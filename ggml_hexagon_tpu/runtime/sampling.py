@@ -334,9 +334,15 @@ def make_chain(
     mirostat: int = 0,
     mirostat_tau: float = 5.0,
     mirostat_eta: float = 0.1,
+    grammar_sampler=None,
 ) -> SamplerChain:
-    """Build the default chain in the reference's order (common/sampling.cpp:225)."""
+    """Build the default chain in the reference's order (common/sampling.cpp:225).
+
+    grammar_sampler: a runtime.grammar.GrammarSampler, applied before the
+    chain (the reference's grammar-first mode)."""
     chain: list[Sampler] = []
+    if grammar_sampler is not None:
+        chain.append(grammar_sampler)
     if logit_bias:
         chain.append(LogitBias(logit_bias))
     chain.append(Penalties(penalty_last_n, penalty_repeat, penalty_freq, penalty_present))

@@ -1,0 +1,144 @@
+"""KV ops: context shift correctness, state save/load, prompt-cache reuse.
+
+The key property (mirrors the reference's test_ctx_shift.py + the K
+re-rotation semantics of build_kv_self_shift): after discarding a window
+and shifting, decoding must equal decoding with a fresh cache prefilled
+on the shifted token sequence.
+"""
+import io
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from ggml_hexagon_tpu.models.convert_hf import convert_hf_llama
+from ggml_hexagon_tpu.quant.formats import GGMLType
+from ggml_hexagon_tpu.runtime import Engine, greedy_chain
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    cfg = transformers.LlamaConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, tie_word_embeddings=False)
+    torch.manual_seed(5)
+    m = transformers.LlamaForCausalLM(cfg)
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    p = str(tmp_path_factory.mktemp("kv") / "m.gguf")
+    convert_hf_llama(sd, cfg, p, qtype=GGMLType.F32)
+    return p
+
+
+def fresh(model, **kw):
+    return Engine.from_gguf(model, max_seq=64, compute_dtype=jnp.float32,
+                            kv_dtype=jnp.float32, **kw)
+
+
+@pytest.fixture(scope="module")
+def model_1layer(tmp_path_factory):
+    """1-layer model: K/V depend only on embeddings, so a shifted cache is
+    exactly equivalent to a fresh prefill of the kept tokens — this isolates
+    the K re-rotation math end-to-end."""
+    cfg = transformers.LlamaConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=1, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, tie_word_embeddings=False)
+    torch.manual_seed(6)
+    m = transformers.LlamaForCausalLM(cfg)
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    p = str(tmp_path_factory.mktemp("kv1") / "m1.gguf")
+    convert_hf_llama(sd, cfg, p, qtype=GGMLType.F32)
+    return p
+
+
+def test_context_shift_equals_fresh_prefill(model_1layer):
+    rng = np.random.default_rng(0)
+    toks = rng.integers(3, 255, size=20).tolist()
+    n_keep, n_discard = 4, 8
+
+    eng = fresh(model_1layer)
+    eng.prefill(np.asarray(toks, np.int32)[None])
+    eng.shift_context(n_keep, n_discard)
+    logits_shifted = eng.decode_one(np.array([7]))
+
+    kept = toks[:n_keep] + toks[n_keep + n_discard :]
+    eng2 = fresh(model_1layer)
+    eng2.prefill(np.asarray(kept, np.int32)[None])
+    logits_fresh = eng2.decode_one(np.array([7]))
+
+    np.testing.assert_allclose(logits_shifted, logits_fresh, rtol=2e-3, atol=2e-4)
+
+
+def test_context_shift_multilayer_continues(model):
+    """Multi-layer: shift keeps full-context K/V (reference semantics);
+    decoding must continue finite and deterministic."""
+    rng = np.random.default_rng(4)
+    toks = rng.integers(3, 255, size=20).tolist()
+    eng = fresh(model)
+    eng.prefill(np.asarray(toks, np.int32)[None])
+    eng.shift_context(4, 8)
+    assert eng.n_past == 12
+    a = eng.decode_one(np.array([7]))
+    assert np.isfinite(a).all()
+    b = eng.decode_one(np.array([9]))
+    assert np.isfinite(b).all()
+
+
+def test_truncate_rewinds(model):
+    rng = np.random.default_rng(1)
+    toks = rng.integers(3, 255, size=10).tolist()
+    eng = fresh(model)
+    eng.prefill(np.asarray(toks, np.int32)[None])
+    eng.truncate(6)
+    logits_a = eng.decode_one(np.array([toks[6]]))
+    eng2 = fresh(model)
+    eng2.prefill(np.asarray(toks[:6], np.int32)[None])
+    logits_b = eng2.decode_one(np.array([toks[6]]))
+    np.testing.assert_allclose(logits_a, logits_b, rtol=1e-4, atol=1e-5)
+
+
+def test_state_save_load_roundtrip(model, tmp_path):
+    rng = np.random.default_rng(2)
+    toks = rng.integers(3, 255, size=12).tolist()
+    eng = fresh(model)
+    eng.prefill(np.asarray(toks, np.int32)[None])
+    p = str(tmp_path / "state.npz")
+    eng.save_state(p)
+    cont_a = list(eng.generate_ondevice([toks[-1]], n_predict=5, stop_at_eos=False))
+
+    eng2 = fresh(model)
+    eng2.load_state(p)
+    assert eng2.n_past == len(toks)
+    # saved state continues identically (note: loading re-prefills nothing)
+    eng2.truncate(len(toks))
+    cont_b = list(eng2.generate_ondevice([toks[-1]], n_predict=5, stop_at_eos=False))
+    assert cont_a == cont_b
+
+
+def test_state_mismatch_rejected(model, tmp_path):
+    eng = fresh(model)
+    p = str(tmp_path / "s.npz")
+    eng.save_state(p)
+    eng2 = Engine.from_gguf(model, max_seq=32)  # different max_seq
+    with pytest.raises(ValueError, match="mismatch"):
+        eng2.load_state(p)
+
+
+def test_prompt_cache_reuse(model):
+    rng = np.random.default_rng(3)
+    prefix = rng.integers(3, 255, size=16).tolist()
+    eng = fresh(model)
+    eng.prefill(np.asarray(prefix, np.int32)[None])
+    n_eval_before = eng.perf.n_prefill
+    # same prefix + new tail: only the tail (plus 0 rewind) should be evaluated
+    full = prefix + [5, 9]
+    logits = eng.prefill(np.asarray(full, np.int32)[None], reuse_cache=True)
+    assert eng.perf.n_prefill - n_eval_before <= 3  # evaluated only the tail
+    # oracle
+    eng2 = fresh(model)
+    ref = eng2.prefill(np.asarray(full, np.int32)[None])
+    np.testing.assert_allclose(logits, ref, rtol=1e-4, atol=1e-5)
