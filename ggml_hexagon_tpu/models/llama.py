@@ -184,11 +184,13 @@ def init_kv_cache(cfg: LlamaConfig, batch: int, max_seq: int, dtype=jnp.bfloat16
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
-def _attention(cfg: LlamaConfig, q, k_all, v_all, pos_start, T):
+def _attention(cfg: LlamaConfig, q, k_all, v_all, pos_start, T, swa: int = 0):
     """GQA attention over the cache prefix.
 
     q [B, T, n_head, hd]; k_all/v_all [B, S, n_head_kv, hd].
-    Mask: token t may attend cache slot s iff s <= pos_start + t.
+    pos_start: scalar or [B] per-row cache offsets (continuous batching).
+    Mask: token t of row b may attend cache slot s iff s <= pos_b + t
+    (and, with sliding-window attention, pos_b + t - s < swa).
     """
     B, _, n_head, hd = q.shape
     S = k_all.shape[1]
@@ -197,13 +199,33 @@ def _attention(cfg: LlamaConfig, q, k_all, v_all, pos_start, T):
     k = k_all.transpose(0, 2, 1, 3)  # [B, n_kv, S, hd]
     v = v_all.transpose(0, 2, 1, 3)
     scores = jnp.einsum("bhgtd,bhsd->bhgts", qg, k, preferred_element_type=jnp.float32)
-    s_idx = jax.lax.broadcasted_iota(jnp.int32, (T, S), 1)
-    t_idx = jax.lax.broadcasted_iota(jnp.int32, (T, S), 0)
-    allowed = s_idx <= (pos_start + t_idx)
-    mask = jnp.where(allowed, 0.0, -jnp.inf)[None, None, None]
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (T, S), 1)[None]
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (T, S), 0)[None]
+    pos_b = jnp.reshape(jnp.asarray(pos_start, jnp.int32), (-1, 1, 1))  # [B|1,1,1]
+    allowed = s_idx <= (pos_b + t_idx)
+    if swa:
+        allowed = allowed & ((pos_b + t_idx) - s_idx < swa)
+    mask = jnp.where(allowed, 0.0, -jnp.inf)[:, None, None]  # [B|1,1,1,T,S]
     probs = softmax_ext(scores, mask, scale=1.0 / np.sqrt(hd)).astype(v.dtype)
     out = jnp.einsum("bhgts,bhsd->bhgtd", probs, v, preferred_element_type=jnp.float32)
     return out.reshape(B, n_head, T, hd).transpose(0, 2, 1, 3).reshape(B, T, n_head * hd)
+
+
+def _kv_write(cache_l, new, pos_start):
+    """Write [B, T, H, D] into cache [B, S, H, D] at per-row (or scalar) offset.
+
+    Vector offsets clip into [0, S-1]; a "parked" row (pos = S-1) funnels
+    all its writes into the reserved last slot, which stays masked."""
+    if jnp.ndim(pos_start) == 0:
+        return jax.lax.dynamic_update_slice(
+            cache_l, new.astype(cache_l.dtype), (0, pos_start, 0, 0)
+        )
+    B, T = new.shape[:2]
+    S = cache_l.shape[1]
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+    cols = jnp.asarray(pos_start, jnp.int32)[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+    cols = jnp.clip(cols, 0, S - 1)
+    return cache_l.at[rows, cols].set(new.astype(cache_l.dtype))
 
 
 def forward(
@@ -215,17 +237,21 @@ def forward(
     logits_all: bool = False,
     compute_dtype=jnp.bfloat16,
     tap=None,  # optional fn(weight_name, activation) for imatrix collection
+    logits_idx=None,  # [B] per-row position whose logits to return
 ):
     """One decoder step over T new tokens.  Returns (logits, new_kv_cache).
 
-    logits: [B, T, n_vocab] if logits_all else [B, n_vocab] (last position).
+    logits: [B, T, n_vocab] if logits_all else [B, n_vocab] (at logits_idx
+    per row when given, else the last position).
     tap mirrors the reference's scheduler eval-callback hook used by
     imatrix (examples/imatrix/imatrix.cpp:617): it observes the *input*
     of each quantized matmul, keyed by the weight tensor name.
     """
     B, T = tokens.shape
     rope = cfg.rope_params
-    positions = pos_start + jnp.arange(T, dtype=jnp.int32)[None, :]  # [1, T]
+    # pos_start: scalar, or [B] per-row offsets (continuous batching)
+    pos_vec = jnp.reshape(jnp.asarray(pos_start, jnp.int32), (-1, 1))
+    positions = pos_vec + jnp.arange(T, dtype=jnp.int32)[None, :]  # [B|1, T]
     h = embed(weights["tok_embd"], tokens, compute_dtype)
 
     new_k, new_v = [], []
@@ -240,12 +266,8 @@ def forward(
         v = matmul(a, lw["wv"]).reshape(B, T, cfg.n_head_kv, cfg.hd)
         q = apply_rope(q, positions, rope)
         k = apply_rope(k, positions, rope)  # cache stores rotated K (A.1)
-        k_l = jax.lax.dynamic_update_slice(
-            kv_cache["k"][il], k.astype(kv_cache["k"].dtype), (0, pos_start, 0, 0)
-        )
-        v_l = jax.lax.dynamic_update_slice(
-            kv_cache["v"][il], v.astype(kv_cache["v"].dtype), (0, pos_start, 0, 0)
-        )
+        k_l = _kv_write(kv_cache["k"][il], k, pos_start)
+        v_l = _kv_write(kv_cache["v"][il], v, pos_start)
         new_k.append(k_l)
         new_v.append(v_l)
         attn = _attention(cfg, q, k_l, v_l, pos_start, T).astype(compute_dtype)
@@ -266,7 +288,11 @@ def forward(
     kv_cache = {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
     h = rms_norm(h, weights["output_norm"], cfg.rms_eps)
     if not logits_all:
-        h = h[:, -1, :]
+        if logits_idx is not None:
+            idx = jnp.asarray(logits_idx, jnp.int32).reshape(B, 1, 1)
+            h = jnp.take_along_axis(h, idx, axis=1)[:, 0, :]
+        else:
+            h = h[:, -1, :]
     if tap is not None:
         tap("output.weight", h)
     logits = matmul(h, weights["output"])

@@ -188,6 +188,25 @@ class Engine:
         self.perf.n_prefill += T
         return logits
 
+    def eval_tokens(self, tokens) -> np.ndarray:
+        """Consume tokens (batch=1) returning logits at EVERY position [T, V]
+        (the speculative verifier's one-pass scoring of a draft block)."""
+        assert self.batch == 1
+        ids = np.asarray(tokens, dtype=np.int32).reshape(-1)
+        T = ids.size
+        assert self.n_past + T <= self.max_seq, "context overflow"
+        bucket = 1
+        while bucket < T:
+            bucket *= 2
+        chunk = np.pad(ids, (0, bucket - T))[None, :]
+        out, self.kv = self._fwd(
+            self.weights, jnp.asarray(chunk), self.kv, jnp.int32(self.n_past),
+            logits_all=True,
+        )
+        self.n_past += T
+        self.cached_tokens = self.cached_tokens[: self.n_past - T] + ids.tolist()
+        return np.asarray(out[0, :T, :])
+
     def decode_one(self, tokens: np.ndarray) -> np.ndarray:
         """One decode step for [B] tokens -> last-position logits [B, V]."""
         t0 = time.perf_counter()

@@ -1,0 +1,269 @@
+"""Continuous-batching scheduler — the server's core.
+
+The design mirrors examples/server/server.cpp (SURVEY §3.3): a fixed pool of
+slots, each an independent sequence with its own sampler/grammar state; every
+scheduler tick either (a) processes pending prompt chunks — all slots with
+outstanding prompt tokens advance together in one [B, chunk] forward — or
+(b) decodes one token for every GENERATING slot in one [B, 1] forward.
+Idle rows are "parked": they feed a pad token at the reserved last cache
+slot (masked forever), so slot insertion/removal never recompiles the graph
+(fixed-capacity batch + masks; SURVEY §7 hard part 6).
+
+Compilation count is fixed: one program per prompt-chunk bucket + one decode
+program, regardless of request traffic.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from enum import Enum
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.llama import LlamaConfig, forward, init_kv_cache
+from ..runtime.sampling import SamplerChain, greedy_chain, make_chain
+
+PROMPT_CHUNK = 128
+
+
+class SlotState(Enum):
+    IDLE = 0
+    PROMPT = 1
+    GENERATING = 2
+
+
+@dataclass
+class Slot:
+    id: int
+    state: SlotState = SlotState.IDLE
+    prompt: list = field(default_factory=list)
+    n_prompt_done: int = 0
+    n_past: int = 0
+    generated: list = field(default_factory=list)
+    n_predict: int = 0
+    sampler: Optional[SamplerChain] = None
+    stop_ids: set = field(default_factory=set)
+    stop_strings: list = field(default_factory=list)
+    out_queue: Optional[queue.Queue] = None
+    pending_logits: Optional[np.ndarray] = None
+    t_start: float = 0.0
+    t_first_token: float = 0.0
+    finish_reason: str = ""
+    # stats
+    n_decoded: int = 0
+
+    def reset(self):
+        self.state = SlotState.IDLE
+        self.prompt = []
+        self.n_prompt_done = 0
+        self.n_past = 0
+        self.generated = []
+        self.sampler = None
+        self.pending_logits = None
+        self.finish_reason = ""
+        self.n_decoded = 0
+
+
+class BatchEngine:
+    """Fixed-slot continuous-batching engine over one model."""
+
+    def __init__(self, cfg: LlamaConfig, weights: dict, vocab=None,
+                 n_slots: int = 4, max_seq: int = 1024,
+                 kv_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16):
+        self.cfg = cfg
+        self.weights = weights
+        self.vocab = vocab
+        self.n_slots = n_slots
+        self.max_seq = max_seq  # last slot reserved for parked writes
+        self.kv = init_kv_cache(cfg, n_slots, max_seq, kv_dtype)
+        self.slots = [Slot(i) for i in range(n_slots)]
+        self.park_pos = max_seq - 1
+        self._fwd = jax.jit(
+            partial(forward, cfg, compute_dtype=compute_dtype),
+            donate_argnames=("kv_cache",),
+        )
+        self.lock = threading.Lock()
+        self.pending: queue.Queue = queue.Queue()
+        self.metrics = {
+            "n_requests": 0, "n_tokens_generated": 0, "n_prompt_tokens": 0,
+            "t_decode": 0.0, "t_prompt": 0.0,
+        }
+
+    @classmethod
+    def from_gguf(cls, path: str, **kw) -> "BatchEngine":
+        from ..gguf.reader import GGUFReader
+        from ..models.llama import load_llama_weights
+        from ..tokenizer import Vocab
+
+        with GGUFReader.open(path) as r:
+            cfg, weights = load_llama_weights(r)
+            vocab = Vocab.from_gguf(r.metadata)
+            md = dict(r.metadata)
+        eng = cls(cfg, weights, vocab, **kw)
+        eng.metadata = md
+        return eng
+
+    # -- request API ---------------------------------------------------------
+
+    def submit(self, prompt_ids: list[int], n_predict: int = 64,
+               sampler: Optional[SamplerChain] = None,
+               stop_ids: Optional[set] = None,
+               stop_strings: Optional[list] = None) -> queue.Queue:
+        """Enqueue a request; returns a queue yielding (token|None, finish_reason)."""
+        q: queue.Queue = queue.Queue()
+        req = dict(prompt=list(prompt_ids), n_predict=n_predict,
+                   sampler=sampler or greedy_chain(),
+                   stop_ids=stop_ids if stop_ids is not None
+                   else ({self.vocab.eos_id} if self.vocab else set()),
+                   stop_strings=stop_strings or [], out=q)
+        self.pending.put(req)
+        self.metrics["n_requests"] += 1
+        return q
+
+    def _launch(self, slot: Slot, req: dict):
+        slot.reset()
+        slot.state = SlotState.PROMPT
+        slot.prompt = req["prompt"]
+        slot.n_predict = req["n_predict"]
+        slot.sampler = req["sampler"]
+        slot.stop_ids = req["stop_ids"]
+        slot.stop_strings = req["stop_strings"]
+        slot.out_queue = req["out"]
+        slot.t_start = time.perf_counter()
+        self.metrics["n_prompt_tokens"] += len(slot.prompt)
+
+    # -- scheduler tick (update_slots analog) --------------------------------
+
+    def has_work(self) -> bool:
+        return not self.pending.empty() or any(
+            s.state != SlotState.IDLE for s in self.slots
+        )
+
+    def step(self):
+        """One scheduler tick.  Returns True if any work was done."""
+        # assign pending requests to idle slots
+        for s in self.slots:
+            if s.state == SlotState.IDLE:
+                try:
+                    req = self.pending.get_nowait()
+                except queue.Empty:
+                    break
+                self._launch(s, req)
+
+        prompt_slots = [s for s in self.slots if s.state == SlotState.PROMPT]
+        if prompt_slots:
+            self._prompt_tick(prompt_slots)
+            return True
+        gen_slots = [s for s in self.slots if s.state == SlotState.GENERATING]
+        if gen_slots:
+            self._decode_tick(gen_slots)
+            return True
+        return False
+
+    def _prompt_tick(self, prompt_slots: list[Slot]):
+        t0 = time.perf_counter()
+        B = self.n_slots
+        chunk = min(PROMPT_CHUNK, self.max_seq - 1)
+        tokens = np.zeros((B, chunk), dtype=np.int32)
+        pos = np.full(B, self.park_pos, dtype=np.int32)
+        idx = np.zeros(B, dtype=np.int32)
+        active = []
+        for s in prompt_slots:
+            rest = s.prompt[s.n_prompt_done :]
+            take = min(len(rest), chunk)
+            tokens[s.id, :take] = rest[:take]
+            pos[s.id] = s.n_past
+            idx[s.id] = take - 1
+            active.append((s, take))
+        logits, self.kv = self._fwd(
+            self.weights, jnp.asarray(tokens), self.kv, jnp.asarray(pos),
+            logits_idx=jnp.asarray(idx),
+        )
+        logits = np.asarray(logits)
+        for s, take in active:
+            s.n_prompt_done += take
+            s.n_past += take
+            if s.n_prompt_done >= len(s.prompt):
+                s.state = SlotState.GENERATING
+                s.pending_logits = logits[s.id]
+        self.metrics["t_prompt"] += time.perf_counter() - t0
+
+    def _decode_tick(self, gen_slots: list[Slot]):
+        t0 = time.perf_counter()
+        B = self.n_slots
+        # sample on host for every generating slot
+        to_decode = []
+        for s in gen_slots:
+            tok = s.sampler.sample(s.pending_logits)
+            if s.t_first_token == 0.0:
+                s.t_first_token = time.perf_counter() - s.t_start
+            finished = self._emit(s, tok)
+            if not finished:
+                to_decode.append((s, tok))
+        if not to_decode:
+            self.metrics["t_decode"] += time.perf_counter() - t0
+            return
+        tokens = np.zeros((B, 1), dtype=np.int32)
+        pos = np.full(B, self.park_pos, dtype=np.int32)
+        for s, tok in to_decode:
+            tokens[s.id, 0] = tok
+            pos[s.id] = s.n_past
+        logits, self.kv = self._fwd(
+            self.weights, jnp.asarray(tokens), self.kv, jnp.asarray(pos),
+        )
+        logits = np.asarray(logits)
+        for s, tok in to_decode:
+            s.n_past += 1
+            s.pending_logits = logits[s.id]
+        self.metrics["t_decode"] += time.perf_counter() - t0
+
+    def _emit(self, s: Slot, tok: int) -> bool:
+        """Deliver a sampled token; returns True when the slot finished."""
+        if tok in s.stop_ids:
+            return self._finish(s, "stop")
+        s.generated.append(tok)
+        s.n_decoded += 1
+        self.metrics["n_tokens_generated"] += 1
+        s.out_queue.put((tok, None))
+        if s.stop_strings and self.vocab:
+            text = "".join(self.vocab.tokens[t] for t in s.generated[-8:])
+            if any(ss in text for ss in s.stop_strings):
+                return self._finish(s, "stop_string")
+        if s.n_decoded >= s.n_predict:
+            return self._finish(s, "length")
+        if s.n_past + 1 >= self.max_seq - 1:
+            return self._finish(s, "context_full")
+        return False
+
+    def _finish(self, s: Slot, reason: str) -> bool:
+        s.finish_reason = reason
+        s.out_queue.put((None, reason))
+        s.reset()
+        return True
+
+    # -- blocking convenience ------------------------------------------------
+
+    def run_until_idle(self, max_ticks: int = 100000):
+        for _ in range(max_ticks):
+            if not self.has_work():
+                return
+            self.step()
+        raise RuntimeError("scheduler did not drain")
+
+    def complete(self, prompt_ids, **kw) -> list[int]:
+        """Synchronous single-request helper."""
+        q = self.submit(prompt_ids, **kw)
+        self.run_until_idle()
+        out = []
+        while True:
+            tok, fin = q.get_nowait()
+            if tok is None:
+                break
+            out.append(tok)
+        return out

@@ -1,0 +1,98 @@
+"""Continuous-batching scheduler tests.
+
+Key invariant (matches the reference's slot model): each slot's output must
+be IDENTICAL to running its request alone on a plain Engine — batching and
+slot interleaving must not change any sequence's result."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from ggml_hexagon_tpu.models.convert_hf import convert_hf_llama
+from ggml_hexagon_tpu.quant.formats import GGMLType
+from ggml_hexagon_tpu.runtime import Engine, greedy_chain, make_chain
+from ggml_hexagon_tpu.server import BatchEngine
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    cfg = transformers.LlamaConfig(
+        vocab_size=300, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, tie_word_embeddings=False)
+    torch.manual_seed(7)
+    m = transformers.LlamaForCausalLM(cfg)
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    toks = ["<unk>", "<s>", "</s>"] + [f"<0x{b:02X}>" for b in range(256)] + [f"t{i}" for i in range(41)]
+    p = str(tmp_path_factory.mktemp("srv") / "m.gguf")
+    convert_hf_llama(sd, cfg, p, qtype=GGMLType.F32, tokenizer_fields={
+        "tokenizer.ggml.model": "llama", "tokenizer.ggml.tokens": toks[:300],
+        "tokenizer.ggml.scores": [0.0]*300,
+        "tokenizer.ggml.token_type": [2, 3, 3] + [6]*256 + [1]*41})
+    return p
+
+
+def baseline(model, prompt, n):
+    eng = Engine.from_gguf(model, max_seq=128, compute_dtype=jnp.float32,
+                           kv_dtype=jnp.float32)
+    return list(eng.generate(prompt, n_predict=n, sampler=greedy_chain(), stop_ids=set()))
+
+
+def test_single_request_matches_engine(model):
+    be = BatchEngine.from_gguf(model, n_slots=2, max_seq=128,
+                               kv_dtype=jnp.float32, compute_dtype=jnp.float32)
+    prompt = [1, 10, 20, 30]
+    got = be.complete(prompt, n_predict=12, stop_ids=set())
+    assert got == baseline(model, prompt, 12)
+
+
+def test_concurrent_requests_all_match(model):
+    be = BatchEngine.from_gguf(model, n_slots=4, max_seq=128,
+                               kv_dtype=jnp.float32, compute_dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(3, 299, size=n).tolist() for n in (4, 9, 17, 3)]
+    queues = [be.submit(p, n_predict=10, stop_ids=set()) for p in prompts]
+    be.run_until_idle()
+    for p, q in zip(prompts, queues):
+        out = []
+        while True:
+            tok, fin = q.get_nowait()
+            if tok is None:
+                break
+            out.append(tok)
+        assert out == baseline(model, p, 10), f"slot output diverged for prompt {p[:3]}..."
+
+
+def test_more_requests_than_slots(model):
+    be = BatchEngine.from_gguf(model, n_slots=2, max_seq=128,
+                               kv_dtype=jnp.float32, compute_dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    prompts = [rng.integers(3, 299, size=5).tolist() for _ in range(5)]
+    queues = [be.submit(p, n_predict=6, stop_ids=set()) for p in prompts]
+    be.run_until_idle()
+    for p, q in zip(prompts, queues):
+        out = [t for t, _ in iter(q.get_nowait, (None, "stop"))
+               if t is not None] if False else []
+        while True:
+            tok, fin = q.get_nowait()
+            if tok is None:
+                assert fin == "length"
+                break
+            out.append(tok)
+        assert out == baseline(model, p, 6)
+    assert be.metrics["n_requests"] == 5
+    assert be.metrics["n_tokens_generated"] == 30
+
+
+def test_long_prompt_chunked(model):
+    be = BatchEngine.from_gguf(model, n_slots=2, max_seq=256,
+                               kv_dtype=jnp.float32, compute_dtype=jnp.float32)
+    rng = np.random.default_rng(2)
+    prompt = rng.integers(3, 299, size=150).tolist()  # > PROMPT_CHUNK
+    got = be.complete(prompt, n_predict=5, stop_ids=set())
+    eng = Engine.from_gguf(model, max_seq=256, compute_dtype=jnp.float32,
+                           kv_dtype=jnp.float32)
+    want = list(eng.generate(prompt, n_predict=5, sampler=greedy_chain(), stop_ids=set()))
+    assert got == want
