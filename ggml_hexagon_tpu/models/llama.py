@@ -27,7 +27,7 @@ import numpy as np
 from ..quant.formats import GGMLType
 from ..quant.pack import QTensor, pack_tensor, QCONFIGS
 from ..ops.qmatmul import qmatmul, dequantize_jax
-from ..ops.basic import RopeParams, apply_rope, rms_norm, silu, softmax_ext
+from ..ops.basic import RopeParams, apply_rope, gelu, rms_norm, silu, softmax_ext
 
 
 @dataclass(frozen=True)
@@ -48,6 +48,21 @@ class LlamaConfig:
     rope_beta_slow: float = 1.0
     n_ctx_train: int = 2048
     head_dim: int = 0  # 0 -> n_embd // n_head
+    # --- architecture features (the llm_build_* variation points) ---
+    arch: str = "llama"
+    attn_bias: bool = False            # qwen2: q/k/v bias vectors
+    act: str = "silu"                  # 'silu' | 'gelu'
+    embd_scale: float = 1.0            # gemma: sqrt(n_embd)
+    norm_plus_one: bool = False        # gemma rmsnorm uses (1 + w)
+    post_norms: bool = False           # gemma2: post attn/ffn norms
+    attn_logit_softcap: float = 0.0    # gemma2 / grok
+    final_logit_softcap: float = 0.0
+    swa_window: int = 0                # sliding-window attention width
+    swa_pattern: int = 1               # every Nth layer is full-attention
+    attn_scale: float = 0.0            # 0 -> 1/sqrt(hd)
+    n_expert: int = 0                  # MoE
+    n_expert_used: int = 0
+    norm_topk_prob: bool = True        # renormalize top-k routing weights
 
     @property
     def hd(self) -> int:
@@ -103,40 +118,73 @@ class LlamaConfig:
 
 
 def load_llama_weights(reader, dtype=jnp.bfloat16, device: bool = True) -> tuple[LlamaConfig, dict]:
-    """Load from a GGUFReader into packed device arrays.
+    """Load any supported architecture from a GGUFReader into packed arrays.
 
-    Tensor names follow the GGUF convention (gguf-py tensor_mapping):
-    token_embd, blk.%d.{attn_norm,attn_q,attn_k,attn_v,attn_output,
-    ffn_norm,ffn_gate,ffn_up,ffn_down}, output_norm, output.
+    Tensor names follow the GGUF convention (gguf-py tensor_mapping).
+    Optional per-arch tensors (QKV biases, post-norms, QK norms, stacked
+    MoE expert tensors) load when present; output falls back to the tied
+    token embedding (reference: llm_load_tensors TOKEN_EMBD reuse).
     """
-    cfg = LlamaConfig.from_gguf(reader.metadata)
+    from .registry import config_from_gguf
+
+    cfg = config_from_gguf(reader.metadata)
 
     def get(name, as_vec=False):
         t = reader.tensors[name]
-        if as_vec or t.ggml_type in (GGMLType.F32, GGMLType.F16, GGMLType.BF16) and len(t.ne) == 1:
+        if as_vec or (
+            t.ggml_type in (GGMLType.F32, GGMLType.F16, GGMLType.BF16) and len(t.ne) == 1
+        ):
             return jnp.asarray(reader.tensor_f32(name), dtype=jnp.float32)
-        if t.ggml_type in QCONFIGS and len(t.ne) == 2 and t.ne[0] % 256 == 0:
-            qt = pack_tensor(reader.tensor_bytes(name), t.ggml_type, t.shape)
-            return qt.astype_device() if device else qt
-        # fall back to dense (f16/f32 2-D tensors, or K not chunk-aligned)
-        return jnp.asarray(reader.tensor_f32(name), dtype=dtype)
+        if t.ggml_type in QCONFIGS and t.ne[0] % 256 == 0:
+            shape = t.shape
+            if len(shape) == 3:  # stacked experts [E, n, k] -> [(E*n), k]
+                shape = (shape[0] * shape[1], shape[2])
+            if len(shape) == 2:
+                qt = pack_tensor(reader.tensor_bytes(name), t.ggml_type, shape)
+                return qt.astype_device() if device else qt
+        # dense fallback (f16/f32 2-D/3-D, or K not chunk-aligned)
+        arr = reader.tensor_f32(name)
+        if arr.ndim == 3:
+            arr = arr.reshape(arr.shape[0] * arr.shape[1], arr.shape[2])
+        return jnp.asarray(arr, dtype=dtype)
+
+    def opt(name, as_vec=False):
+        return get(name, as_vec) if name in reader.tensors else None
 
     layers = []
     for i in range(cfg.n_layer):
         p = f"blk.{i}."
-        layers.append(
-            {
-                "attn_norm": get(p + "attn_norm.weight", as_vec=True),
-                "wq": get(p + "attn_q.weight"),
-                "wk": get(p + "attn_k.weight"),
-                "wv": get(p + "attn_v.weight"),
-                "wo": get(p + "attn_output.weight"),
-                "ffn_norm": get(p + "ffn_norm.weight", as_vec=True),
-                "ffn_gate": get(p + "ffn_gate.weight"),
-                "ffn_up": get(p + "ffn_up.weight"),
-                "ffn_down": get(p + "ffn_down.weight"),
-            }
-        )
+        lw = {
+            "attn_norm": get(p + "attn_norm.weight", as_vec=True),
+            "wq": get(p + "attn_q.weight"),
+            "wk": get(p + "attn_k.weight"),
+            "wv": get(p + "attn_v.weight"),
+            "wo": get(p + "attn_output.weight"),
+            "ffn_norm": get(p + "ffn_norm.weight", as_vec=True),
+        }
+        if cfg.attn_bias:
+            lw["bq"] = get(p + "attn_q.bias", as_vec=True)
+            lw["bk"] = get(p + "attn_k.bias", as_vec=True)
+            lw["bv"] = get(p + "attn_v.bias", as_vec=True)
+        for extra, name in (
+            ("attn_q_norm", "attn_q_norm.weight"),
+            ("attn_k_norm", "attn_k_norm.weight"),
+            ("post_attn_norm", "post_attention_norm.weight"),
+            ("post_ffn_norm", "post_ffw_norm.weight"),
+        ):
+            a = opt(p + name, as_vec=True)
+            if a is not None:
+                lw[extra] = a
+        if cfg.n_expert:
+            lw["ffn_gate_inp"] = get(p + "ffn_gate_inp.weight")
+            lw["ffn_gate_exps"] = get(p + "ffn_gate_exps.weight")
+            lw["ffn_up_exps"] = get(p + "ffn_up_exps.weight")
+            lw["ffn_down_exps"] = get(p + "ffn_down_exps.weight")
+        else:
+            lw["ffn_gate"] = get(p + "ffn_gate.weight")
+            lw["ffn_up"] = get(p + "ffn_up.weight")
+            lw["ffn_down"] = get(p + "ffn_down.weight")
+        layers.append(lw)
     weights = {
         "tok_embd": get("token_embd.weight"),
         "output_norm": get("output_norm.weight", as_vec=True),
@@ -184,7 +232,8 @@ def init_kv_cache(cfg: LlamaConfig, batch: int, max_seq: int, dtype=jnp.bfloat16
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
-def _attention(cfg: LlamaConfig, q, k_all, v_all, pos_start, T, swa: int = 0):
+def _attention(cfg: LlamaConfig, q, k_all, v_all, pos_start, T, swa: int = 0,
+               scale: float = 0.0, logit_softcap: float = 0.0):
     """GQA attention over the cache prefix.
 
     q [B, T, n_head, hd]; k_all/v_all [B, S, n_head_kv, hd].
@@ -206,7 +255,9 @@ def _attention(cfg: LlamaConfig, q, k_all, v_all, pos_start, T, swa: int = 0):
     if swa:
         allowed = allowed & ((pos_b + t_idx) - s_idx < swa)
     mask = jnp.where(allowed, 0.0, -jnp.inf)[:, None, None]  # [B|1,1,1,T,S]
-    probs = softmax_ext(scores, mask, scale=1.0 / np.sqrt(hd)).astype(v.dtype)
+    probs = softmax_ext(
+        scores, mask, scale=scale or 1.0 / np.sqrt(hd), logit_cap=logit_softcap
+    ).astype(v.dtype)
     out = jnp.einsum("bhgts,bhsd->bhgtd", probs, v, preferred_element_type=jnp.float32)
     return out.reshape(B, n_head, T, hd).transpose(0, 2, 1, 3).reshape(B, T, n_head * hd)
 
@@ -228,6 +279,65 @@ def _kv_write(cache_l, new, pos_start):
     return cache_l.at[rows, cols].set(new.astype(cache_l.dtype))
 
 
+def qtensor_rows(qt, start: int, n: int):
+    """Row-slice a QTensor (used for stacked MoE expert weights)."""
+    if isinstance(qt, QTensor):
+        return QTensor(
+            qt.cfg, n, qt.k,
+            qt.q[start : start + n], qt.d[start : start + n],
+            None if qt.qh is None else qt.qh[start : start + n],
+            None if qt.sc is None else qt.sc[start : start + n],
+            None if qt.dmin is None else qt.dmin[start : start + n],
+            None if qt.m is None else qt.m[start : start + n],
+        )
+    return qt[start : start + n]
+
+
+def _norm(cfg, x, w):
+    """Arch-aware RMSNorm (gemma stores w-1; effective weight is 1+w)."""
+    ww = (1.0 + w.astype(jnp.float32)) if cfg.norm_plus_one else w
+    return rms_norm(x, ww, cfg.rms_eps)
+
+
+def _act(cfg, x):
+    return gelu(x) if cfg.act == "gelu" else silu(x)
+
+
+def _moe_ffn(cfg, lw, f, compute_dtype, tap=None, il=0):
+    """Mixture-of-experts FFN (build_moe_ffn analog, SURVEY §A.3).
+
+    Router softmax -> top-k -> optional renorm; experts computed densely
+    (every expert evaluated, unselected ones weighted 0) — static shapes,
+    no gather/scatter; the EP-sharded ragged path is a later optimization.
+    """
+    E, K = cfg.n_expert, cfg.n_expert_used
+    router = matmul(f, lw["ffn_gate_inp"]).astype(jnp.float32)  # [B,T,E]
+    probs = jax.nn.softmax(router, axis=-1)
+    topv, topi = jax.lax.top_k(probs, K)  # [B,T,K]
+    if cfg.norm_topk_prob:
+        topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+    # dense per-token expert weights (0 outside top-k)
+    onehot = jax.nn.one_hot(topi, E, dtype=jnp.float32)  # [B,T,K,E]
+    w_tok = jnp.einsum("btk,btke->bte", topv, onehot)  # [B,T,E]
+    n_ff, d = cfg.n_ff, cfg.n_embd
+    out = 0.0
+    for e in range(E):
+        gate_e = qtensor_rows(lw["ffn_gate_exps"], e * n_ff, n_ff)
+        up_e = qtensor_rows(lw["ffn_up_exps"], e * n_ff, n_ff)
+        down_e = qtensor_rows(lw["ffn_down_exps"], e * d, d)
+        if tap is not None:
+            tap(f"blk.{il}.ffn_gate_exps.weight", f)
+            tap(f"blk.{il}.ffn_up_exps.weight", f)
+        g = _act(cfg, matmul(f, gate_e).astype(compute_dtype))
+        u = matmul(f, up_e).astype(compute_dtype)
+        gu = g * u
+        if tap is not None:
+            tap(f"blk.{il}.ffn_down_exps.weight", gu)
+        dly = matmul(gu, down_e).astype(jnp.float32)
+        out = out + dly * w_tok[..., e : e + 1]
+    return out.astype(compute_dtype)
+
+
 def forward(
     cfg: LlamaConfig,
     weights: dict,
@@ -246,6 +356,11 @@ def forward(
     tap mirrors the reference's scheduler eval-callback hook used by
     imatrix (examples/imatrix/imatrix.cpp:617): it observes the *input*
     of each quantized matmul, keyed by the weight tensor name.
+
+    Arch variation points (feature flags on cfg; reference: the ~60
+    llm_build_* graph builders, src/llama-model.cpp): QKV bias, NEOX rope,
+    gelu FFN, embedding scaling, (1+w) norms, post-norms, logit softcaps,
+    alternating sliding-window attention, MoE FFN.
     """
     B, T = tokens.shape
     rope = cfg.rope_params
@@ -253,40 +368,66 @@ def forward(
     pos_vec = jnp.reshape(jnp.asarray(pos_start, jnp.int32), (-1, 1))
     positions = pos_vec + jnp.arange(T, dtype=jnp.int32)[None, :]  # [B|1, T]
     h = embed(weights["tok_embd"], tokens, compute_dtype)
+    if cfg.embd_scale != 1.0:
+        h = (h.astype(jnp.float32) * cfg.embd_scale).astype(compute_dtype)
 
+    scale = cfg.attn_scale or 1.0 / float(np.sqrt(cfg.hd))
     new_k, new_v = [], []
     for il, lw in enumerate(weights["layers"]):
-        a = rms_norm(h, lw["attn_norm"], cfg.rms_eps)
+        a = _norm(cfg, h, lw["attn_norm"])
         if tap is not None:
             tap(f"blk.{il}.attn_q.weight", a)
             tap(f"blk.{il}.attn_k.weight", a)
             tap(f"blk.{il}.attn_v.weight", a)
-        q = matmul(a, lw["wq"]).reshape(B, T, cfg.n_head, cfg.hd)
-        k = matmul(a, lw["wk"]).reshape(B, T, cfg.n_head_kv, cfg.hd)
-        v = matmul(a, lw["wv"]).reshape(B, T, cfg.n_head_kv, cfg.hd)
+        q = matmul(a, lw["wq"])
+        k = matmul(a, lw["wk"])
+        v = matmul(a, lw["wv"])
+        if cfg.attn_bias:
+            q = q + lw["bq"]
+            k = k + lw["bk"]
+            v = v + lw["bv"]
+        q = q.reshape(B, T, cfg.n_head, cfg.hd)
+        k = k.reshape(B, T, cfg.n_head_kv, cfg.hd)
+        v = v.reshape(B, T, cfg.n_head_kv, cfg.hd)
+        if "attn_q_norm" in lw:  # qwen3-style per-head QK norms
+            q = _norm(cfg, q, lw["attn_q_norm"])
+            k = _norm(cfg, k, lw["attn_k_norm"])
         q = apply_rope(q, positions, rope)
         k = apply_rope(k, positions, rope)  # cache stores rotated K (A.1)
         k_l = _kv_write(kv_cache["k"][il], k, pos_start)
         v_l = _kv_write(kv_cache["v"][il], v, pos_start)
         new_k.append(k_l)
         new_v.append(v_l)
-        attn = _attention(cfg, q, k_l, v_l, pos_start, T).astype(compute_dtype)
+        swa = cfg.swa_window if (cfg.swa_window and (il % cfg.swa_pattern) != cfg.swa_pattern - 1) else 0
+        attn = _attention(
+            cfg, q, k_l, v_l, pos_start, T, swa=swa, scale=scale,
+            logit_softcap=cfg.attn_logit_softcap,
+        ).astype(compute_dtype)
         if tap is not None:
             tap(f"blk.{il}.attn_output.weight", attn)
-        h = h + matmul(attn, lw["wo"]).astype(compute_dtype)
-        f = rms_norm(h, lw["ffn_norm"], cfg.rms_eps)
-        if tap is not None:
-            tap(f"blk.{il}.ffn_gate.weight", f)
-            tap(f"blk.{il}.ffn_up.weight", f)
-        gate = silu(matmul(f, lw["ffn_gate"]).astype(compute_dtype))
-        up = matmul(f, lw["ffn_up"]).astype(compute_dtype)
-        gu = gate * up
-        if tap is not None:
-            tap(f"blk.{il}.ffn_down.weight", gu)
-        h = h + matmul(gu, lw["ffn_down"]).astype(compute_dtype)
+        attn_out = matmul(attn, lw["wo"]).astype(compute_dtype)
+        if cfg.post_norms:
+            attn_out = _norm(cfg, attn_out, lw["post_attn_norm"])
+        h = h + attn_out
+        f = _norm(cfg, h, lw["ffn_norm"])
+        if cfg.n_expert:
+            ffn_out = _moe_ffn(cfg, lw, f, compute_dtype, tap, il)
+        else:
+            if tap is not None:
+                tap(f"blk.{il}.ffn_gate.weight", f)
+                tap(f"blk.{il}.ffn_up.weight", f)
+            gate = _act(cfg, matmul(f, lw["ffn_gate"]).astype(compute_dtype))
+            up = matmul(f, lw["ffn_up"]).astype(compute_dtype)
+            gu = gate * up
+            if tap is not None:
+                tap(f"blk.{il}.ffn_down.weight", gu)
+            ffn_out = matmul(gu, lw["ffn_down"]).astype(compute_dtype)
+        if cfg.post_norms:
+            ffn_out = _norm(cfg, ffn_out, lw["post_ffn_norm"])
+        h = h + ffn_out
 
     kv_cache = {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
-    h = rms_norm(h, weights["output_norm"], cfg.rms_eps)
+    h = _norm(cfg, h, weights["output_norm"])
     if not logits_all:
         if logits_idx is not None:
             idx = jnp.asarray(logits_idx, jnp.int32).reshape(B, 1, 1)
@@ -296,4 +437,6 @@ def forward(
     if tap is not None:
         tap("output.weight", h)
     logits = matmul(h, weights["output"])
+    if cfg.final_logit_softcap:
+        logits = jnp.tanh(logits / cfg.final_logit_softcap) * cfg.final_logit_softcap
     return logits.astype(jnp.float32), kv_cache

@@ -1,0 +1,111 @@
+"""Architecture registry — per-arch config construction from GGUF metadata.
+
+The analog of the reference's llama_arch registry (src/llama-arch.cpp: 64
+architectures with per-arch KV keys and tensor-name tables).  Each entry
+maps GGUF metadata to the feature-flagged LlamaConfig that drives forward()
+(the variation points of the llm_build_* builders).
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+from .llama import LlamaConfig
+
+
+def _base(md: dict, arch: str, **overrides) -> LlamaConfig:
+    g = lambda k, d=None: md.get(f"{arch}.{k}", d)
+    n_head = int(g("attention.head_count"))
+    scaling = g("rope.scaling.type", "none") or "none"
+    freq_scale = 1.0
+    ext_factor = 0.0
+    if scaling in ("linear", "yarn") and g("rope.scaling.factor"):
+        freq_scale = 1.0 / float(g("rope.scaling.factor"))
+        if scaling == "yarn":
+            ext_factor = 1.0
+    n_vocab = md.get(f"{arch}.vocab_size") or len(md.get("tokenizer.ggml.tokens", [])) or 32000
+    kw = dict(
+        n_vocab=int(n_vocab),
+        n_embd=int(g("embedding_length")),
+        n_layer=int(g("block_count")),
+        n_head=n_head,
+        n_head_kv=int(g("attention.head_count_kv", n_head)),
+        n_ff=int(g("feed_forward_length")),
+        rms_eps=float(g("attention.layer_norm_rms_epsilon", 1e-5)),
+        rope_theta=float(g("rope.freq_base", 10000.0)),
+        rope_freq_scale=freq_scale,
+        rope_ext_factor=ext_factor,
+        n_ctx_train=int(g("context_length", 2048)),
+        head_dim=int(g("attention.key_length", 0)),
+        n_expert=int(g("expert_count", 0)),
+        n_expert_used=int(g("expert_used_count", 0)),
+        arch=arch,
+    )
+    kw.update(overrides)
+    return LlamaConfig(**kw)
+
+
+def _llama(md):
+    return _base(md, "llama")
+
+
+def _qwen2(md):
+    return _base(md, "qwen2", attn_bias=True, rope_mode="neox")
+
+
+def _qwen2moe(md):
+    return _base(md, "qwen2moe", attn_bias=True, rope_mode="neox",
+                 norm_topk_prob=False)
+
+
+def _gemma(md):
+    # note: GGUF gemma norms are stored as (w+1) by conversion, so runtime
+    # uses plain RMSNorm (convert_hf_to_gguf GemmaModel.modify_tensors)
+    cfg = _base(md, "gemma", rope_mode="neox", act="gelu")
+    return LlamaConfig(**{**cfg.__dict__, "embd_scale": math.sqrt(cfg.n_embd)})
+
+
+def _gemma2(md):
+    g = lambda k, d=None: md.get(f"gemma2.{k}", d)
+    cfg = _base(
+        md, "gemma2", rope_mode="neox", act="gelu",
+        post_norms=True,
+        attn_logit_softcap=float(g("attn_logit_softcapping", 50.0)),
+        final_logit_softcap=float(g("final_logit_softcapping", 30.0)),
+        swa_window=int(g("attention.sliding_window", 4096)),
+        swa_pattern=2,  # every other layer is SWA
+    )
+    return LlamaConfig(**{**cfg.__dict__, "embd_scale": math.sqrt(cfg.n_embd)})
+
+
+def _mixtral_or_llama(md):
+    # llama arch with expert_count > 0 == mixtral-style MoE
+    return _base(md, "llama")
+
+
+def _phi3(md):
+    return _base(md, "phi3", rope_mode="neox")
+
+
+def _mistral(md):
+    return _base(md, "llama")
+
+
+ARCHS: dict[str, Callable[[dict], LlamaConfig]] = {
+    "llama": _mixtral_or_llama,
+    "mistral": _mistral,
+    "qwen2": _qwen2,
+    "qwen2moe": _qwen2moe,
+    "gemma": _gemma,
+    "gemma2": _gemma2,
+    "phi3": _phi3,
+}
+
+
+def config_from_gguf(md: dict) -> LlamaConfig:
+    arch = md.get("general.architecture", "llama")
+    if arch not in ARCHS:
+        raise NotImplementedError(
+            f"architecture {arch!r} not yet supported; available: {sorted(ARCHS)}"
+        )
+    return ARCHS[arch](md)

@@ -1,0 +1,105 @@
+"""Multi-architecture differential tests vs HuggingFace transformers.
+
+One test per supported architecture family: convert a tiny random HF model
+to GGUF (f32), load it, and require near-identical prefill logits.  This is
+the analog of the reference's per-arch llm_build_* coverage.
+"""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from ggml_hexagon_tpu.gguf import GGUFReader
+from ggml_hexagon_tpu.models.convert_hf import convert_hf_llama
+from ggml_hexagon_tpu.models.llama import forward, init_kv_cache, load_llama_weights
+from ggml_hexagon_tpu.quant.formats import GGMLType
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+def run_arch(hf_model, tmp_path, name, rtol=2e-3):
+    sd = {k: v.detach().numpy() for k, v in hf_model.state_dict().items()}
+    path = str(tmp_path / f"{name}.gguf")
+    convert_hf_llama(sd, hf_model.config, path, qtype=GGMLType.F32)
+    with GGUFReader.open(path) as r:
+        cfg, weights = load_llama_weights(r, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, hf_model.config.vocab_size, size=(2, 9))
+    with torch.no_grad():
+        ref = hf_model(torch.tensor(ids)).logits.numpy()
+    kv = init_kv_cache(cfg, 2, 16, dtype=jnp.float32)
+    logits, _ = forward(cfg, weights, jnp.asarray(ids, jnp.int32), kv, 0,
+                        logits_all=True, compute_dtype=jnp.float32)
+    ours = np.asarray(logits)
+    err = np.abs(ours - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < rtol, f"{name}: max rel err {err}"
+    return cfg
+
+
+def test_qwen2(tmp_path):
+    cfg = transformers.Qwen2Config(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, tie_word_embeddings=False)
+    torch.manual_seed(0)
+    m = transformers.Qwen2ForCausalLM(cfg).eval()
+    out = run_arch(m, tmp_path, "qwen2")
+    assert out.attn_bias and out.rope_mode == "neox"
+
+
+def test_gemma(tmp_path):
+    cfg = transformers.GemmaConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=64, max_position_embeddings=128,
+        hidden_act="gelu_pytorch_tanh", hidden_activation="gelu_pytorch_tanh")
+    torch.manual_seed(1)
+    m = transformers.GemmaForCausalLM(cfg).eval()
+    out = run_arch(m, tmp_path, "gemma")
+    assert out.act == "gelu" and out.embd_scale > 1.0
+
+
+def test_gemma2(tmp_path):
+    cfg = transformers.Gemma2Config(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=64, max_position_embeddings=128, sliding_window=8,
+        attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+        query_pre_attn_scalar=64,
+        hidden_act="gelu_pytorch_tanh", hidden_activation="gelu_pytorch_tanh")
+    torch.manual_seed(2)
+    m = transformers.Gemma2ForCausalLM(cfg).eval()
+    out = run_arch(m, tmp_path, "gemma2")
+    assert out.post_norms and out.final_logit_softcap == 30.0
+
+
+def test_mixtral_moe(tmp_path):
+    cfg = transformers.MixtralConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=128, tie_word_embeddings=False)
+    torch.manual_seed(3)
+    m = transformers.MixtralForCausalLM(cfg).eval()
+    out = run_arch(m, tmp_path, "mixtral")
+    assert out.n_expert == 4 and out.n_expert_used == 2
+
+
+def test_mixtral_quantized_generates(tmp_path):
+    """MoE with quantized expert stacks decodes end-to-end."""
+    from ggml_hexagon_tpu.runtime import Engine, greedy_chain
+
+    cfg = transformers.MixtralConfig(
+        vocab_size=300, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=128, tie_word_embeddings=False)
+    torch.manual_seed(4)
+    m = transformers.MixtralForCausalLM(cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    path = str(tmp_path / "mixtral_q.gguf")
+    convert_hf_llama(sd, m.config, path, qtype=GGMLType.Q4_K)
+    eng = Engine.from_gguf(path, max_seq=64)
+    toks = list(eng.generate([1, 5, 9], n_predict=6, sampler=greedy_chain(), stop_ids=set()))
+    assert len(toks) == 6
+    assert all(0 <= t < 300 for t in toks)
