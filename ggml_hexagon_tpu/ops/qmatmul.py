@@ -56,6 +56,10 @@ def _dequant_expr(qt: QTensor, dtype):
         q = _unpack_plane(qt.q, cfg.bits_lo)
         if cfg.bits_hi:
             q = q + (_unpack_plane(qt.qh, cfg.bits_hi) << cfg.bits_lo)
+        if cfg.lut:
+            from ..quant.iquants import KVALUES_IQ4NL
+
+            q = jnp.take(jnp.asarray(KVALUES_IQ4NL, jnp.int32), q)
         q = q.astype(jnp.float32)
     if cfg.superblock:
         scale_g = jnp.repeat(qt.d, 256 // cfg.gs, axis=1) * qt.sc.astype(jnp.float32)

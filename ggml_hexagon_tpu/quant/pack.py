@@ -55,6 +55,8 @@ class QConfig:
     asym: str  # 'none' | 'min' (direct f16 m) | 'minsb' (dmin*m6)
     offset: int  # symmetric zero offset: x = scale*(q + offset)
     signed: bool = False  # q plane stored as signed int8 (Q8_0)
+    lut: bool = False  # 4-bit codes index the IQ4 non-linear value table
+    expand: bool = False  # codebook/ternary: expanded to int8+scale at load
 
 
 QCONFIGS: dict[GGMLType, QConfig] = {
@@ -68,6 +70,21 @@ QCONFIGS: dict[GGMLType, QConfig] = {
     GGMLType.Q4_K: QConfig(GGMLType.Q4_K, 4, 0, 32, True, "minsb", 0),
     GGMLType.Q5_K: QConfig(GGMLType.Q5_K, 4, 1, 32, True, "minsb", 0),
     GGMLType.Q6_K: QConfig(GGMLType.Q6_K, 4, 2, 16, True, "none", -32),
+    # IQ4: 4-bit codes through the non-linear LUT (kvalues_iq4nl)
+    GGMLType.IQ4_NL: QConfig(GGMLType.IQ4_NL, 4, 0, 32, False, "none", 0, lut=True),
+    GGMLType.IQ4_XS: QConfig(GGMLType.IQ4_XS, 4, 0, 32, True, "none", 0, lut=True),
+    # codebook / ternary formats: expanded at load time to an exact
+    # (int8 value, f32 group scale) decomposition — correctness-first; an
+    # in-kernel grid-gather layout is a planned bandwidth optimization
+    GGMLType.IQ2_XXS: QConfig(GGMLType.IQ2_XXS, 8, 0, 32, False, "none", 0, signed=True, expand=True),
+    GGMLType.IQ2_XS: QConfig(GGMLType.IQ2_XS, 8, 0, 16, False, "none", 0, signed=True, expand=True),
+    GGMLType.IQ2_S: QConfig(GGMLType.IQ2_S, 8, 0, 16, False, "none", 0, signed=True, expand=True),
+    GGMLType.IQ3_XXS: QConfig(GGMLType.IQ3_XXS, 8, 0, 32, False, "none", 0, signed=True, expand=True),
+    GGMLType.IQ3_S: QConfig(GGMLType.IQ3_S, 8, 0, 32, False, "none", 0, signed=True, expand=True),
+    GGMLType.IQ1_S: QConfig(GGMLType.IQ1_S, 8, 0, 32, False, "none", 0, signed=True, expand=True),
+    GGMLType.IQ1_M: QConfig(GGMLType.IQ1_M, 8, 0, 16, False, "none", 0, signed=True, expand=True),
+    GGMLType.TQ1_0: QConfig(GGMLType.TQ1_0, 8, 0, 256, False, "none", 0, signed=True, expand=True),
+    GGMLType.TQ2_0: QConfig(GGMLType.TQ2_0, 8, 0, 256, False, "none", 0, signed=True, expand=True),
 }
 
 
@@ -270,6 +287,32 @@ def _wire_to_planes(buf: np.ndarray, qtype: GGMLType, N: int, K: int) -> dict:
                 # q3 = lo2 | (hbit<<2): value = q3 - 4 (offset folded in cfg)
                 q[:, h, j] = lo2 | (hb << 2)
         return dict(q=q.reshape(N, K), d=d.reshape(N, K // 256), sc=sc6.reshape(N, K // 16))
+    if qtype == GGMLType.IQ4_NL:
+        b = buf.reshape(N, K // 32, 18)
+        d = b[:, :, :2].copy().view("<f2").reshape(N, K // 32)
+        qs = b[:, :, 2:]
+        q = np.concatenate([qs & 0xF, qs >> 4], axis=2).reshape(N, K)
+        return dict(q=q, d=d)
+    if qtype == GGMLType.IQ4_XS:
+        ts4 = TYPE_TRAITS[GGMLType.IQ4_XS].type_size
+        b = buf.reshape(N * K // QK_K, ts4)
+        nb = b.shape[0]
+        d = b[:, 0:2].copy().view("<f2").reshape(nb)
+        scales_h = b[:, 2:4].copy().view("<u2").reshape(nb).astype(np.uint32)
+        scales_l = b[:, 4:8]
+        ib = np.arange(8)
+        ls = ((scales_l[:, ib // 2] >> (4 * (ib % 2))) & 0xF) | (
+            ((scales_h[:, None] >> (2 * ib)) & 3) << 4
+        )
+        sc = (ls.astype(np.int32) - 32).astype(np.int8)  # per-32 sub-scales
+        qs = b[:, 8:].reshape(nb, 8, 16)
+        q = np.concatenate([qs & 0xF, qs >> 4], axis=2).reshape(N, K)
+        # repeat per-32 scale to per-32 layout [N, K//32] with d per 256
+        return dict(
+            q=q,
+            d=d.reshape(N, K // 256),
+            sc=sc.reshape(N, K // 32),
+        )
     raise NotImplementedError(f"pack: {qtype.name}")
 
 
@@ -281,6 +324,20 @@ def pack_tensor(
     N, K = shape
     assert K % 256 == 0, f"K={K} must be a multiple of 256 (chunk size)"
     assert wire.size == row_size(qtype, K) * N, (wire.size, qtype, shape)
+    if cfg.expand:
+        from .iquants import expand_to_planes
+
+        q8, scale = expand_to_planes(np.ascontiguousarray(wire, np.uint8), qtype, N, K)
+
+        def padn(a, fill=0):
+            npad = (N + n_align - 1) // n_align * n_align
+            if npad == N:
+                return a
+            out = np.full((npad,) + a.shape[1:], fill, dtype=a.dtype)
+            out[:N] = a
+            return out
+
+        return QTensor(cfg=cfg, n=N, k=K, q=padn(q8), d=padn(scale))
     planes = _wire_to_planes(np.ascontiguousarray(wire, np.uint8), qtype, N, K)
 
     q_int = planes["q"]
@@ -336,6 +393,10 @@ def dequantize_planes_numpy(qt: QTensor) -> np.ndarray:
         q = unpack_bits(np.asarray(qt.q), cfg.bits_lo, K).astype(np.int32)
         if cfg.bits_hi:
             q |= unpack_bits(np.asarray(qt.qh), cfg.bits_hi, K).astype(np.int32) << cfg.bits_lo
+        if cfg.lut:
+            from .iquants import KVALUES_IQ4NL
+
+            q = KVALUES_IQ4NL[q].astype(np.int32)
     d = np.asarray(qt.d).astype(np.float32)
     if cfg.superblock:
         scale = np.repeat(d, 256 // cfg.gs, axis=1) * np.asarray(qt.sc).astype(np.float32)

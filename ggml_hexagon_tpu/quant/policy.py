@@ -134,7 +134,11 @@ def quantize_model(
             qw = np.tile(
                 np.asarray(imatrix[name], np.float32), data.size // data.shape[-1]
             )
-        packed = ref_numpy.quantize(data.reshape(-1), ttype, quant_weights=qw)
+        from .. import native
+
+        packed = native.quantize_native(data.reshape(-1), int(ttype), quant_weights=qw)
+        if packed is None:
+            packed = ref_numpy.quantize(data.reshape(-1), ttype, quant_weights=qw)
         w.add_tensor(name, packed, ttype, raw_ne=info.ne)
         if progress:
             progress(name, ttype)

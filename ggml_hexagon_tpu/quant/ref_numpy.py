@@ -306,10 +306,10 @@ def make_qkx2_quants(
     iscale = nmax / rng
     scale = 1.0 / iscale
 
-    def quant_at(isc):
-        return np.clip(_nearest_int(isc[:, None] * (x - mn[:, None])), 0, nmax)
+    def quant_at(isc, base):
+        return np.clip(_nearest_int(isc[:, None] * (x - base[:, None])), 0, nmax)
 
-    L = quant_at(iscale)
+    L = quant_at(iscale, mn)
     diff0 = scale[:, None] * L + mn[:, None] - x
     diff0 = np.abs(diff0) if use_mad else diff0 * diff0
     best_mad = (weights * diff0).sum(axis=1)
@@ -317,11 +317,13 @@ def make_qkx2_quants(
 
     for is_ in range(nstep + 1):
         isc = (rmin + rdelta * is_ + nmax) / rng
-        laux = quant_at(isc)
-        lf = laux.astype(np.float64)
-        sum_l = (weights * lf).sum(axis=1)
-        sum_l2 = (weights * lf * lf).sum(axis=1)
-        sum_xl = (weights * lf * x).sum(axis=1)
+        # the reference quantizes candidates against the RUNNING min
+        # (updated on acceptance), not the original block min
+        laux = quant_at(isc, cur_min)
+        lf = laux.astype(np.float32)
+        sum_l = (weights * lf).sum(axis=1, dtype=np.float32)
+        sum_l2 = (weights * lf * lf).sum(axis=1, dtype=np.float32)
+        sum_xl = (weights * lf * x).sum(axis=1, dtype=np.float32)
         D = sum_w * sum_l2 - sum_l * sum_l
         with np.errstate(divide="ignore", invalid="ignore"):
             this_scale = (sum_w * sum_xl - sum_x * sum_l) / D
@@ -892,6 +894,11 @@ DEQUANTIZE = {
     GGMLType.Q6_K: dequantize_q6_K,
     GGMLType.Q8_K: dequantize_q8_K,
 }
+
+from .iquants import DEQUANT_IQ, QUANT_IQ  # noqa: E402  (circular-safe)
+
+DEQUANTIZE.update(DEQUANT_IQ)
+QUANTIZE.update(QUANT_IQ)
 
 # imatrix-aware encoders (quant_weights kwarg supported)
 QUANTIZE_IMATRIX = {
