@@ -196,6 +196,21 @@ def load_llama_weights(reader, dtype=jnp.bfloat16, device: bool = True) -> tuple
     return cfg, weights
 
 
+def matmul_lora(x, w, lora, **kw):
+    """build_lora_mm analog: y = W x + scale * B (A x); lora=(A, B, scale)."""
+    y = matmul(x, w, **kw)
+    if lora is not None:
+        a, b, scale = lora
+        down = jax.lax.dot_general(
+            x.astype(a.dtype), a, (((x.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        up = jax.lax.dot_general(
+            down.astype(b.dtype), b, (((down.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        y = y + scale * up.astype(y.dtype)
+    return y
+
+
 def matmul(x, w, **kw):
     """Dispatch: QTensor -> fused dequant matmul; dense array -> dot."""
     if isinstance(w, QTensor):
@@ -227,9 +242,40 @@ def embed(tok_embd, ids, dtype=jnp.bfloat16):
     return tok_embd[ids].astype(dtype)
 
 
+KV_GROUP = 32  # Q8_0 quantized-KV group size along head_dim
+
+
 def init_kv_cache(cfg: LlamaConfig, batch: int, max_seq: int, dtype=jnp.bfloat16):
+    """KV cache.  dtype may be a jnp dtype or the string "q8_0" for a
+    quantized cache (int8 values + f32 per-32-group scales along head_dim —
+    the analog of llama.cpp's type_k/type_v=Q8_0 cache, llama-kv-cache.h:188).
+    """
     shape = (cfg.n_layer, batch, max_seq, cfg.n_head_kv, cfg.hd)
+    if dtype == "q8_0":
+        assert cfg.hd % KV_GROUP == 0, f"head_dim {cfg.hd} % {KV_GROUP}"
+        sshape = shape[:-1] + (cfg.hd // KV_GROUP,)
+        return {
+            "k": jnp.zeros(shape, jnp.int8), "k_d": jnp.zeros(sshape, jnp.float32),
+            "v": jnp.zeros(shape, jnp.int8), "v_d": jnp.zeros(sshape, jnp.float32),
+        }
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def _kv_quantize(x):
+    """[..., D] f32 -> (int8 values, f32 scales [... , D/32]), Q8_0 style."""
+    xf = x.astype(jnp.float32)
+    g = xf.reshape(*xf.shape[:-1], xf.shape[-1] // KV_GROUP, KV_GROUP)
+    amax = jnp.max(jnp.abs(g), axis=-1)
+    d = amax / 127.0
+    inv = jnp.where(d > 0, 1.0 / jnp.where(d == 0, 1.0, d), 0.0)
+    q = jnp.clip(jnp.round(g * inv[..., None]), -127, 127).astype(jnp.int8)
+    return q.reshape(x.shape), d
+
+
+def _kv_dequant(q, d, dtype):
+    g = q.astype(jnp.float32).reshape(*q.shape[:-1], q.shape[-1] // KV_GROUP, KV_GROUP)
+    x = g * d[..., None]
+    return x.reshape(q.shape).astype(dtype)
 
 
 def _attention(cfg: LlamaConfig, q, k_all, v_all, pos_start, T, swa: int = 0,
@@ -379,9 +425,9 @@ def forward(
             tap(f"blk.{il}.attn_q.weight", a)
             tap(f"blk.{il}.attn_k.weight", a)
             tap(f"blk.{il}.attn_v.weight", a)
-        q = matmul(a, lw["wq"])
-        k = matmul(a, lw["wk"])
-        v = matmul(a, lw["wv"])
+        q = matmul_lora(a, lw["wq"], lw.get("wq_lora"))
+        k = matmul_lora(a, lw["wk"], lw.get("wk_lora"))
+        v = matmul_lora(a, lw["wv"], lw.get("wv_lora"))
         if cfg.attn_bias:
             q = q + lw["bq"]
             k = k + lw["bk"]
@@ -394,18 +440,32 @@ def forward(
             k = _norm(cfg, k, lw["attn_k_norm"])
         q = apply_rope(q, positions, rope)
         k = apply_rope(k, positions, rope)  # cache stores rotated K (A.1)
-        k_l = _kv_write(kv_cache["k"][il], k, pos_start)
-        v_l = _kv_write(kv_cache["v"][il], v, pos_start)
-        new_k.append(k_l)
-        new_v.append(v_l)
+        quant_kv = "k_d" in kv_cache
+        if quant_kv:
+            kq, kd = _kv_quantize(k)
+            vq, vd = _kv_quantize(v)
+            k_l = _kv_write(kv_cache["k"][il], kq, pos_start)
+            v_l = _kv_write(kv_cache["v"][il], vq, pos_start)
+            kd_l = _kv_write(kv_cache["k_d"][il], kd, pos_start)
+            vd_l = _kv_write(kv_cache["v_d"][il], vd, pos_start)
+            new_k.append((k_l, kd_l))
+            new_v.append((v_l, vd_l))
+            k_full = _kv_dequant(k_l, kd_l, compute_dtype)
+            v_full = _kv_dequant(v_l, vd_l, compute_dtype)
+        else:
+            k_l = _kv_write(kv_cache["k"][il], k, pos_start)
+            v_l = _kv_write(kv_cache["v"][il], v, pos_start)
+            new_k.append(k_l)
+            new_v.append(v_l)
+            k_full, v_full = k_l, v_l
         swa = cfg.swa_window if (cfg.swa_window and (il % cfg.swa_pattern) != cfg.swa_pattern - 1) else 0
         attn = _attention(
-            cfg, q, k_l, v_l, pos_start, T, swa=swa, scale=scale,
+            cfg, q, k_full, v_full, pos_start, T, swa=swa, scale=scale,
             logit_softcap=cfg.attn_logit_softcap,
         ).astype(compute_dtype)
         if tap is not None:
             tap(f"blk.{il}.attn_output.weight", attn)
-        attn_out = matmul(attn, lw["wo"]).astype(compute_dtype)
+        attn_out = matmul_lora(attn, lw["wo"], lw.get("wo_lora")).astype(compute_dtype)
         if cfg.post_norms:
             attn_out = _norm(cfg, attn_out, lw["post_attn_norm"])
         h = h + attn_out
@@ -416,17 +476,25 @@ def forward(
             if tap is not None:
                 tap(f"blk.{il}.ffn_gate.weight", f)
                 tap(f"blk.{il}.ffn_up.weight", f)
-            gate = _act(cfg, matmul(f, lw["ffn_gate"]).astype(compute_dtype))
-            up = matmul(f, lw["ffn_up"]).astype(compute_dtype)
+            gate = _act(cfg, matmul_lora(f, lw["ffn_gate"], lw.get("ffn_gate_lora")).astype(compute_dtype))
+            up = matmul_lora(f, lw["ffn_up"], lw.get("ffn_up_lora")).astype(compute_dtype)
             gu = gate * up
             if tap is not None:
                 tap(f"blk.{il}.ffn_down.weight", gu)
-            ffn_out = matmul(gu, lw["ffn_down"]).astype(compute_dtype)
+            ffn_out = matmul_lora(gu, lw["ffn_down"], lw.get("ffn_down_lora")).astype(compute_dtype)
         if cfg.post_norms:
             ffn_out = _norm(cfg, ffn_out, lw["post_ffn_norm"])
         h = h + ffn_out
 
-    kv_cache = {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
+    if new_k and isinstance(new_k[0], tuple):
+        kv_cache = {
+            "k": jnp.stack([a for a, _ in new_k]),
+            "k_d": jnp.stack([b for _, b in new_k]),
+            "v": jnp.stack([a for a, _ in new_v]),
+            "v_d": jnp.stack([b for _, b in new_v]),
+        }
+    else:
+        kv_cache = {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
     h = _norm(cfg, h, weights["output_norm"])
     if not logits_all:
         if logits_idx is not None:
@@ -436,7 +504,7 @@ def forward(
             h = h[:, -1, :]
     if tap is not None:
         tap("output.weight", h)
-    logits = matmul(h, weights["output"])
+    logits = matmul_lora(h, weights["output"], weights.get("output_lora"))
     if cfg.final_logit_softcap:
         logits = jnp.tanh(logits / cfg.final_logit_softcap) * cfg.final_logit_softcap
     return logits.astype(jnp.float32), kv_cache

@@ -1,0 +1,101 @@
+"""LoRA adapters — applied at matmul time, base weights untouched.
+
+Mirrors the reference's adapter design (src/llama-adapter.cpp: ab_map of
+name -> (A, B) pairs applied inside build_lora_mm): y = W x + scale * B(A x)
+with scale = alpha / r.  Adapter files use the GGUF LoRA convention
+(convert_lora_to_gguf.py output: <tensor>.lora_a / <tensor>.lora_b +
+adapter.lora.alpha metadata).
+"""
+from __future__ import annotations
+
+import re
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..gguf.reader import GGUFReader
+
+
+class LoraAdapter:
+    def __init__(self, ab_map: dict, alpha: float, scale: float = 1.0):
+        self.ab_map = ab_map  # gguf tensor name -> (A [r, K], B [N, r])
+        self.alpha = alpha
+        self.scale = scale
+
+    @property
+    def names(self):
+        return sorted(self.ab_map)
+
+    @classmethod
+    def from_gguf(cls, path: str, scale: float = 1.0, dtype=jnp.float32) -> "LoraAdapter":
+        with GGUFReader.open(path) as r:
+            alpha = float(r.metadata.get("adapter.lora.alpha", 16.0))
+            pairs: dict[str, dict] = {}
+            for name in r.tensors:
+                m = re.match(r"(.*)\.lora_([ab])$", name)
+                if not m:
+                    continue
+                base, which = m.groups()
+                pairs.setdefault(base, {})[which] = jnp.asarray(
+                    r.tensor_f32(name), dtype=dtype
+                )
+        ab = {}
+        for base, d in pairs.items():
+            if "a" in d and "b" in d:
+                ab[base] = (d["a"], d["b"])
+        return cls(ab, alpha, scale)
+
+    def effective_scale(self, base: str) -> float:
+        a, _ = self.ab_map[base]
+        r = a.shape[0]
+        return self.scale * self.alpha / r
+
+
+# weight-dict key -> gguf tensor base name (per layer)
+_KEY_TO_NAME = {
+    "wq": "attn_q.weight", "wk": "attn_k.weight", "wv": "attn_v.weight",
+    "wo": "attn_output.weight", "ffn_gate": "ffn_gate.weight",
+    "ffn_up": "ffn_up.weight", "ffn_down": "ffn_down.weight",
+}
+
+
+def attach_lora(weights: dict, adapter: LoraAdapter) -> dict:
+    """Return a weights dict with lora pairs attached (base planes shared)."""
+    out = dict(weights)
+    out["layers"] = []
+    n_attached = 0
+    for il, lw in enumerate(weights["layers"]):
+        new_lw = dict(lw)
+        for key, suffix in _KEY_TO_NAME.items():
+            base = f"blk.{il}.{suffix}"[: -len(".weight")] + ".weight"
+            base = f"blk.{il}.{suffix}"
+            if base in adapter.ab_map:
+                a, b = adapter.ab_map[base]
+                new_lw[key + "_lora"] = (a, b, adapter.effective_scale(base))
+                n_attached += 1
+        out["layers"].append(new_lw)
+    if "output.weight" in adapter.ab_map:
+        a, b = adapter.ab_map["output.weight"]
+        out["output_lora"] = (a, b, adapter.effective_scale("output.weight"))
+        n_attached += 1
+    if n_attached == 0:
+        raise ValueError(
+            f"no adapter tensors matched the model; adapter has {adapter.names[:4]}..."
+        )
+    return out
+
+
+def write_lora_gguf(path: str, ab_map: dict, alpha: float = 16.0):
+    """Write an adapter file (test fixtures / export-lora analog)."""
+    from ..gguf.writer import GGUFWriter
+
+    w = GGUFWriter()
+    w.add("general.architecture", "llama")
+    w.add("general.type", "adapter")
+    w.add("adapter.type", "lora")
+    w.add("adapter.lora.alpha", float(alpha))
+    for base, (a, b) in ab_map.items():
+        w.add_tensor(f"{base}.lora_a", np.asarray(a, np.float32))
+        w.add_tensor(f"{base}.lora_b", np.asarray(b, np.float32))
+    w.write_file(path)
+    return path

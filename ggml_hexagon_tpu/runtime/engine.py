@@ -112,6 +112,12 @@ class Engine:
             self.cached_tokens[:n_keep] + self.cached_tokens[n_keep + n_discard :]
         )
 
+    def apply_lora(self, path: str, scale: float = 1.0):
+        """Attach a LoRA adapter GGUF (runtime apply; base weights shared)."""
+        from ..models.lora import LoraAdapter, attach_lora
+
+        self.weights = attach_lora(self.weights, LoraAdapter.from_gguf(path, scale))
+
     def save_state(self, path):
         from .kv_ops import save_state
 

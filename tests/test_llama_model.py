@@ -123,3 +123,30 @@ def test_quantized_model_close(tiny_hf_model, tmp_path):
     c = np.corrcoef(ours.reshape(-1), ref.reshape(-1))[0, 1]
     assert c > 0.999, f"corr {c}"
     assert np.argmax(ours[0, -1]) == np.argmax(ref[0, -1])
+
+
+def test_quantized_kv_cache_close_to_f32(tiny_hf_model, our_model):
+    """Q8_0 KV cache: logits stay within quantization noise of the exact
+    cache (the reference's type_k/type_v=Q8_0 capability)."""
+    import jax.numpy as jnp
+    from ggml_hexagon_tpu.models.llama import forward, init_kv_cache
+
+    model, _ = tiny_hf_model
+    cfg, weights = our_model
+    rng = np.random.default_rng(5)
+    ids = rng.integers(0, 512, size=(1, 12))
+    ref, _ = forward(cfg, weights, jnp.asarray(ids, jnp.int32),
+                     init_kv_cache(cfg, 1, 16, jnp.float32), 0,
+                     logits_all=True, compute_dtype=jnp.float32)
+    qkv = init_kv_cache(cfg, 1, 16, "q8_0")
+    out, new_kv = forward(cfg, weights, jnp.asarray(ids, jnp.int32), qkv, 0,
+                          logits_all=True, compute_dtype=jnp.float32)
+    assert set(new_kv) == {"k", "k_d", "v", "v_d"}
+    a, b = np.asarray(out), np.asarray(ref)
+    assert np.corrcoef(a.reshape(-1), b.reshape(-1))[0, 1] > 0.9999
+    # prefill+decode equivalence with quantized cache
+    _, kv = forward(cfg, weights, jnp.asarray(ids[:, :8], jnp.int32),
+                    init_kv_cache(cfg, 1, 16, "q8_0"), 0, compute_dtype=jnp.float32)
+    step, _ = forward(cfg, weights, jnp.asarray(ids[:, 8:9], jnp.int32), kv, 8,
+                      compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(step), a[:, 8], rtol=2e-2, atol=2e-2)
