@@ -278,6 +278,9 @@ def _kv_dequant(q, d, dtype):
     return x.reshape(q.shape).astype(dtype)
 
 
+FLASH_THRESHOLD = 2048  # cache sizes past this use the memory-linear path
+
+
 def _attention(cfg: LlamaConfig, q, k_all, v_all, pos_start, T, swa: int = 0,
                scale: float = 0.0, logit_softcap: float = 0.0):
     """GQA attention over the cache prefix.
@@ -293,6 +296,17 @@ def _attention(cfg: LlamaConfig, q, k_all, v_all, pos_start, T, swa: int = 0,
     qg = q.transpose(0, 2, 1, 3).reshape(B, cfg.n_head_kv, group, T, hd)
     k = k_all.transpose(0, 2, 1, 3)  # [B, n_kv, S, hd]
     v = v_all.transpose(0, 2, 1, 3)
+    if S >= FLASH_THRESHOLD and S % 512 == 0:
+        from ..ops.attention import flash_attention_cache
+
+        out = flash_attention_cache(
+            qg, k, v, pos_start, T, scale or 1.0 / float(np.sqrt(hd)),
+            swa=swa, logit_cap=logit_softcap,
+        )
+        return (
+            out.reshape(B, n_head, T, hd).transpose(0, 2, 1, 3)
+            .reshape(B, T, n_head * hd)
+        )
     scores = jnp.einsum("bhgtd,bhsd->bhgts", qg, k, preferred_element_type=jnp.float32)
     s_idx = jax.lax.broadcasted_iota(jnp.int32, (T, S), 1)[None]
     t_idx = jax.lax.broadcasted_iota(jnp.int32, (T, S), 0)[None]

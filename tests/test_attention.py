@@ -1,0 +1,83 @@
+"""Flash attention conformance vs the dense oracle."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ggml_hexagon_tpu.ops.attention import (
+    dense_attention,
+    flash_attention_pallas,
+    flash_attention_scan,
+)
+
+
+@pytest.fixture(scope="module")
+def qkv(rng=None):
+    r = np.random.default_rng(0)
+    B, H, T, S, D = 2, 4, 16, 512, 64
+    q = jnp.asarray(r.normal(size=(B, H, T, D)).astype(np.float32))
+    k = jnp.asarray(r.normal(size=(B, H, S, D)).astype(np.float32))
+    v = jnp.asarray(r.normal(size=(B, H, S, D)).astype(np.float32))
+    # causal-ish mask with some fully-masked tail (like padded cache slots)
+    t_idx = np.arange(T)[:, None]
+    s_idx = np.arange(S)[None, :]
+    mask = np.where(s_idx <= (S - T + t_idx) , 0.0, -1e30).astype(np.float32)
+    mask[:, -64:] = -1e30  # trailing dead slots
+    return q, k, v, jnp.asarray(mask)[None, None], 1.0 / np.sqrt(D)
+
+
+def test_scan_matches_dense(qkv):
+    q, k, v, mask, scale = qkv
+    ref = dense_attention(q, k, v, mask, scale)
+    out = flash_attention_scan(q, k, v, mask, scale, chunk=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_scan_chunk_invariance(qkv):
+    q, k, v, mask, scale = qkv
+    a = flash_attention_scan(q, k, v, mask, scale, chunk=64)
+    b = flash_attention_scan(q, k, v, mask, scale, chunk=512)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
+
+
+def test_pallas_matches_dense_interpret(qkv):
+    q, k, v, mask, scale = qkv
+    ref = dense_attention(q, k, v, mask, scale)
+    out = flash_attention_pallas(q, k, v, mask, scale, chunk=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_model_flash_path_matches_dense():
+    """forward() flash gate (S >= threshold) must match the dense path."""
+    import ggml_hexagon_tpu.models.llama as L
+    from ggml_hexagon_tpu.models.llama import LlamaConfig, forward, init_kv_cache
+    from ggml_hexagon_tpu.quant.formats import GGMLType
+    from ggml_hexagon_tpu.quant.pack import quantize_tensor
+
+    cfg = LlamaConfig(n_vocab=128, n_embd=256, n_layer=1, n_head=4, n_head_kv=2, n_ff=512)
+    r = np.random.default_rng(0)
+    def qt(n, k):
+        return quantize_tensor(r.normal(size=(n, k)).astype(np.float32) * 0.05,
+                               GGMLType.Q8_0).astype_device()
+    weights = {
+        "tok_embd": jnp.asarray(r.normal(size=(128, 256)).astype(np.float32) * 0.05),
+        "output_norm": jnp.ones(256), "output": qt(128, 256),
+        "layers": [{
+            "attn_norm": jnp.ones(256), "wq": qt(256, 256), "wk": qt(128, 256),
+            "wv": qt(128, 256), "wo": qt(256, 256), "ffn_norm": jnp.ones(256),
+            "ffn_gate": qt(512, 256), "ffn_up": qt(512, 256), "ffn_down": qt(256, 512)}],
+    }
+    ids = r.integers(0, 128, size=(1, 24)).astype(np.int32)
+    old = L.FLASH_THRESHOLD
+    try:
+        L.FLASH_THRESHOLD = 10**9
+        ref, _ = forward(cfg, weights, jnp.asarray(ids),
+                         init_kv_cache(cfg, 1, 512, jnp.float32), 0,
+                         logits_all=True, compute_dtype=jnp.float32)
+        L.FLASH_THRESHOLD = 1
+        out, _ = forward(cfg, weights, jnp.asarray(ids),
+                         init_kv_cache(cfg, 1, 512, jnp.float32), 0,
+                         logits_all=True, compute_dtype=jnp.float32)
+    finally:
+        L.FLASH_THRESHOLD = old
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
