@@ -231,7 +231,10 @@ class GGUFReader:
 
     def close(self):
         if self._mm is not None:
-            self._mm.close()
+            try:
+                self._mm.close()
+            except BufferError:
+                pass  # zero-copy views still alive; GC unmaps when they die
             self._mm = None
         self._buf = None
 
