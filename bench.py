@@ -97,6 +97,9 @@ def main():
 
     rng = np.random.default_rng(0)
     cfg, weights = build_8b(rng)
+    from ggml_hexagon_tpu.models.fuse import fuse_weights
+    weights = fuse_weights(weights, cfg)  # fused qkv/gate-up projections
+    log("fused projections: " + str("wqkv" in weights["layers"][0]))
     nbytes = sum(
         x.size * x.dtype.itemsize
         for x in jax.tree.leaves(weights)

@@ -439,9 +439,17 @@ def forward(
             tap(f"blk.{il}.attn_q.weight", a)
             tap(f"blk.{il}.attn_k.weight", a)
             tap(f"blk.{il}.attn_v.weight", a)
-        q = matmul_lora(a, lw["wq"], lw.get("wq_lora"))
-        k = matmul_lora(a, lw["wk"], lw.get("wk_lora"))
-        v = matmul_lora(a, lw["wv"], lw.get("wv_lora"))
+        if "wqkv" in lw:  # fused projection (models/fuse.py)
+            nq = cfg.n_head * cfg.hd
+            nk = nv = cfg.n_head_kv * cfg.hd
+            qkv = matmul(a, lw["wqkv"])
+            q = qkv[..., :nq]
+            k = qkv[..., nq : nq + nk]
+            v = qkv[..., nq + nk :]
+        else:
+            q = matmul_lora(a, lw["wq"], lw.get("wq_lora"))
+            k = matmul_lora(a, lw["wk"], lw.get("wk_lora"))
+            v = matmul_lora(a, lw["wv"], lw.get("wv_lora"))
         if cfg.attn_bias:
             q = q + lw["bq"]
             k = k + lw["bk"]
@@ -490,8 +498,14 @@ def forward(
             if tap is not None:
                 tap(f"blk.{il}.ffn_gate.weight", f)
                 tap(f"blk.{il}.ffn_up.weight", f)
-            gate = _act(cfg, matmul_lora(f, lw["ffn_gate"], lw.get("ffn_gate_lora")).astype(compute_dtype))
-            up = matmul_lora(f, lw["ffn_up"], lw.get("ffn_up_lora")).astype(compute_dtype)
+            if "w_gateup" in lw:
+                gu2 = matmul(f, lw["w_gateup"]).astype(compute_dtype)
+                ng = cfg.n_ff
+                gate = _act(cfg, gu2[..., :ng])
+                up = gu2[..., ng:]
+            else:
+                gate = _act(cfg, matmul_lora(f, lw["ffn_gate"], lw.get("ffn_gate_lora")).astype(compute_dtype))
+                up = matmul_lora(f, lw["ffn_up"], lw.get("ffn_up_lora")).astype(compute_dtype)
             gu = gate * up
             if tap is not None:
                 tap(f"blk.{il}.ffn_down.weight", gu)

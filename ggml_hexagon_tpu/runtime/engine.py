@@ -55,8 +55,13 @@ class Engine:
         batch: int = 1,
         kv_dtype=jnp.bfloat16,
         compute_dtype=jnp.bfloat16,
+        fuse: bool = False,
     ):
         self.cfg = cfg
+        if fuse:
+            from ..models.fuse import fuse_weights
+
+            weights = fuse_weights(weights, cfg)
         self.weights = weights
         self.vocab = vocab
         self.tokenizer = build_tokenizer(vocab) if vocab and vocab.tokens else None

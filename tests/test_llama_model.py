@@ -150,3 +150,30 @@ def test_quantized_kv_cache_close_to_f32(tiny_hf_model, our_model):
     step, _ = forward(cfg, weights, jnp.asarray(ids[:, 8:9], jnp.int32), kv, 8,
                       compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(step), a[:, 8], rtol=2e-2, atol=2e-2)
+
+
+def test_fused_projections_identical(tiny_hf_model, our_model):
+    """fuse_weights (wqkv / w_gateup) must be bit-identical in outputs."""
+    import jax.numpy as jnp
+    from ggml_hexagon_tpu.models.fuse import fuse_weights
+    from ggml_hexagon_tpu.models.llama import forward, init_kv_cache
+    from ggml_hexagon_tpu.models.convert_hf import convert_hf_llama
+    from ggml_hexagon_tpu.models.llama import load_llama_weights
+    import tempfile, os, torch
+
+    model, hf_cfg = tiny_hf_model
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "q.gguf")
+        convert_hf_llama(sd, hf_cfg, p, qtype=GGMLType.Q4_K)
+        with GGUFReader.open(p) as r:
+            cfg, weights = load_llama_weights(r)
+    fused = fuse_weights(weights, cfg)
+    assert "wqkv" in fused["layers"][0] and "w_gateup" in fused["layers"][0]
+    rng = np.random.default_rng(3)
+    ids = rng.integers(0, 512, size=(1, 7))
+    kv = init_kv_cache(cfg, 1, 8)
+    a, _ = forward(cfg, weights, jnp.asarray(ids, jnp.int32), kv, 0, logits_all=True)
+    kv2 = init_kv_cache(cfg, 1, 8)
+    b, _ = forward(cfg, fused, jnp.asarray(ids, jnp.int32), kv2, 0, logits_all=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
