@@ -513,6 +513,8 @@ def forward(
         if cfg.post_norms:
             ffn_out = _norm(cfg, ffn_out, lw["post_ffn_norm"])
         h = h + ffn_out
+        if "cvec" in lw:  # control-vector steering (llama-adapter cvec)
+            h = h + lw["cvec"].astype(h.dtype)
 
     if new_k and isinstance(new_k[0], tuple):
         kv_cache = {

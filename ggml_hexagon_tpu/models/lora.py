@@ -85,6 +85,52 @@ def attach_lora(weights: dict, adapter: LoraAdapter) -> dict:
     return out
 
 
+class ControlVector:
+    """Per-layer steering vectors added to the hidden state
+    (llama-adapter.h:17 llama_adapter_cvec; cvector-generator output:
+    tensors named direction.<layer>)."""
+
+    def __init__(self, directions: dict[int, "jnp.ndarray"], strength: float = 1.0):
+        self.directions = directions
+        self.strength = strength
+
+    @classmethod
+    def from_gguf(cls, path: str, strength: float = 1.0) -> "ControlVector":
+        import re as _re
+
+        with GGUFReader.open(path) as r:
+            dirs = {}
+            for name in r.tensors:
+                m = _re.match(r"direction\.(\d+)$", name)
+                if m:
+                    dirs[int(m.group(1))] = jnp.asarray(r.tensor_f32(name))
+        if not dirs:
+            raise ValueError("no direction.<layer> tensors found")
+        return cls(dirs, strength)
+
+
+def attach_control_vector(weights: dict, cvec: ControlVector) -> dict:
+    out = dict(weights)
+    out["layers"] = []
+    for il, lw in enumerate(weights["layers"]):
+        new_lw = dict(lw)
+        if il in cvec.directions:
+            new_lw["cvec"] = cvec.directions[il] * cvec.strength
+        out["layers"].append(new_lw)
+    return out
+
+
+def write_cvector_gguf(path: str, directions: dict[int, "np.ndarray"]):
+    from ..gguf.writer import GGUFWriter
+
+    w = GGUFWriter()
+    w.add("general.architecture", "controlvector")
+    for il, v in directions.items():
+        w.add_tensor(f"direction.{il}", np.asarray(v, np.float32))
+    w.write_file(path)
+    return path
+
+
 def write_lora_gguf(path: str, ab_map: dict, alpha: float = 16.0):
     """Write an adapter file (test fixtures / export-lora analog)."""
     from ..gguf.writer import GGUFWriter

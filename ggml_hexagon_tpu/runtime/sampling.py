@@ -369,3 +369,57 @@ def make_chain(
 
 def greedy_chain() -> SamplerChain:
     return SamplerChain([Greedy()])
+
+
+class DRY(Sampler):
+    """DRY (don't-repeat-yourself) sampler — penalizes tokens that would
+    extend a sequence already seen in the recent context
+    (llama-sampling.cpp llama_sampler_dry semantics, simplified matcher:
+    exact suffix-extension search instead of the Z-array).
+
+    penalty(tok) = multiplier * base^(match_len - allowed_length) applied
+    when extending a repeat of length >= allowed_length.
+    """
+
+    name = "dry"
+
+    def __init__(self, multiplier: float = 0.8, base: float = 1.75,
+                 allowed_length: int = 2, penalty_last_n: int = 256,
+                 breakers: tuple = ()):
+        self.multiplier = multiplier
+        self.base = base
+        self.allowed_length = allowed_length
+        self.penalty_last_n = penalty_last_n
+        self.breakers = set(breakers)
+        self.ring: list[int] = []
+
+    def apply(self, cand):
+        if self.multiplier <= 0 or len(self.ring) < self.allowed_length + 1:
+            return
+        ctx = self.ring[-self.penalty_last_n :]
+        n = len(ctx)
+        # longest suffix of ctx that also occurs earlier, per continuation
+        penalties: dict[int, int] = {}
+        max_check = min(n - 1, 64)
+        for i in range(n - 1):  # position whose continuation we'd repeat
+            # match length: longest common suffix of ctx[:i+1] and ctx
+            l = 0
+            while (l < max_check and i - l >= 0
+                   and ctx[i - l] == ctx[n - 1 - l]
+                   and ctx[i - l] not in self.breakers):
+                l += 1
+            if l >= self.allowed_length and i + 1 < n:
+                nxt = ctx[i + 1]
+                penalties[nxt] = max(penalties.get(nxt, 0), l)
+        for tok, match_len in penalties.items():
+            cand.logits[tok] -= self.multiplier * (
+                self.base ** (match_len - self.allowed_length)
+            )
+
+    def accept(self, token):
+        self.ring.append(token)
+        if len(self.ring) > 4 * self.penalty_last_n:
+            self.ring = self.ring[-self.penalty_last_n :]
+
+    def reset(self):
+        self.ring.clear()

@@ -101,3 +101,27 @@ def test_lora_mismatch_rejected(setup):
         _, weights = load_llama_weights(r, dtype=jnp.float32)
     with pytest.raises(ValueError, match="no adapter tensors matched"):
         attach_lora(weights, LoraAdapter({"blk.99.nope.weight": (np.zeros((2, 4)), np.zeros((4, 2)))}, 16.0))
+
+
+def test_control_vector(setup):
+    from ggml_hexagon_tpu.models.lora import (
+        ControlVector, attach_control_vector, write_cvector_gguf)
+    import tempfile, os
+
+    base_path, _, _, _, _ = setup
+    with GGUFReader.open(base_path) as r:
+        cfg, weights = load_llama_weights(r, dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    dirs = {0: rng.normal(size=256).astype(np.float32) * 0.1}
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "cv.gguf")
+        write_cvector_gguf(p, dirs)
+        cv = ControlVector.from_gguf(p, strength=2.0)
+    np.testing.assert_allclose(np.asarray(cv.directions[0]), dirs[0], rtol=1e-6)
+    w2 = attach_control_vector(weights, cv)
+    ids = np.array([[3, 7, 11]], dtype=np.int32)
+    a, _ = forward(cfg, weights, jnp.asarray(ids), init_kv_cache(cfg, 1, 4, jnp.float32),
+                   0, logits_all=True, compute_dtype=jnp.float32)
+    b, _ = forward(cfg, w2, jnp.asarray(ids), init_kv_cache(cfg, 1, 4, jnp.float32),
+                   0, logits_all=True, compute_dtype=jnp.float32)
+    assert not np.allclose(np.asarray(a), np.asarray(b))  # steering changes output

@@ -116,3 +116,23 @@ def test_xtc_removes_top():
     x.apply(c)
     # both 0 and 1 exceed threshold; all but the LAST (lowest prob above) removed
     assert 0 not in surviving(c) and 1 in surviving(c)
+
+
+def test_dry_penalizes_repeats():
+    from ggml_hexagon_tpu.runtime.sampling import DRY
+
+    d = DRY(multiplier=1.0, base=2.0, allowed_length=2)
+    # context ... 5 6 7 5 6  -> continuing with 7 extends the repeat (len 2)
+    for t in [1, 5, 6, 7, 5, 6]:
+        d.accept(t)
+    c = Candidates(np.zeros(10, np.float32))
+    d.apply(c)
+    assert c.logits[7] < 0          # repeat continuation penalized
+    assert c.logits[3] == 0         # unrelated token untouched
+    # longer repeats penalized harder
+    d2 = DRY(multiplier=1.0, base=2.0, allowed_length=2)
+    for t in [5, 6, 7, 8, 5, 6, 7]:
+        d2.accept(t)
+    c2 = Candidates(np.zeros(10, np.float32))
+    d2.apply(c2)
+    assert c2.logits[8] < c.logits[7]
