@@ -61,21 +61,25 @@ def build_8b(rng):
         n_vocab=128256, n_embd=4096, n_layer=32, n_head=32, n_head_kv=8,
         n_ff=14336, rope_theta=500000.0, n_ctx_train=8192,
     )
+    from ggml_hexagon_tpu.quant.policy import QuantPolicy
+
+    policy = QuantPolicy("Q4_K_M", cfg.n_layer)
     d = cfg.n_embd
     layers = []
     for il in range(cfg.n_layer):
         log(f"  building layer {il}")
+        t_v = policy.tensor_type(f"blk.{il}.attn_v.weight", (d, d))
+        t_dn = policy.tensor_type(f"blk.{il}.ffn_down.weight", (d, cfg.n_ff))
         layers.append({
             "attn_norm": jnp.ones(d, jnp.float32),
             "wq": random_qtensor(rng, cfg.n_head * cfg.hd, d, GGMLType.Q4_K),
             "wk": random_qtensor(rng, cfg.n_head_kv * cfg.hd, d, GGMLType.Q4_K),
-            "wv": random_qtensor(rng, cfg.n_head_kv * cfg.hd, d, GGMLType.Q6_K),
+            "wv": random_qtensor(rng, cfg.n_head_kv * cfg.hd, d, t_v),
             "wo": random_qtensor(rng, d, cfg.n_head * cfg.hd, GGMLType.Q4_K),
             "ffn_norm": jnp.ones(d, jnp.float32),
             "ffn_gate": random_qtensor(rng, cfg.n_ff, d, GGMLType.Q4_K),
             "ffn_up": random_qtensor(rng, cfg.n_ff, d, GGMLType.Q4_K),
-            # Q4_K_M policy: ffn_down bumped to Q6_K (llama-quant.cpp:122)
-            "ffn_down": random_qtensor(rng, d, cfg.n_ff, GGMLType.Q6_K),
+            "ffn_down": random_qtensor(rng, d, cfg.n_ff, t_dn),
         })
     weights = {
         "tok_embd": random_qtensor(rng, cfg.n_vocab, d, GGMLType.Q4_K),
