@@ -53,7 +53,7 @@ def _arch_of(hf_config) -> str:
     return {
         "llama": "llama", "mistral": "llama", "mixtral": "llama",
         "qwen2": "qwen2", "gemma": "gemma", "gemma2": "gemma2",
-        "phi3": "phi3",
+        "phi3": "phi3", "qwen2_moe": "qwen2moe",
     }.get(mt, mt)
 
 
@@ -68,7 +68,7 @@ def convert_hf_llama(
     """Write a GGUF file from an HF state dict (name -> numpy array)."""
     c = hf_config
     arch = _arch_of(c)
-    is_moe = getattr(c, "num_local_experts", 0) > 0
+    is_moe = getattr(c, "num_local_experts", 0) > 0 or getattr(c, "num_experts", 0) > 0
     w = GGUFWriter()
     w.add("general.architecture", arch)
     w.add("general.name", getattr(c, "name_or_path", "") or f"hf-{arch}")
@@ -88,8 +88,11 @@ def convert_hf_llama(
         w.add(f"{arch}.attention.key_length", int(head_dim))
         w.add(f"{arch}.attention.value_length", int(head_dim))
     if is_moe:
-        w.add(f"{arch}.expert_count", int(c.num_local_experts))
+        n_exp = int(getattr(c, "num_local_experts", 0) or getattr(c, "num_experts", 0))
+        w.add(f"{arch}.expert_count", n_exp)
         w.add(f"{arch}.expert_used_count", int(getattr(c, "num_experts_per_tok", 2)))
+        if getattr(c, "moe_intermediate_size", 0):
+            w.add(f"{arch}.expert_feed_forward_length", int(c.moe_intermediate_size))
     if arch == "gemma2":
         w.add("gemma2.attn_logit_softcapping", float(getattr(c, "attn_logit_softcapping", 50.0)))
         w.add("gemma2.final_logit_softcapping", float(getattr(c, "final_logit_softcapping", 30.0)))
@@ -128,6 +131,23 @@ def convert_hf_llama(
         w.add_tensor(gname, arr, t)
 
     sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    # phi3: split fused qkv_proj / gate_up_proj into the standard tensors
+    if arch == "phi3":
+        hd = int(getattr(c, "head_dim", 0) or c.hidden_size // n_head)
+        for i in range(int(c.num_hidden_layers)):
+            pre = f"model.layers.{i}.self_attn."
+            if pre + "qkv_proj.weight" in sd:
+                qkv = sd.pop(pre + "qkv_proj.weight")
+                nq = n_head * hd
+                nk = n_head_kv * hd
+                sd[pre + "q_proj.weight"] = qkv[:nq]
+                sd[pre + "k_proj.weight"] = qkv[nq : nq + nk]
+                sd[pre + "v_proj.weight"] = qkv[nq + nk :]
+            mpre = f"model.layers.{i}.mlp."
+            if mpre + "gate_up_proj.weight" in sd:
+                gu = sd.pop(mpre + "gate_up_proj.weight")
+                sd[mpre + "gate_proj.weight"] = gu[: gu.shape[0] // 2]
+                sd[mpre + "up_proj.weight"] = gu[gu.shape[0] // 2 :]
     emit("token_embd.weight", sd["model.embed_tokens.weight"])
     for i in range(int(c.num_hidden_layers)):
         pre = f"model.layers.{i}."
@@ -146,7 +166,7 @@ def convert_hf_llama(
             if gemma_norm and g_suffix.endswith("norm.weight"):
                 a = a + 1.0  # reference bakes (w+1) for gemma norms
             emit(f"blk.{i}.{g_suffix}", a)
-        if is_moe:
+        if is_moe and pre + "block_sparse_moe.gate.weight" in sd:
             gate = sd[pre + "block_sparse_moe.gate.weight"]
             emit(f"blk.{i}.ffn_gate_inp.weight", gate)
             E = int(c.num_local_experts)
@@ -156,6 +176,16 @@ def convert_hf_llama(
             emit(f"blk.{i}.ffn_gate_exps.weight", w1)
             emit(f"blk.{i}.ffn_down_exps.weight", w2)
             emit(f"blk.{i}.ffn_up_exps.weight", w3)
+        elif is_moe and pre + "mlp.gate.weight" in sd:  # qwen2moe
+            emit(f"blk.{i}.ffn_gate_inp.weight", sd[pre + "mlp.gate.weight"])
+            E = int(getattr(c, "num_experts", 0))
+            for tname, hname in (("gate", "gate_proj"), ("up", "up_proj"), ("down", "down_proj")):
+                stk = np.stack([sd[pre + f"mlp.experts.{e}.{hname}.weight"] for e in range(E)])
+                emit(f"blk.{i}.ffn_{tname}_exps.weight", stk)
+            emit(f"blk.{i}.ffn_gate_inp_shexp.weight", sd[pre + "mlp.shared_expert_gate.weight"])
+            emit(f"blk.{i}.ffn_gate_shexp.weight", sd[pre + "mlp.shared_expert.gate_proj.weight"])
+            emit(f"blk.{i}.ffn_up_shexp.weight", sd[pre + "mlp.shared_expert.up_proj.weight"])
+            emit(f"blk.{i}.ffn_down_shexp.weight", sd[pre + "mlp.shared_expert.down_proj.weight"])
     onorm = sd["model.norm.weight"]
     if gemma_norm:
         onorm = onorm + 1.0

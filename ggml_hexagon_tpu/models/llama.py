@@ -62,6 +62,7 @@ class LlamaConfig:
     attn_scale: float = 0.0            # 0 -> 1/sqrt(hd)
     n_expert: int = 0                  # MoE
     n_expert_used: int = 0
+    n_ff_exp: int = 0                  # per-expert FFN width (0 -> n_ff)
     norm_topk_prob: bool = True        # renormalize top-k routing weights
 
     @property
@@ -180,6 +181,11 @@ def load_llama_weights(reader, dtype=jnp.bfloat16, device: bool = True) -> tuple
             lw["ffn_gate_exps"] = get(p + "ffn_gate_exps.weight")
             lw["ffn_up_exps"] = get(p + "ffn_up_exps.weight")
             lw["ffn_down_exps"] = get(p + "ffn_down_exps.weight")
+            for sh in ("ffn_gate_inp_shexp", "ffn_gate_shexp",
+                       "ffn_up_shexp", "ffn_down_shexp"):
+                a = opt(p + sh + ".weight")
+                if a is not None:
+                    lw[sh] = a
         else:
             lw["ffn_gate"] = get(p + "ffn_gate.weight")
             lw["ffn_up"] = get(p + "ffn_up.weight")
@@ -371,6 +377,7 @@ def _moe_ffn(cfg, lw, f, compute_dtype, tap=None, il=0):
     no gather/scatter; the EP-sharded ragged path is a later optimization.
     """
     E, K = cfg.n_expert, cfg.n_expert_used
+    n_ff_e = cfg.n_ff_exp or cfg.n_ff
     router = matmul(f, lw["ffn_gate_inp"]).astype(jnp.float32)  # [B,T,E]
     probs = jax.nn.softmax(router, axis=-1)
     topv, topi = jax.lax.top_k(probs, K)  # [B,T,K]
@@ -379,7 +386,7 @@ def _moe_ffn(cfg, lw, f, compute_dtype, tap=None, il=0):
     # dense per-token expert weights (0 outside top-k)
     onehot = jax.nn.one_hot(topi, E, dtype=jnp.float32)  # [B,T,K,E]
     w_tok = jnp.einsum("btk,btke->bte", topv, onehot)  # [B,T,E]
-    n_ff, d = cfg.n_ff, cfg.n_embd
+    n_ff, d = n_ff_e, cfg.n_embd
     out = 0.0
     for e in range(E):
         gate_e = qtensor_rows(lw["ffn_gate_exps"], e * n_ff, n_ff)
@@ -395,6 +402,12 @@ def _moe_ffn(cfg, lw, f, compute_dtype, tap=None, il=0):
             tap(f"blk.{il}.ffn_down_exps.weight", gu)
         dly = matmul(gu, down_e).astype(jnp.float32)
         out = out + dly * w_tok[..., e : e + 1]
+    if "ffn_gate_shexp" in lw:  # qwen2moe shared expert + sigmoid gate
+        sg = jax.nn.sigmoid(matmul(f, lw["ffn_gate_inp_shexp"]).astype(jnp.float32))
+        g = _act(cfg, matmul(f, lw["ffn_gate_shexp"]).astype(compute_dtype))
+        u = matmul(f, lw["ffn_up_shexp"]).astype(compute_dtype)
+        sh = matmul(g * u, lw["ffn_down_shexp"]).astype(jnp.float32)
+        out = out + sg * sh
     return out.astype(compute_dtype)
 
 

@@ -39,6 +39,7 @@ def _base(md: dict, arch: str, **overrides) -> LlamaConfig:
         head_dim=int(g("attention.key_length", 0)),
         n_expert=int(g("expert_count", 0)),
         n_expert_used=int(g("expert_used_count", 0)),
+        n_ff_exp=int(g("expert_feed_forward_length", 0)),
         arch=arch,
     )
     kw.update(overrides)

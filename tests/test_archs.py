@@ -103,3 +103,29 @@ def test_mixtral_quantized_generates(tmp_path):
     toks = list(eng.generate([1, 5, 9], n_predict=6, sampler=greedy_chain(), stop_ids=set()))
     assert len(toks) == 6
     assert all(0 <= t < 300 for t in toks)
+
+
+def test_phi3(tmp_path):
+    cfg = transformers.Phi3Config(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, pad_token_id=0, eos_token_id=2,
+        bos_token_id=1)
+    torch.manual_seed(5)
+    m = transformers.Phi3ForCausalLM(cfg).eval()
+    out = run_arch(m, tmp_path, "phi3")
+    assert out.rope_mode == "neox"
+
+
+def test_qwen2moe(tmp_path):
+    cfg = transformers.Qwen2MoeConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        moe_intermediate_size=256, shared_expert_intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=False,
+        max_position_embeddings=128, tie_word_embeddings=False,
+        decoder_sparse_step=1)
+    torch.manual_seed(6)
+    m = transformers.Qwen2MoeForCausalLM(cfg).eval()
+    out = run_arch(m, tmp_path, "qwen2moe")
+    assert out.n_expert == 4 and not out.norm_topk_prob
