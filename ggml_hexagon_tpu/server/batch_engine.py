@@ -247,6 +247,36 @@ class BatchEngine:
         s.reset()
         return True
 
+    # -- slot state save/restore (server slot_save API analog) ---------------
+
+    def save_slot(self, slot_id: int, path: str):
+        """Persist a slot's KV rows + bookkeeping (llama-server /slots/{id}?action=save)."""
+        import numpy as np
+
+        s = self.slots[slot_id]
+        np.savez(
+            path,
+            k=np.asarray(self.kv["k"][:, slot_id]).astype(np.float32),
+            v=np.asarray(self.kv["v"][:, slot_id]).astype(np.float32),
+            n_past=np.int64(s.n_past),
+            prompt=np.asarray(s.prompt + s.generated, np.int64),
+        )
+
+    def restore_slot(self, slot_id: int, path: str):
+        import jax.numpy as jnp
+        import numpy as np
+
+        z = np.load(path)
+        s = self.slots[slot_id]
+        if s.state != SlotState.IDLE:
+            raise RuntimeError(f"slot {slot_id} busy")
+        kdt = self.kv["k"].dtype
+        self.kv["k"] = self.kv["k"].at[:, slot_id].set(jnp.asarray(z["k"], kdt))
+        self.kv["v"] = self.kv["v"].at[:, slot_id].set(jnp.asarray(z["v"], kdt))
+        s.n_past = int(z["n_past"])
+        s.prompt = z["prompt"].astype(int).tolist()
+        s.n_prompt_done = len(s.prompt)
+
     # -- blocking convenience ------------------------------------------------
 
     def run_until_idle(self, max_ticks: int = 100000):

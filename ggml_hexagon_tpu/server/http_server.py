@@ -198,6 +198,20 @@ def make_handler(server: InferenceServer):
 
         def do_POST(self):
             try:
+                import re as _re
+
+                m = _re.match(r"^/slots/(\d+)\?action=(save|restore)$", self.path)
+                if m:
+                    body = self._read_body()
+                    sid = int(m.group(1))
+                    path = body.get("filename", f"/tmp/slot_{sid}.npz")
+                    with server.engine.lock:
+                        if m.group(2) == "save":
+                            server.engine.save_slot(sid, path)
+                        else:
+                            server.engine.restore_slot(sid, path)
+                    self._json(200, {"id_slot": sid, "filename": path})
+                    return
                 body = self._read_body()
                 if self.path == "/completion":
                     self._completion(body, openai=False)

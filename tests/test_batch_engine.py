@@ -96,3 +96,74 @@ def test_long_prompt_chunked(model):
                            kv_dtype=jnp.float32)
     want = list(eng.generate(prompt, n_predict=5, sampler=greedy_chain(), stop_ids=set()))
     assert got == want
+
+
+def test_slot_save_restore(model, tmp_path):
+    """Saved slot restored into a fresh engine continues identically
+    (the reference's test_slot_save.py property)."""
+    be = BatchEngine.from_gguf(model, n_slots=2, max_seq=128,
+                               kv_dtype=jnp.float32, compute_dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    prompt = rng.integers(3, 299, size=10).tolist()
+    out1 = be.complete(prompt, n_predict=4, stop_ids=set())
+    # slot 0 is reset after finishing; re-prime it by prefilling again
+    q = be.submit(prompt + out1, n_predict=1, stop_ids=set())
+    be.run_until_idle()
+    while not q.empty():
+        q.get_nowait()
+    # the finished slot has been reset; emulate a live slot by re-running
+    # prompt processing only, then save mid-stream
+    be2 = BatchEngine.from_gguf(model, n_slots=2, max_seq=128,
+                                kv_dtype=jnp.float32, compute_dtype=jnp.float32)
+    q2 = be2.submit(prompt, n_predict=8, stop_ids=set())
+    # advance only the prompt phase
+    while be2.slots[0].state.name == "IDLE" or be2.slots[0].state.name == "PROMPT":
+        be2.step()
+        if be2.slots[0].state.name == "GENERATING":
+            break
+    p = str(tmp_path / "slot.npz")
+    # freeze the generating slot's cache rows
+    sid = 0
+    be2.save_slot(sid, p)
+    want = []
+    while True:
+        try:
+            tok, fin = q2.get_nowait()
+        except Exception:
+            be2.step()
+            continue
+        if tok is None:
+            break
+        want.append(tok)
+    # restore into a fresh engine and decode the same continuation
+    be3 = BatchEngine.from_gguf(model, n_slots=2, max_seq=128,
+                                kv_dtype=jnp.float32, compute_dtype=jnp.float32)
+    be3.restore_slot(0, p)
+    s = be3.slots[0]
+    from ggml_hexagon_tpu.runtime.sampling import greedy_chain as gc
+    import jax.numpy as jnpp
+    # recompute the pending logits at the restored position and decode
+    got = []
+    import numpy as npp
+    from ggml_hexagon_tpu.models.llama import forward
+    logits, be3.kv = be3._fwd(
+        be3.weights,
+        jnpp.asarray(npp.asarray([s.prompt[-1:]] + [[0]] * (be3.n_slots - 1),
+                                 npp.int32).reshape(be3.n_slots, 1)),
+        be3.kv,
+        jnpp.asarray(npp.asarray([s.n_past - 1] + [be3.park_pos] * (be3.n_slots - 1), npp.int32)),
+    )
+    cur = npp.asarray(logits)[0]
+    sampler = gc()
+    for _ in range(len(want)):
+        tok = sampler.sample(cur)
+        got.append(tok)
+        logits, be3.kv = be3._fwd(
+            be3.weights,
+            jnpp.asarray(npp.asarray([[tok]] + [[0]] * (be3.n_slots - 1), npp.int32)),
+            be3.kv,
+            jnpp.asarray(npp.asarray([s.n_past] + [be3.park_pos] * (be3.n_slots - 1), npp.int32)),
+        )
+        s.n_past += 1
+        cur = npp.asarray(logits)[0]
+    assert got == want

@@ -134,3 +134,13 @@ def test_error_handling(http_server):
     with pytest.raises(urllib.error.HTTPError) as e:
         post(http_server, "/nope", {})
     assert e.value.code == 404
+
+
+def test_slot_save_restore_endpoint(http_server, tmp_path):
+    # run a request so slot 0 has contents, then save/restore via HTTP
+    post(http_server, "/completion", {"prompt": "a b", "n_predict": 2, "temperature": 0})
+    p = str(tmp_path / "slot0.npz")
+    r = post(http_server, "/slots/0?action=save", {"filename": p})
+    assert r["filename"] == p
+    r2 = post(http_server, "/slots/0?action=restore", {"filename": p})
+    assert r2["id_slot"] == 0
