@@ -1,0 +1,118 @@
+"""LoRA finetuning — the training/optimizer story (ggml-opt analog).
+
+The reference carries an AdamW optimizer over ggml graphs
+(ggml/src/ggml-opt.cpp) used for finetuning.  TPU-native version: the
+decoder forward is already a differentiable JAX program; freeze the packed
+quantized base weights (integer planes produce zero cotangents — they are
+jax.lax.stop_gradient'd), attach LoRA A/B as the trainable pytree, and run
+optax.adamw over jax.value_and_grad of the causal-LM loss.  Whole train
+step is one jitted program (fwd+bwd+update).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.llama import LlamaConfig, forward, init_kv_cache
+
+
+TARGETS = ("wq", "wv")  # default LoRA target projections
+
+
+def init_lora_params(cfg: LlamaConfig, rank: int = 8, targets=TARGETS, seed: int = 0):
+    """Trainable pytree: per-layer {target: (A [r, K], B [N, r])}, B zero-init."""
+    rng = np.random.default_rng(seed)
+    dims = {
+        "wq": (cfg.n_head * cfg.hd, cfg.n_embd),
+        "wk": (cfg.n_head_kv * cfg.hd, cfg.n_embd),
+        "wv": (cfg.n_head_kv * cfg.hd, cfg.n_embd),
+        "wo": (cfg.n_embd, cfg.n_head * cfg.hd),
+        "ffn_gate": (cfg.n_ff, cfg.n_embd),
+        "ffn_up": (cfg.n_ff, cfg.n_embd),
+        "ffn_down": (cfg.n_embd, cfg.n_ff),
+    }
+    params = []
+    for _ in range(cfg.n_layer):
+        layer = {}
+        for t in targets:
+            n, k = dims[t]
+            layer[t] = (
+                jnp.asarray(rng.normal(size=(rank, k)).astype(np.float32) / np.sqrt(k)),
+                jnp.zeros((n, rank), jnp.float32),
+            )
+        params.append(layer)
+    return params
+
+
+def _attach(weights: dict, lora_params, alpha: float, rank: int) -> dict:
+    scale = alpha / rank
+    out = dict(weights)
+    out["layers"] = []
+    for lw, lp in zip(weights["layers"], lora_params):
+        new = dict(lw)
+        for t, (a, b) in lp.items():
+            new[t + "_lora"] = (a, b, scale)
+        out["layers"].append(new)
+    return out
+
+
+def causal_lm_loss(cfg, weights, lora_params, tokens, alpha, rank):
+    """Mean next-token cross-entropy over tokens [B, T]."""
+    w = _attach(jax.tree.map(jax.lax.stop_gradient, weights), lora_params, alpha, rank)
+    kv = init_kv_cache(cfg, tokens.shape[0], tokens.shape[1], jnp.float32)
+    logits, _ = forward(cfg, w, tokens, kv, jnp.int32(0), logits_all=True,
+                        compute_dtype=jnp.float32)
+    lp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+    tgt = tokens[:, 1:]
+    nll = -jnp.take_along_axis(lp, tgt[..., None], axis=-1)[..., 0]
+    return nll.mean()
+
+
+@dataclass
+class LoraTrainer:
+    cfg: LlamaConfig
+    weights: dict
+    rank: int = 8
+    alpha: float = 16.0
+    lr: float = 1e-3
+    targets: tuple = TARGETS
+
+    def __post_init__(self):
+        self.params = init_lora_params(self.cfg, self.rank, self.targets)
+        self.opt = optax.adamw(self.lr)
+        self.opt_state = self.opt.init(self.params)
+        cfg, alpha, rank = self.cfg, self.alpha, self.rank
+
+        @jax.jit
+        def train_step(params, opt_state, weights, tokens):
+            loss, grads = jax.value_and_grad(
+                lambda p: causal_lm_loss(cfg, weights, p, tokens, alpha, rank)
+            )(params)
+            updates, opt_state = self.opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        self._step = train_step
+
+    def step(self, tokens) -> float:
+        tokens = jnp.asarray(np.asarray(tokens, np.int32))
+        self.params, self.opt_state, loss = self._step(
+            self.params, self.opt_state, self.weights, tokens
+        )
+        return float(loss)
+
+    def export_adapter(self, path: str):
+        """Write the trained adapter as a standard LoRA GGUF."""
+        from ..models.lora import write_lora_gguf, _KEY_TO_NAME
+
+        ab = {}
+        for il, lp in enumerate(self.params):
+            for t, (a, b) in lp.items():
+                ab[f"blk.{il}.{_KEY_TO_NAME[t]}"] = (np.asarray(a), np.asarray(b))
+        write_lora_gguf(path, ab, alpha=self.alpha)
+        return path
