@@ -83,20 +83,33 @@ def shard_llama_weights(weights: dict, cfg, mesh: Mesh) -> dict:
         "output": _put(weights["output"], mesh, col),
         "layers": [],
     }
-    for lw in weights["layers"]:
-        out["layers"].append(
-            {
-                "attn_norm": _put(lw["attn_norm"], mesh, rep),
-                "wq": _put(lw["wq"], mesh, col),
-                "wk": _put(lw["wk"], mesh, col),
-                "wv": _put(lw["wv"], mesh, col),
-                "wo": _put(lw["wo"], mesh, row),
-                "ffn_norm": _put(lw["ffn_norm"], mesh, rep),
-                "ffn_gate": _put(lw["ffn_gate"], mesh, col),
-                "ffn_up": _put(lw["ffn_up"], mesh, col),
-                "ffn_down": _put(lw["ffn_down"], mesh, row),
-            }
+    specs = {
+        "attn_norm": rep, "ffn_norm": rep,
+        "wq": col, "wk": col, "wv": col, "wqkv": col,
+        "wo": row, "w_gateup": col,
+        "ffn_gate": col, "ffn_up": col, "ffn_down": row,
+        # MoE: stacked expert tensors row-shard over tp = expert parallelism
+        # (tp | n_expert keeps each expert's row block within one shard; the
+        # per-expert compute then runs on its owner devices — the all-to-all
+        # the reference lacks entirely, SURVEY §2.10)
+        "ffn_gate_inp": rep,
+        "ffn_gate_exps": col, "ffn_up_exps": col, "ffn_down_exps": col,
+        "ffn_gate_inp_shexp": rep, "ffn_gate_shexp": col,
+        "ffn_up_shexp": col, "ffn_down_shexp": row,
+        "bq": rep, "bk": rep, "bv": rep,
+        "attn_q_norm": rep, "attn_k_norm": rep,
+        "post_attn_norm": rep, "post_ffn_norm": rep, "cvec": rep,
+    }
+    if cfg.n_expert:
+        assert cfg.n_expert % tp == 0 or tp % cfg.n_expert == 0 or tp == 1, (
+            f"n_expert {cfg.n_expert} vs tp {tp}: expert blocks must align"
         )
+    for lw in weights["layers"]:
+        new = {}
+        for key, val in lw.items():
+            spec = specs.get(key, rep)
+            new[key] = _put(val, mesh, spec) if val is not None else None
+        out["layers"].append(new)
     return out
 
 

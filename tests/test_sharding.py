@@ -89,3 +89,44 @@ def test_dp_tp_mesh_decode():
             CFG, sw, toks, skv, 0, logits_all=False)
     assert logits.shape == (B, CFG.n_vocab)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_moe_expert_parallel_matches_unsharded():
+    """MoE expert stacks sharded over tp (expert parallelism): outputs must
+    match the unsharded forward."""
+    from ggml_hexagon_tpu.quant.pack import quantize_tensor
+
+    cfg = LlamaConfig(n_vocab=256, n_embd=256, n_layer=1, n_head=4, n_head_kv=2,
+                      n_ff=512, n_expert=4, n_expert_used=2)
+    rng = np.random.default_rng(7)
+    s = 0.05
+    def qt(n, k):
+        return quantize_tensor(rng.normal(size=(n, k)).astype(np.float32) * s,
+                               GGMLType.Q8_0).astype_device()
+    d = cfg.n_embd
+    weights = {
+        "tok_embd": jnp.asarray(rng.normal(size=(256, d)).astype(np.float32) * s),
+        "output_norm": jnp.ones(d, jnp.float32),
+        "output": qt(256, d),
+        "layers": [{
+            "attn_norm": jnp.ones(d, jnp.float32),
+            "wq": qt(cfg.n_head * cfg.hd, d), "wk": qt(cfg.n_head_kv * cfg.hd, d),
+            "wv": qt(cfg.n_head_kv * cfg.hd, d), "wo": qt(d, cfg.n_head * cfg.hd),
+            "ffn_norm": jnp.ones(d, jnp.float32),
+            "ffn_gate_inp": qt(cfg.n_expert, d),
+            "ffn_gate_exps": qt(cfg.n_expert * cfg.n_ff, d),
+            "ffn_up_exps": qt(cfg.n_expert * cfg.n_ff, d),
+            "ffn_down_exps": qt(cfg.n_expert * d, cfg.n_ff),
+        }],
+    }
+    tokens = np.array([[3, 17, 99]], dtype=np.int32)
+    ref, _ = forward(cfg, weights, jnp.asarray(tokens),
+                     init_kv_cache(cfg, 1, 8), 0, logits_all=True)
+    mesh = make_mesh(dp=1, tp=2)
+    with mesh:
+        sw = shard_llama_weights(weights, cfg, mesh)
+        skv = shard_kv_cache(init_kv_cache(cfg, 1, 8), mesh)
+        out, _ = jax.jit(forward, static_argnames=("cfg", "logits_all"))(
+            cfg, sw, jnp.asarray(tokens), skv, 0, logits_all=True)
+    a, b = np.asarray(out), np.asarray(ref)
+    assert np.corrcoef(a.reshape(-1), b.reshape(-1))[0, 1] > 0.999
