@@ -196,4 +196,213 @@ def convert_hf_llama(
     return out_path
 
 
+def _write_gguf(out_path, arch, md_kv, tensors, qtype, norm_type=GGMLType.F32,
+                tokenizer_fields=None):
+    """Shared GGUF emission for the LayerNorm-family converters."""
+    w = GGUFWriter()
+    w.add("general.architecture", arch)
+    for k, v in md_kv.items():
+        w.add(k, v)
+    for key, val in (tokenizer_fields or {}).items():
+        w.add(key, val)
+    for name, arr in tensors.items():
+        arr = np.ascontiguousarray(arr, dtype=np.float32)
+        if arr.ndim < 2 or arr.shape[-1] % 256 or "position_embd" in name:
+            t = GGMLType.F32
+        elif "norm" in name:
+            t = norm_type
+        else:
+            t = qtype
+        w.add_tensor(name, arr, t)
+    w.write_file(out_path)
+    return out_path
+
+
+def _copy_biased(tensors, sd, hf_stem, g_stem, transpose=False):
+    """Copy HF weight (+bias when present) to GGUF names."""
+    w_ = sd[hf_stem + ".weight"]
+    tensors[g_stem + ".weight"] = w_.T if transpose else w_
+    if hf_stem + ".bias" in sd:
+        tensors[g_stem + ".bias"] = sd[hf_stem + ".bias"]
+
+
+def _deinterleave_qkv(a, n_head, hd):
+    """[n_head, 3, hd, ...] per-head interleave -> contiguous [q; k; v]."""
+    rest = a.shape[1:]
+    a = a.reshape(n_head, 3, hd, *rest)
+    return np.concatenate(
+        [a[:, j].reshape(n_head * hd, *rest) for j in range(3)], axis=0)
+
+
+def _common_md(arch, c, n_ff, ln_eps, n_head_kv=None):
+    return {
+        f"{arch}.block_count": int(c.num_hidden_layers),
+        f"{arch}.context_length": int(getattr(c, "max_position_embeddings", 2048)),
+        f"{arch}.embedding_length": int(c.hidden_size),
+        f"{arch}.feed_forward_length": int(n_ff),
+        f"{arch}.attention.head_count": int(c.num_attention_heads),
+        f"{arch}.attention.head_count_kv":
+            int(n_head_kv if n_head_kv is not None else c.num_attention_heads),
+        f"{arch}.attention.layer_norm_epsilon": float(ln_eps),
+        f"{arch}.rope.freq_base": float(getattr(c, "rope_theta", 10000.0)),
+        f"{arch}.vocab_size": int(c.vocab_size),
+    }
+
+
+def convert_hf_gpt2(sd, c, out_path, qtype=GGMLType.F16, tokenizer_fields=None):
+    """GPT2LMHeadModel -> GGUF (gpt2 arch; Conv1D weights transposed)."""
+    t = {"token_embd.weight": sd["transformer.wte.weight"],
+         "position_embd.weight": sd["transformer.wpe.weight"]}
+    for i in range(int(c.num_hidden_layers)):
+        p, g = f"transformer.h.{i}.", f"blk.{i}."
+        _copy_biased(t, sd, p + "ln_1", g + "attn_norm")
+        _copy_biased(t, sd, p + "attn.c_attn", g + "attn_qkv", transpose=True)
+        _copy_biased(t, sd, p + "attn.c_proj", g + "attn_output", transpose=True)
+        _copy_biased(t, sd, p + "ln_2", g + "ffn_norm")
+        _copy_biased(t, sd, p + "mlp.c_fc", g + "ffn_up", transpose=True)
+        _copy_biased(t, sd, p + "mlp.c_proj", g + "ffn_down", transpose=True)
+    _copy_biased(t, sd, "transformer.ln_f", "output_norm")
+    n_ff = int(getattr(c, "n_inner", None) or 4 * c.hidden_size)
+    md = _common_md("gpt2", c, n_ff, getattr(c, "layer_norm_epsilon", 1e-5))
+    return _write_gguf(out_path, "gpt2", md, t, qtype,
+                       tokenizer_fields=tokenizer_fields)
+
+
+def convert_hf_gptneox(sd, c, out_path, qtype=GGMLType.F16, tokenizer_fields=None):
+    """GPTNeoXForCausalLM -> GGUF (fused QKV de-interleaved per head)."""
+    n_head = int(c.num_attention_heads)
+    hd = int(c.hidden_size) // n_head
+    t = {"token_embd.weight": sd["gpt_neox.embed_in.weight"],
+         "output.weight": sd["embed_out.weight"]}
+    for i in range(int(c.num_hidden_layers)):
+        p, g = f"gpt_neox.layers.{i}.", f"blk.{i}."
+        _copy_biased(t, sd, p + "input_layernorm", g + "attn_norm")
+        qkv = _deinterleave_qkv(sd[p + "attention.query_key_value.weight"], n_head, hd)
+        t[g + "attn_qkv.weight"] = qkv
+        if p + "attention.query_key_value.bias" in sd:
+            t[g + "attn_qkv.bias"] = _deinterleave_qkv(
+                sd[p + "attention.query_key_value.bias"], n_head, hd)
+        _copy_biased(t, sd, p + "attention.dense", g + "attn_output")
+        _copy_biased(t, sd, p + "post_attention_layernorm", g + "ffn_norm")
+        _copy_biased(t, sd, p + "mlp.dense_h_to_4h", g + "ffn_up")
+        _copy_biased(t, sd, p + "mlp.dense_4h_to_h", g + "ffn_down")
+    _copy_biased(t, sd, "gpt_neox.final_layer_norm", "output_norm")
+    md = _common_md("gptneox", c, c.intermediate_size,
+                    getattr(c, "layer_norm_eps", 1e-5))
+    md["gptneox.rope.dimension_count"] = int(getattr(c, "rotary_pct", 1.0) * hd)
+    md["gptneox.use_parallel_residual"] = bool(
+        getattr(c, "use_parallel_residual", True))
+    return _write_gguf(out_path, "gptneox", md, t, qtype,
+                       tokenizer_fields=tokenizer_fields)
+
+
+def convert_hf_falcon(sd, c, out_path, qtype=GGMLType.F16, tokenizer_fields=None):
+    """FalconForCausalLM -> GGUF (all three HF fused-QKV layouts)."""
+    n_head = int(c.num_attention_heads)
+    hd = int(c.hidden_size) // n_head
+    new_arch = bool(getattr(c, "new_decoder_architecture", False))
+    if new_arch:
+        n_kv = int(getattr(c, "num_kv_heads", n_head))
+    elif getattr(c, "multi_query", True):
+        n_kv = 1
+    else:
+        n_kv = n_head
+    t = {"token_embd.weight": sd["transformer.word_embeddings.weight"],
+         "output.weight": sd["lm_head.weight"]}
+    for i in range(int(c.num_hidden_layers)):
+        p, g = f"transformer.h.{i}.", f"blk.{i}."
+        ln = "ln_attn" if p + "ln_attn.weight" in sd else "input_layernorm"
+        _copy_biased(t, sd, p + ln, g + "attn_norm")
+        w_ = sd[p + "self_attention.query_key_value.weight"]
+        if new_arch:  # [n_kv, q_per_kv + 2, hd, n_embd] group-interleaved
+            q_per_kv = n_head // n_kv
+            w_ = w_.reshape(n_kv, q_per_kv + 2, hd, -1)
+            w_ = np.concatenate([
+                w_[:, :-2].reshape(n_head * hd, -1),
+                w_[:, -2].reshape(n_kv * hd, -1),
+                w_[:, -1].reshape(n_kv * hd, -1)], axis=0)
+        elif n_kv == n_head:  # per-head [h, 3, hd] interleave
+            w_ = _deinterleave_qkv(w_, n_head, hd)
+        # multi_query layout is already contiguous [q...; k; v]
+        t[g + "attn_qkv.weight"] = w_
+        _copy_biased(t, sd, p + "self_attention.dense", g + "attn_output")
+        _copy_biased(t, sd, p + "mlp.dense_h_to_4h", g + "ffn_up")
+        _copy_biased(t, sd, p + "mlp.dense_4h_to_h", g + "ffn_down")
+    _copy_biased(t, sd, "transformer.ln_f", "output_norm")
+    n_ff = int(getattr(c, "ffn_hidden_size", None) or 4 * c.hidden_size)
+    md = _common_md("falcon", c, n_ff,
+                    getattr(c, "layer_norm_epsilon", 1e-5), n_head_kv=n_kv)
+    return _write_gguf(out_path, "falcon", md, t, qtype,
+                       tokenizer_fields=tokenizer_fields)
+
+
+def convert_hf_phi2(sd, c, out_path, qtype=GGMLType.F16, tokenizer_fields=None):
+    """PhiForCausalLM -> GGUF (phi2 arch; partial rotary, lm_head bias)."""
+    t = {"token_embd.weight": sd["model.embed_tokens.weight"]}
+    for i in range(int(c.num_hidden_layers)):
+        p, g = f"model.layers.{i}.", f"blk.{i}."
+        _copy_biased(t, sd, p + "input_layernorm", g + "attn_norm")
+        _copy_biased(t, sd, p + "self_attn.q_proj", g + "attn_q")
+        _copy_biased(t, sd, p + "self_attn.k_proj", g + "attn_k")
+        _copy_biased(t, sd, p + "self_attn.v_proj", g + "attn_v")
+        _copy_biased(t, sd, p + "self_attn.dense", g + "attn_output")
+        _copy_biased(t, sd, p + "mlp.fc1", g + "ffn_up")
+        _copy_biased(t, sd, p + "mlp.fc2", g + "ffn_down")
+    _copy_biased(t, sd, "model.final_layernorm", "output_norm")
+    _copy_biased(t, sd, "lm_head", "output")
+    hd = int(c.hidden_size) // int(c.num_attention_heads)
+    md = _common_md("phi2", c, c.intermediate_size,
+                    getattr(c, "layer_norm_eps", 1e-5),
+                    n_head_kv=getattr(c, "num_key_value_heads", None)
+                    or c.num_attention_heads)
+    md["phi2.rope.dimension_count"] = int(
+        getattr(c, "partial_rotary_factor", 0.5) * hd)
+    return _write_gguf(out_path, "phi2", md, t, qtype,
+                       tokenizer_fields=tokenizer_fields)
+
+
+def convert_hf_starcoder2(sd, c, out_path, qtype=GGMLType.F16, tokenizer_fields=None):
+    """Starcoder2ForCausalLM -> GGUF (LN + biases, no-gate gelu FFN)."""
+    t = {"token_embd.weight": sd["model.embed_tokens.weight"]}
+    if "lm_head.weight" in sd:
+        t["output.weight"] = sd["lm_head.weight"]
+    for i in range(int(c.num_hidden_layers)):
+        p, g = f"model.layers.{i}.", f"blk.{i}."
+        _copy_biased(t, sd, p + "input_layernorm", g + "attn_norm")
+        for proj, gn in (("q_proj", "attn_q"), ("k_proj", "attn_k"),
+                         ("v_proj", "attn_v"), ("o_proj", "attn_output")):
+            _copy_biased(t, sd, p + f"self_attn.{proj}", g + gn)
+        _copy_biased(t, sd, p + "post_attention_layernorm", g + "ffn_norm")
+        _copy_biased(t, sd, p + "mlp.c_fc", g + "ffn_up")
+        _copy_biased(t, sd, p + "mlp.c_proj", g + "ffn_down")
+    _copy_biased(t, sd, "model.norm", "output_norm")
+    md = _common_md("starcoder2", c, c.intermediate_size,
+                    getattr(c, "norm_epsilon", 1e-5),
+                    n_head_kv=getattr(c, "num_key_value_heads",
+                                      c.num_attention_heads))
+    return _write_gguf(out_path, "starcoder2", md, t, qtype,
+                       tokenizer_fields=tokenizer_fields)
+
+
+_CONVERTERS = {
+    "gpt2": convert_hf_gpt2,
+    "gpt_neox": convert_hf_gptneox,
+    "falcon": convert_hf_falcon,
+    "phi": convert_hf_phi2,
+    "starcoder2": convert_hf_starcoder2,
+}
+
+
+def convert_hf_model(state_dict, hf_config, out_path, qtype=GGMLType.F16,
+                     tokenizer_fields=None, **kw):
+    """Dispatch on HF model_type (the @Model.register analog)."""
+    mt = getattr(hf_config, "model_type", "llama")
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    if mt in _CONVERTERS:
+        return _CONVERTERS[mt](sd, hf_config, out_path, qtype=qtype,
+                               tokenizer_fields=tokenizer_fields)
+    return convert_hf_llama(sd, hf_config, out_path, qtype=qtype,
+                            tokenizer_fields=tokenizer_fields, **kw)
+
+
 convert_hf = convert_hf_llama

@@ -27,7 +27,7 @@ import numpy as np
 from ..quant.formats import GGMLType
 from ..quant.pack import QTensor, pack_tensor, QCONFIGS
 from ..ops.qmatmul import qmatmul, dequantize_jax
-from ..ops.basic import RopeParams, apply_rope, gelu, rms_norm, silu, softmax_ext
+from ..ops.basic import RopeParams, apply_rope, gelu, norm, rms_norm, silu, softmax_ext
 
 
 @dataclass(frozen=True)
@@ -64,6 +64,13 @@ class LlamaConfig:
     n_expert_used: int = 0
     n_ff_exp: int = 0                  # per-expert FFN width (0 -> n_ff)
     norm_topk_prob: bool = True        # renormalize top-k routing weights
+    # --- LayerNorm-family variation points (gpt2/gptneox/falcon/phi2/...) ---
+    norm_type: str = "rms"             # 'rms' | 'layer'
+    rope_n_dims: int = 0               # partial rotary: rotate first n dims (0 -> hd)
+    pos_embd: bool = False             # learned absolute position embeddings (gpt2)
+    parallel_residual: bool = False    # h += attn_out + ffn_out (gptneox/falcon/phi2)
+    shared_ffn_norm: bool = False      # FFN input = attn_norm output (falcon/phi2)
+    logit_scale: float = 1.0           # command-r final logit scaling
 
     @property
     def hd(self) -> int:
@@ -72,7 +79,7 @@ class LlamaConfig:
     @property
     def rope_params(self) -> RopeParams:
         return RopeParams(
-            n_dims=self.hd,
+            n_dims=self.rope_n_dims or self.hd,
             mode=self.rope_mode,
             freq_base=self.rope_theta,
             freq_scale=self.rope_freq_scale,
@@ -157,21 +164,31 @@ def load_llama_weights(reader, dtype=jnp.bfloat16, device: bool = True) -> tuple
         p = f"blk.{i}."
         lw = {
             "attn_norm": get(p + "attn_norm.weight", as_vec=True),
-            "wq": get(p + "attn_q.weight"),
-            "wk": get(p + "attn_k.weight"),
-            "wv": get(p + "attn_v.weight"),
             "wo": get(p + "attn_output.weight"),
-            "ffn_norm": get(p + "ffn_norm.weight", as_vec=True),
         }
-        if cfg.attn_bias:
-            lw["bq"] = get(p + "attn_q.bias", as_vec=True)
-            lw["bk"] = get(p + "attn_k.bias", as_vec=True)
-            lw["bv"] = get(p + "attn_v.bias", as_vec=True)
+        if p + "attn_qkv.weight" in reader.tensors:  # fused QKV (gpt2/falcon/neox)
+            lw["wqkv"] = get(p + "attn_qkv.weight")
+        else:
+            lw["wq"] = get(p + "attn_q.weight")
+            lw["wk"] = get(p + "attn_k.weight")
+            lw["wv"] = get(p + "attn_v.weight")
+        if not cfg.shared_ffn_norm:
+            lw["ffn_norm"] = get(p + "ffn_norm.weight", as_vec=True)
+        for bias, name in (("bqkv", "attn_qkv.bias"), ("bq", "attn_q.bias"),
+                           ("bk", "attn_k.bias"), ("bv", "attn_v.bias")):
+            a = opt(p + name, as_vec=True)
+            if a is not None:
+                lw[bias] = a
         for extra, name in (
             ("attn_q_norm", "attn_q_norm.weight"),
             ("attn_k_norm", "attn_k_norm.weight"),
             ("post_attn_norm", "post_attention_norm.weight"),
             ("post_ffn_norm", "post_ffw_norm.weight"),
+            ("attn_norm_b", "attn_norm.bias"),
+            ("ffn_norm_b", "ffn_norm.bias"),
+            ("bo", "attn_output.bias"),
+            ("ffn_up_b", "ffn_up.bias"),
+            ("ffn_down_b", "ffn_down.bias"),
         ):
             a = opt(p + name, as_vec=True)
             if a is not None:
@@ -187,7 +204,9 @@ def load_llama_weights(reader, dtype=jnp.bfloat16, device: bool = True) -> tuple
                 if a is not None:
                     lw[sh] = a
         else:
-            lw["ffn_gate"] = get(p + "ffn_gate.weight")
+            g = opt(p + "ffn_gate.weight")
+            if g is not None:  # gated (SwiGLU-class); absent for gpt2-class FFN
+                lw["ffn_gate"] = g
             lw["ffn_up"] = get(p + "ffn_up.weight")
             lw["ffn_down"] = get(p + "ffn_down.weight")
         layers.append(lw)
@@ -199,6 +218,14 @@ def load_llama_weights(reader, dtype=jnp.bfloat16, device: bool = True) -> tuple
         else get("token_embd.weight"),
         "layers": layers,
     }
+    for extra, name in (
+        ("output_norm_b", "output_norm.bias"),
+        ("output_b", "output.bias"),
+        ("pos_embd", "position_embd.weight"),
+    ):
+        a = opt(name, as_vec=(extra != "pos_embd"))
+        if a is not None:
+            weights[extra] = a
     return cfg, weights
 
 
@@ -359,8 +386,11 @@ def qtensor_rows(qt, start: int, n: int):
     return qt[start : start + n]
 
 
-def _norm(cfg, x, w):
-    """Arch-aware RMSNorm (gemma stores w-1; effective weight is 1+w)."""
+def _norm(cfg, x, w, b=None):
+    """Arch-aware norm: RMSNorm (gemma stores w-1; effective weight is 1+w)
+    or LayerNorm with optional bias (gpt2/gptneox/falcon/phi2 class)."""
+    if cfg.norm_type == "layer":
+        return norm(x, w, b, cfg.rms_eps)
     ww = (1.0 + w.astype(jnp.float32)) if cfg.norm_plus_one else w
     return rms_norm(x, ww, cfg.rms_eps)
 
@@ -443,19 +473,24 @@ def forward(
     h = embed(weights["tok_embd"], tokens, compute_dtype)
     if cfg.embd_scale != 1.0:
         h = (h.astype(jnp.float32) * cfg.embd_scale).astype(compute_dtype)
+    if cfg.pos_embd:  # gpt2-class learned absolute positions
+        pe = weights["pos_embd"][jnp.broadcast_to(positions, (B, T))]
+        h = (h.astype(jnp.float32) + pe.astype(jnp.float32)).astype(compute_dtype)
 
     scale = cfg.attn_scale or 1.0 / float(np.sqrt(cfg.hd))
     new_k, new_v = [], []
     for il, lw in enumerate(weights["layers"]):
-        a = _norm(cfg, h, lw["attn_norm"])
+        a = _norm(cfg, h, lw["attn_norm"], lw.get("attn_norm_b"))
         if tap is not None:
             tap(f"blk.{il}.attn_q.weight", a)
             tap(f"blk.{il}.attn_k.weight", a)
             tap(f"blk.{il}.attn_v.weight", a)
-        if "wqkv" in lw:  # fused projection (models/fuse.py)
+        if "wqkv" in lw:  # fused projection (models/fuse.py or GGUF attn_qkv)
             nq = cfg.n_head * cfg.hd
             nk = nv = cfg.n_head_kv * cfg.hd
             qkv = matmul(a, lw["wqkv"])
+            if "bqkv" in lw:
+                qkv = qkv + lw["bqkv"]
             q = qkv[..., :nq]
             k = qkv[..., nq : nq + nk]
             v = qkv[..., nq + nk :]
@@ -463,18 +498,19 @@ def forward(
             q = matmul_lora(a, lw["wq"], lw.get("wq_lora"))
             k = matmul_lora(a, lw["wk"], lw.get("wk_lora"))
             v = matmul_lora(a, lw["wv"], lw.get("wv_lora"))
-        if cfg.attn_bias:
-            q = q + lw["bq"]
-            k = k + lw["bk"]
-            v = v + lw["bv"]
+            if "bq" in lw:
+                q = q + lw["bq"]
+                k = k + lw["bk"]
+                v = v + lw["bv"]
         q = q.reshape(B, T, cfg.n_head, cfg.hd)
         k = k.reshape(B, T, cfg.n_head_kv, cfg.hd)
         v = v.reshape(B, T, cfg.n_head_kv, cfg.hd)
         if "attn_q_norm" in lw:  # qwen3-style per-head QK norms
             q = _norm(cfg, q, lw["attn_q_norm"])
             k = _norm(cfg, k, lw["attn_k_norm"])
-        q = apply_rope(q, positions, rope)
-        k = apply_rope(k, positions, rope)  # cache stores rotated K (A.1)
+        if cfg.rope_mode != "none":
+            q = apply_rope(q, positions, rope)
+            k = apply_rope(k, positions, rope)  # cache stores rotated K (A.1)
         quant_kv = "k_d" in kv_cache
         if quant_kv:
             kq, kd = _kv_quantize(k)
@@ -500,13 +536,35 @@ def forward(
         ).astype(compute_dtype)
         if tap is not None:
             tap(f"blk.{il}.attn_output.weight", attn)
-        attn_out = matmul_lora(attn, lw["wo"], lw.get("wo_lora")).astype(compute_dtype)
+        attn_out = matmul_lora(attn, lw["wo"], lw.get("wo_lora"))
+        if "bo" in lw:
+            attn_out = attn_out + lw["bo"]
+        attn_out = attn_out.astype(compute_dtype)
         if cfg.post_norms:
             attn_out = _norm(cfg, attn_out, lw["post_attn_norm"])
-        h = h + attn_out
-        f = _norm(cfg, h, lw["ffn_norm"])
+        if cfg.parallel_residual:
+            # gptneox/falcon/phi2: FFN reads the same residual input as attn
+            f = a if cfg.shared_ffn_norm else _norm(
+                cfg, h, lw["ffn_norm"], lw.get("ffn_norm_b"))
+        else:
+            h = h + attn_out
+            f = _norm(cfg, h, lw["ffn_norm"], lw.get("ffn_norm_b"))
         if cfg.n_expert:
             ffn_out = _moe_ffn(cfg, lw, f, compute_dtype, tap, il)
+        elif "ffn_gate" not in lw and "w_gateup" not in lw:
+            # no-gate FFN (gpt2 class): down(act(up x + b)) + b
+            if tap is not None:
+                tap(f"blk.{il}.ffn_up.weight", f)
+            up = matmul_lora(f, lw["ffn_up"], lw.get("ffn_up_lora"))
+            if "ffn_up_b" in lw:
+                up = up + lw["ffn_up_b"]
+            gu = _act(cfg, up.astype(compute_dtype))
+            if tap is not None:
+                tap(f"blk.{il}.ffn_down.weight", gu)
+            ffn_out = matmul_lora(gu, lw["ffn_down"], lw.get("ffn_down_lora"))
+            if "ffn_down_b" in lw:
+                ffn_out = ffn_out + lw["ffn_down_b"]
+            ffn_out = ffn_out.astype(compute_dtype)
         else:
             if tap is not None:
                 tap(f"blk.{il}.ffn_gate.weight", f)
@@ -525,7 +583,7 @@ def forward(
             ffn_out = matmul_lora(gu, lw["ffn_down"], lw.get("ffn_down_lora")).astype(compute_dtype)
         if cfg.post_norms:
             ffn_out = _norm(cfg, ffn_out, lw["post_ffn_norm"])
-        h = h + ffn_out
+        h = (h + attn_out + ffn_out) if cfg.parallel_residual else (h + ffn_out)
         if "cvec" in lw:  # control-vector steering (llama-adapter cvec)
             h = h + lw["cvec"].astype(h.dtype)
 
@@ -538,7 +596,7 @@ def forward(
         }
     else:
         kv_cache = {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
-    h = _norm(cfg, h, weights["output_norm"])
+    h = _norm(cfg, h, weights["output_norm"], weights.get("output_norm_b"))
     if not logits_all:
         if logits_idx is not None:
             idx = jnp.asarray(logits_idx, jnp.int32).reshape(B, 1, 1)
@@ -548,6 +606,10 @@ def forward(
     if tap is not None:
         tap("output.weight", h)
     logits = matmul_lora(h, weights["output"], weights.get("output_lora"))
+    if "output_b" in weights:
+        logits = logits + weights["output_b"]
+    if cfg.logit_scale != 1.0:
+        logits = logits * cfg.logit_scale
     if cfg.final_logit_softcap:
         logits = jnp.tanh(logits / cfg.final_logit_softcap) * cfg.final_logit_softcap
     return logits.astype(jnp.float32), kv_cache

@@ -92,6 +92,53 @@ def _mistral(md):
     return _base(md, "llama")
 
 
+def _ln_eps(md, arch):
+    return float(md.get(f"{arch}.attention.layer_norm_epsilon", 1e-5))
+
+
+def _gpt2(md):
+    # reference: llm_build_gpt2 — LayerNorm, learned positions, fused QKV,
+    # gelu FFN without gate, biases everywhere, tied lm_head, no RoPE
+    return _base(md, "gpt2", norm_type="layer", rms_eps=_ln_eps(md, "gpt2"),
+                 rope_mode="none", pos_embd=True, attn_bias=True, act="gelu")
+
+
+def _gptneox(md):
+    # reference: llm_build_gptneox — LN, partial rotary (rotary_pct),
+    # parallel residual (use_parallel_residual), fused QKV with bias
+    return _base(
+        md, "gptneox", norm_type="layer", rms_eps=_ln_eps(md, "gptneox"),
+        rope_mode="neox", attn_bias=True, act="gelu",
+        rope_n_dims=int(md.get("gptneox.rope.dimension_count", 0)),
+        parallel_residual=bool(md.get("gptneox.use_parallel_residual", True)),
+    )
+
+
+def _falcon(md):
+    # reference: llm_build_falcon — single input LN shared by attn+FFN,
+    # parallel residual, MQA/GQA fused QKV without bias, gelu no-gate
+    return _base(md, "falcon", norm_type="layer", rms_eps=_ln_eps(md, "falcon"),
+                 rope_mode="neox", act="gelu",
+                 parallel_residual=True, shared_ffn_norm=True)
+
+
+def _phi2(md):
+    # reference: llm_build_phi2 — LN, partial rotary, parallel residual with
+    # shared norm, separate QKV with bias, lm_head bias
+    return _base(md, "phi2", norm_type="layer", rms_eps=_ln_eps(md, "phi2"),
+                 rope_mode="neox", attn_bias=True, act="gelu",
+                 rope_n_dims=int(md.get("phi2.rope.dimension_count", 0)),
+                 parallel_residual=True, shared_ffn_norm=True)
+
+
+def _starcoder2(md):
+    # reference: llm_build_starcoder2 — LN with bias, full NEOX rope,
+    # gelu no-gate FFN with biases, sequential residual
+    return _base(md, "starcoder2", norm_type="layer",
+                 rms_eps=_ln_eps(md, "starcoder2"),
+                 rope_mode="neox", attn_bias=True, act="gelu")
+
+
 ARCHS: dict[str, Callable[[dict], LlamaConfig]] = {
     "llama": _mixtral_or_llama,
     "mistral": _mistral,
@@ -100,6 +147,11 @@ ARCHS: dict[str, Callable[[dict], LlamaConfig]] = {
     "gemma": _gemma,
     "gemma2": _gemma2,
     "phi3": _phi3,
+    "gpt2": _gpt2,
+    "gptneox": _gptneox,
+    "falcon": _falcon,
+    "phi2": _phi2,
+    "starcoder2": _starcoder2,
 }
 
 

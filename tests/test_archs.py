@@ -129,3 +129,102 @@ def test_qwen2moe(tmp_path):
     m = transformers.Qwen2MoeForCausalLM(cfg).eval()
     out = run_arch(m, tmp_path, "qwen2moe")
     assert out.n_expert == 4 and not out.norm_topk_prob
+
+
+def run_arch_auto(hf_model, tmp_path, name, rtol=2e-3):
+    """Like run_arch but through the model_type dispatcher (LN families)."""
+    from ggml_hexagon_tpu.models.convert_hf import convert_hf_model
+
+    sd = {k: v.detach().numpy() for k, v in hf_model.state_dict().items()}
+    path = str(tmp_path / f"{name}.gguf")
+    convert_hf_model(sd, hf_model.config, path, qtype=GGMLType.F32)
+    with GGUFReader.open(path) as r:
+        cfg, weights = load_llama_weights(r, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, hf_model.config.vocab_size, size=(2, 9))
+    with torch.no_grad():
+        ref = hf_model(torch.tensor(ids)).logits.numpy()
+    kv = init_kv_cache(cfg, 2, 16, dtype=jnp.float32)
+    logits, _ = forward(cfg, weights, jnp.asarray(ids, jnp.int32), kv, 0,
+                        logits_all=True, compute_dtype=jnp.float32)
+    ours = np.asarray(logits)
+    err = np.abs(ours - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < rtol, f"{name}: max rel err {err}"
+    return cfg
+
+
+def test_gpt2(tmp_path):
+    cfg = transformers.GPT2Config(
+        vocab_size=256, n_embd=256, n_layer=2, n_head=4, n_positions=64,
+        n_inner=512)
+    torch.manual_seed(7)
+    m = transformers.GPT2LMHeadModel(cfg).eval()
+    out = run_arch_auto(m, tmp_path, "gpt2")
+    assert out.norm_type == "layer" and out.pos_embd and out.rope_mode == "none"
+
+
+def test_gptneox(tmp_path):
+    cfg = transformers.GPTNeoXConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, rotary_pct=0.25,
+        max_position_embeddings=128, use_parallel_residual=True)
+    torch.manual_seed(8)
+    m = transformers.GPTNeoXForCausalLM(cfg).eval()
+    out = run_arch_auto(m, tmp_path, "gptneox")
+    assert out.parallel_residual and out.rope_n_dims == 16
+
+
+def test_gptneox_sequential(tmp_path):
+    cfg = transformers.GPTNeoXConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, rotary_pct=1.0,
+        max_position_embeddings=128, use_parallel_residual=False)
+    torch.manual_seed(9)
+    m = transformers.GPTNeoXForCausalLM(cfg).eval()
+    out = run_arch_auto(m, tmp_path, "gptneox_seq")
+    assert not out.parallel_residual
+
+
+def test_falcon_mqa(tmp_path):
+    cfg = transformers.FalconConfig(
+        vocab_size=256, hidden_size=256, num_hidden_layers=2,
+        num_attention_heads=4, multi_query=True, parallel_attn=True,
+        new_decoder_architecture=False, bias=False, alibi=False)
+    torch.manual_seed(10)
+    m = transformers.FalconForCausalLM(cfg).eval()
+    out = run_arch_auto(m, tmp_path, "falcon")
+    assert out.n_head_kv == 1 and out.shared_ffn_norm
+
+
+def test_falcon_new_arch(tmp_path):
+    cfg = transformers.FalconConfig(
+        vocab_size=256, hidden_size=256, num_hidden_layers=2,
+        num_attention_heads=4, num_kv_heads=2, multi_query=False,
+        parallel_attn=True, new_decoder_architecture=True, bias=False,
+        alibi=False)
+    torch.manual_seed(11)
+    m = transformers.FalconForCausalLM(cfg).eval()
+    out = run_arch_auto(m, tmp_path, "falcon40b")
+    assert out.n_head_kv == 2
+
+
+def test_phi2(tmp_path):
+    cfg = transformers.PhiConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        partial_rotary_factor=0.5, max_position_embeddings=128)
+    torch.manual_seed(12)
+    m = transformers.PhiForCausalLM(cfg).eval()
+    out = run_arch_auto(m, tmp_path, "phi2")
+    assert out.parallel_residual and out.shared_ffn_norm and out.rope_n_dims == 32
+
+
+def test_starcoder2(tmp_path):
+    cfg = transformers.Starcoder2Config(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, use_bias=True)
+    torch.manual_seed(13)
+    m = transformers.Starcoder2ForCausalLM(cfg).eval()
+    out = run_arch_auto(m, tmp_path, "starcoder2")
+    assert out.norm_type == "layer" and out.attn_bias
