@@ -384,12 +384,96 @@ def convert_hf_starcoder2(sd, c, out_path, qtype=GGMLType.F16, tokenizer_fields=
                        tokenizer_fields=tokenizer_fields)
 
 
+def convert_hf_cohere(sd, c, out_path, qtype=GGMLType.F16, tokenizer_fields=None):
+    """CohereForCausalLM -> GGUF (command-r arch; HF rope is already
+    adjacent-pair/NORM layout, so no Q/K permutation)."""
+    t = {"token_embd.weight": sd["model.embed_tokens.weight"]}
+    for i in range(int(c.num_hidden_layers)):
+        p, g = f"model.layers.{i}.", f"blk.{i}."
+        _copy_biased(t, sd, p + "input_layernorm", g + "attn_norm")
+        for proj, gn in (("q_proj", "attn_q"), ("k_proj", "attn_k"),
+                         ("v_proj", "attn_v"), ("o_proj", "attn_output")):
+            _copy_biased(t, sd, p + f"self_attn.{proj}", g + gn)
+        for qk in ("q", "k"):  # optional per-head QK LayerNorms [n_head, hd]
+            key = p + f"self_attn.{qk}_norm.weight"
+            if key in sd:
+                t[g + f"attn_{qk}_norm.weight"] = sd[key]
+        _copy_biased(t, sd, p + "mlp.gate_proj", g + "ffn_gate")
+        _copy_biased(t, sd, p + "mlp.up_proj", g + "ffn_up")
+        _copy_biased(t, sd, p + "mlp.down_proj", g + "ffn_down")
+    _copy_biased(t, sd, "model.norm", "output_norm")
+    md = _common_md("command-r", c, c.intermediate_size,
+                    getattr(c, "layer_norm_eps", 1e-5),
+                    n_head_kv=getattr(c, "num_key_value_heads",
+                                      c.num_attention_heads))
+    md["command-r.logit_scale"] = float(getattr(c, "logit_scale", 1.0))
+    return _write_gguf(out_path, "command-r", md, t, qtype,
+                       tokenizer_fields=tokenizer_fields)
+
+
+def convert_hf_stablelm(sd, c, out_path, qtype=GGMLType.F16, tokenizer_fields=None):
+    """StableLmForCausalLM -> GGUF (stablelm arch; partial NEOX rotary)."""
+    t = {"token_embd.weight": sd["model.embed_tokens.weight"]}
+    if "lm_head.weight" in sd:
+        t["output.weight"] = sd["lm_head.weight"]
+    for i in range(int(c.num_hidden_layers)):
+        p, g = f"model.layers.{i}.", f"blk.{i}."
+        _copy_biased(t, sd, p + "input_layernorm", g + "attn_norm")
+        for proj, gn in (("q_proj", "attn_q"), ("k_proj", "attn_k"),
+                         ("v_proj", "attn_v"), ("o_proj", "attn_output")):
+            _copy_biased(t, sd, p + f"self_attn.{proj}", g + gn)
+        _copy_biased(t, sd, p + "post_attention_layernorm", g + "ffn_norm")
+        _copy_biased(t, sd, p + "mlp.gate_proj", g + "ffn_gate")
+        _copy_biased(t, sd, p + "mlp.up_proj", g + "ffn_up")
+        _copy_biased(t, sd, p + "mlp.down_proj", g + "ffn_down")
+    _copy_biased(t, sd, "model.norm", "output_norm")
+    hd = int(c.hidden_size) // int(c.num_attention_heads)
+    md = _common_md("stablelm", c, c.intermediate_size,
+                    getattr(c, "layer_norm_eps", 1e-5),
+                    n_head_kv=getattr(c, "num_key_value_heads",
+                                      c.num_attention_heads))
+    md["stablelm.rope.dimension_count"] = int(
+        getattr(c, "partial_rotary_factor", 0.25) * hd)
+    return _write_gguf(out_path, "stablelm", md, t, qtype,
+                       tokenizer_fields=tokenizer_fields)
+
+
+def convert_hf_olmo2(sd, c, out_path, qtype=GGMLType.F16, tokenizer_fields=None):
+    """Olmo2ForCausalLM -> GGUF (olmo2 arch; post-norms, flat QK norms)."""
+    t = {"token_embd.weight": sd["model.embed_tokens.weight"]}
+    if "lm_head.weight" in sd:
+        t["output.weight"] = sd["lm_head.weight"]
+    for i in range(int(c.num_hidden_layers)):
+        p, g = f"model.layers.{i}.", f"blk.{i}."
+        for proj, gn in (("q_proj", "attn_q"), ("k_proj", "attn_k"),
+                         ("v_proj", "attn_v"), ("o_proj", "attn_output")):
+            _copy_biased(t, sd, p + f"self_attn.{proj}", g + gn)
+        t[g + "attn_q_norm.weight"] = sd[p + "self_attn.q_norm.weight"]
+        t[g + "attn_k_norm.weight"] = sd[p + "self_attn.k_norm.weight"]
+        t[g + "post_attention_norm.weight"] = sd[p + "post_attention_layernorm.weight"]
+        t[g + "post_ffw_norm.weight"] = sd[p + "post_feedforward_layernorm.weight"]
+        _copy_biased(t, sd, p + "mlp.gate_proj", g + "ffn_gate")
+        _copy_biased(t, sd, p + "mlp.up_proj", g + "ffn_up")
+        _copy_biased(t, sd, p + "mlp.down_proj", g + "ffn_down")
+    _copy_biased(t, sd, "model.norm", "output_norm")
+    md = _common_md("olmo2", c, c.intermediate_size, 1e-5,
+                    n_head_kv=getattr(c, "num_key_value_heads",
+                                      c.num_attention_heads))
+    md["olmo2.attention.layer_norm_rms_epsilon"] = float(
+        getattr(c, "rms_norm_eps", 1e-5))
+    return _write_gguf(out_path, "olmo2", md, t, qtype,
+                       tokenizer_fields=tokenizer_fields)
+
+
 _CONVERTERS = {
     "gpt2": convert_hf_gpt2,
     "gpt_neox": convert_hf_gptneox,
     "falcon": convert_hf_falcon,
     "phi": convert_hf_phi2,
     "starcoder2": convert_hf_starcoder2,
+    "cohere": convert_hf_cohere,
+    "stablelm": convert_hf_stablelm,
+    "olmo2": convert_hf_olmo2,
 }
 
 

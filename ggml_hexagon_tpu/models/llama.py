@@ -71,6 +71,7 @@ class LlamaConfig:
     parallel_residual: bool = False    # h += attn_out + ffn_out (gptneox/falcon/phi2)
     shared_ffn_norm: bool = False      # FFN input = attn_norm output (falcon/phi2)
     logit_scale: float = 1.0           # command-r final logit scaling
+    pre_norms: bool = True             # olmo2: False -> post-norms only
 
     @property
     def hd(self) -> int:
@@ -162,17 +163,16 @@ def load_llama_weights(reader, dtype=jnp.bfloat16, device: bool = True) -> tuple
     layers = []
     for i in range(cfg.n_layer):
         p = f"blk.{i}."
-        lw = {
-            "attn_norm": get(p + "attn_norm.weight", as_vec=True),
-            "wo": get(p + "attn_output.weight"),
-        }
+        lw = {"wo": get(p + "attn_output.weight")}
+        if cfg.pre_norms:
+            lw["attn_norm"] = get(p + "attn_norm.weight", as_vec=True)
         if p + "attn_qkv.weight" in reader.tensors:  # fused QKV (gpt2/falcon/neox)
             lw["wqkv"] = get(p + "attn_qkv.weight")
         else:
             lw["wq"] = get(p + "attn_q.weight")
             lw["wk"] = get(p + "attn_k.weight")
             lw["wv"] = get(p + "attn_v.weight")
-        if not cfg.shared_ffn_norm:
+        if not cfg.shared_ffn_norm and cfg.pre_norms:
             lw["ffn_norm"] = get(p + "ffn_norm.weight", as_vec=True)
         for bias, name in (("bqkv", "attn_qkv.bias"), ("bq", "attn_q.bias"),
                            ("bk", "attn_k.bias"), ("bv", "attn_v.bias")):
@@ -480,7 +480,7 @@ def forward(
     scale = cfg.attn_scale or 1.0 / float(np.sqrt(cfg.hd))
     new_k, new_v = [], []
     for il, lw in enumerate(weights["layers"]):
-        a = _norm(cfg, h, lw["attn_norm"], lw.get("attn_norm_b"))
+        a = _norm(cfg, h, lw["attn_norm"], lw.get("attn_norm_b")) if cfg.pre_norms else h
         if tap is not None:
             tap(f"blk.{il}.attn_q.weight", a)
             tap(f"blk.{il}.attn_k.weight", a)
@@ -502,12 +502,19 @@ def forward(
                 q = q + lw["bq"]
                 k = k + lw["bk"]
                 v = v + lw["bv"]
-        q = q.reshape(B, T, cfg.n_head, cfg.hd)
-        k = k.reshape(B, T, cfg.n_head_kv, cfg.hd)
-        v = v.reshape(B, T, cfg.n_head_kv, cfg.hd)
-        if "attn_q_norm" in lw:  # qwen3-style per-head QK norms
+        if "attn_q_norm" in lw and lw["attn_q_norm"].shape[-1] != cfg.hd:
+            # olmo2-style flat QK norms over the whole projection output
             q = _norm(cfg, q, lw["attn_q_norm"])
             k = _norm(cfg, k, lw["attn_k_norm"])
+            q = q.reshape(B, T, cfg.n_head, cfg.hd)
+            k = k.reshape(B, T, cfg.n_head_kv, cfg.hd)
+        else:
+            q = q.reshape(B, T, cfg.n_head, cfg.hd)
+            k = k.reshape(B, T, cfg.n_head_kv, cfg.hd)
+            if "attn_q_norm" in lw:  # qwen3/command-r per-head QK norms
+                q = _norm(cfg, q, lw["attn_q_norm"])
+                k = _norm(cfg, k, lw["attn_k_norm"])
+        v = v.reshape(B, T, cfg.n_head_kv, cfg.hd)
         if cfg.rope_mode != "none":
             q = apply_rope(q, positions, rope)
             k = apply_rope(k, positions, rope)  # cache stores rotated K (A.1)
@@ -548,7 +555,7 @@ def forward(
                 cfg, h, lw["ffn_norm"], lw.get("ffn_norm_b"))
         else:
             h = h + attn_out
-            f = _norm(cfg, h, lw["ffn_norm"], lw.get("ffn_norm_b"))
+            f = _norm(cfg, h, lw["ffn_norm"], lw.get("ffn_norm_b")) if cfg.pre_norms else h
         if cfg.n_expert:
             ffn_out = _moe_ffn(cfg, lw, f, compute_dtype, tap, il)
         elif "ffn_gate" not in lw and "w_gateup" not in lw:

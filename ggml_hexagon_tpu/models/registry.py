@@ -139,6 +139,36 @@ def _starcoder2(md):
                  rope_mode="neox", attn_bias=True, act="gelu")
 
 
+def _command_r(md):
+    # reference: llm_build_command_r — LayerNorm (no bias), parallel residual
+    # with shared attn_norm, NORM rope, optional per-head QK LayerNorms,
+    # tied embeddings, final logit scaling (command-r.logit_scale)
+    return _base(md, "command-r", norm_type="layer",
+                 rms_eps=_ln_eps(md, "command-r"),
+                 parallel_residual=True, shared_ffn_norm=True,
+                 logit_scale=float(md.get("command-r.logit_scale", 1.0)))
+
+
+def _stablelm(md):
+    # reference: llm_build_stablelm — LayerNorm with bias, partial NEOX
+    # rotary (rope.dimension_count), SwiGLU FFN, optional QKV biases
+    return _base(md, "stablelm", norm_type="layer",
+                 rms_eps=_ln_eps(md, "stablelm"), rope_mode="neox",
+                 rope_n_dims=int(md.get("stablelm.rope.dimension_count", 0)))
+
+
+def _olmo2(md):
+    # reference: llm_build_olmo2 — no pre-norms; RMS post-norms inside the
+    # residual; flat QK RMS norms before reshape; NEOX rope
+    return _base(md, "olmo2", rope_mode="neox",
+                 pre_norms=False, post_norms=True)
+
+
+def _internlm2(md):
+    # reference: llm_build_internlm2 — llama graph (NORM rope, SwiGLU)
+    return _base(md, "internlm2")
+
+
 ARCHS: dict[str, Callable[[dict], LlamaConfig]] = {
     "llama": _mixtral_or_llama,
     "mistral": _mistral,
@@ -152,6 +182,10 @@ ARCHS: dict[str, Callable[[dict], LlamaConfig]] = {
     "falcon": _falcon,
     "phi2": _phi2,
     "starcoder2": _starcoder2,
+    "command-r": _command_r,
+    "stablelm": _stablelm,
+    "olmo2": _olmo2,
+    "internlm2": _internlm2,
 }
 
 

@@ -228,3 +228,38 @@ def test_starcoder2(tmp_path):
     m = transformers.Starcoder2ForCausalLM(cfg).eval()
     out = run_arch_auto(m, tmp_path, "starcoder2")
     assert out.norm_type == "layer" and out.attn_bias
+
+
+def test_command_r(tmp_path):
+    cfg = transformers.CohereConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=128, logit_scale=0.25, use_qk_norm=True,
+        tie_word_embeddings=True)
+    torch.manual_seed(14)
+    m = transformers.CohereForCausalLM(cfg).eval()
+    out = run_arch_auto(m, tmp_path, "command_r")
+    assert out.parallel_residual and out.logit_scale == 0.25
+
+
+def test_stablelm(tmp_path):
+    cfg = transformers.StableLmConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        partial_rotary_factor=0.25, max_position_embeddings=128,
+        use_qkv_bias=True)
+    torch.manual_seed(15)
+    m = transformers.StableLmForCausalLM(cfg).eval()
+    out = run_arch_auto(m, tmp_path, "stablelm")
+    assert out.norm_type == "layer" and out.rope_n_dims == 16
+
+
+def test_olmo2(tmp_path):
+    cfg = transformers.Olmo2Config(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128)
+    torch.manual_seed(16)
+    m = transformers.Olmo2ForCausalLM(cfg).eval()
+    out = run_arch_auto(m, tmp_path, "olmo2")
+    assert not out.pre_norms and out.post_norms
