@@ -207,7 +207,8 @@ def _write_gguf(out_path, arch, md_kv, tensors, qtype, norm_type=GGMLType.F32,
         w.add(key, val)
     for name, arr in tensors.items():
         arr = np.ascontiguousarray(arr, dtype=np.float32)
-        if arr.ndim < 2 or arr.shape[-1] % 256 or "position_embd" in name:
+        if (arr.ndim < 2 or arr.shape[-1] % 256
+                or "position_embd" in name or "token_types" in name):
             t = GGMLType.F32
         elif "norm" in name:
             t = norm_type
@@ -475,6 +476,16 @@ _CONVERTERS = {
     "stablelm": convert_hf_stablelm,
     "olmo2": convert_hf_olmo2,
 }
+
+
+def _convert_bert(sd, c, out_path, qtype=GGMLType.F16, tokenizer_fields=None):
+    from .bert import convert_hf_bert
+
+    return convert_hf_bert(sd, c, out_path, qtype=qtype,
+                           tokenizer_fields=tokenizer_fields)
+
+
+_CONVERTERS["bert"] = _convert_bert
 
 
 def convert_hf_model(state_dict, hf_config, out_path, qtype=GGMLType.F16,
