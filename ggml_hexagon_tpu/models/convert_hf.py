@@ -208,7 +208,8 @@ def _write_gguf(out_path, arch, md_kv, tensors, qtype, norm_type=GGMLType.F32,
     for name, arr in tensors.items():
         arr = np.ascontiguousarray(arr, dtype=np.float32)
         if (arr.ndim < 2 or arr.shape[-1] % 256
-                or "position_embd" in name or "token_types" in name):
+                or "position_embd" in name or "token_types" in name
+                or "lerp" in name):  # rwkv token-shift params stay dense
             t = GGMLType.F32
         elif "norm" in name:
             t = norm_type

@@ -86,4 +86,8 @@ def build_tokenizer(vocab: Vocab):
         return WPMTokenizer(vocab)
     if vocab.model in ("t5", "ugm", "unigram"):
         return UGMTokenizer(vocab)
+    if vocab.model == "rwkv":
+        from .rwkv import RWKVTokenizer
+
+        return RWKVTokenizer(vocab)
     raise NotImplementedError(f"tokenizer model {vocab.model!r}")
