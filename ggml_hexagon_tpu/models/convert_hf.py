@@ -53,8 +53,13 @@ def _arch_of(hf_config) -> str:
     return {
         "llama": "llama", "mistral": "llama", "mixtral": "llama",
         "qwen2": "qwen2", "gemma": "gemma", "gemma2": "gemma2",
-        "phi3": "phi3", "qwen2_moe": "qwen2moe",
+        "phi3": "phi3", "qwen2_moe": "qwen2moe", "olmo": "olmo",
     }.get(mt, mt)
+
+
+# NORM-rope archs whose HF q/k use rotate-half layout -> permute at convert
+# (reference: convert_hf_to_gguf.py LlamaModel.permute, OlmoModel)
+_PERMUTE_ARCHS = {"llama", "olmo"}
 
 
 def convert_hf_llama(
@@ -101,12 +106,16 @@ def convert_hf_llama(
     if rs and rs.get("type") == "linear":
         w.add(f"{arch}.rope.scaling.type", "linear")
         w.add(f"{arch}.rope.scaling.factor", float(rs["factor"]))
+    if arch == "olmo":
+        w.add("olmo.attention.layer_norm_epsilon", 1e-5)
+        if getattr(c, "clip_qkv", None):
+            w.add("olmo.attention.clamp_kqv", float(c.clip_qkv))
     for key, val in (tokenizer_fields or {}).items():
         w.add(key, val)
 
     n_head = int(c.num_attention_heads)
     n_head_kv = int(getattr(c, "num_key_value_heads", n_head))
-    permute = arch == "llama"  # NORM-rope family; NEOX archs pass through
+    permute = arch in _PERMUTE_ARCHS  # NORM-rope family; NEOX archs pass through
     gemma_norm = arch in ("gemma", "gemma2")
 
     def pick_type(name: str, arr: np.ndarray) -> GGMLType:
@@ -186,10 +195,11 @@ def convert_hf_llama(
             emit(f"blk.{i}.ffn_gate_shexp.weight", sd[pre + "mlp.shared_expert.gate_proj.weight"])
             emit(f"blk.{i}.ffn_up_shexp.weight", sd[pre + "mlp.shared_expert.up_proj.weight"])
             emit(f"blk.{i}.ffn_down_shexp.weight", sd[pre + "mlp.shared_expert.down_proj.weight"])
-    onorm = sd["model.norm.weight"]
-    if gemma_norm:
-        onorm = onorm + 1.0
-    emit("output_norm.weight", onorm)
+    if "model.norm.weight" in sd:  # absent for olmo (non-parametric norms)
+        onorm = sd["model.norm.weight"]
+        if gemma_norm:
+            onorm = onorm + 1.0
+        emit("output_norm.weight", onorm)
     if "lm_head.weight" in sd:
         emit("output.weight", sd["lm_head.weight"])
     w.write_file(out_path)
@@ -467,8 +477,92 @@ def convert_hf_olmo2(sd, c, out_path, qtype=GGMLType.F16, tokenizer_fields=None)
                        tokenizer_fields=tokenizer_fields)
 
 
+def convert_hf_mpt(sd, c, out_path, qtype=GGMLType.F16, tokenizer_fields=None):
+    """MptForCausalLM -> GGUF (mpt arch; ALiBi, fused contiguous QKV,
+    optional flat QK LayerNorms; reference: llm_build_mpt)."""
+    t = {"token_embd.weight": sd["transformer.wte.weight"]}
+    if "transformer.wpe.weight" in sd:
+        t["position_embd.weight"] = sd["transformer.wpe.weight"]
+    for i in range(int(c.num_hidden_layers)):
+        p, g = f"transformer.blocks.{i}.", f"blk.{i}."
+        _copy_biased(t, sd, p + "norm_1", g + "attn_norm")
+        _copy_biased(t, sd, p + "attn.Wqkv", g + "attn_qkv")
+        if p + "attn.q_ln.weight" in sd:
+            _copy_biased(t, sd, p + "attn.q_ln", g + "attn_q_norm")
+            _copy_biased(t, sd, p + "attn.k_ln", g + "attn_k_norm")
+        _copy_biased(t, sd, p + "attn.out_proj", g + "attn_output")
+        _copy_biased(t, sd, p + "norm_2", g + "ffn_norm")
+        _copy_biased(t, sd, p + "ffn.up_proj", g + "ffn_up")
+        _copy_biased(t, sd, p + "ffn.down_proj", g + "ffn_down")
+    _copy_biased(t, sd, "transformer.norm_f", "output_norm")
+    ac = getattr(c, "attn_config", None)
+    aget = (lambda k, d: getattr(ac, k, d)) if ac is not None else (lambda k, d: d)
+    n_ff = int(getattr(c, "expansion_ratio", 4) * c.hidden_size)
+    md = _common_md("mpt", c, n_ff, getattr(c, "layer_norm_epsilon", 1e-5),
+                    n_head_kv=aget("kv_n_heads", None) or c.num_attention_heads)
+    md["mpt.context_length"] = int(getattr(c, "max_seq_len", 2048))
+    if aget("alibi", True):
+        md["mpt.attention.max_alibi_bias"] = float(aget("alibi_bias_max", 8))
+    if aget("clip_qkv", None):
+        md["mpt.attention.clamp_kqv"] = float(aget("clip_qkv", 0.0))
+    return _write_gguf(out_path, "mpt", md, t, qtype,
+                       tokenizer_fields=tokenizer_fields)
+
+
+def convert_hf_starcoder(sd, c, out_path, qtype=GGMLType.F16, tokenizer_fields=None):
+    """GPTBigCodeForCausalLM -> GGUF (starcoder arch; MQA fused QKV,
+    learned positions; reference: llm_build_starcoder)."""
+    t = {"token_embd.weight": sd["transformer.wte.weight"],
+         "position_embd.weight": sd["transformer.wpe.weight"]}
+    if "lm_head.weight" in sd:
+        t["output.weight"] = sd["lm_head.weight"]
+    for i in range(int(c.num_hidden_layers)):
+        p, g = f"transformer.h.{i}.", f"blk.{i}."
+        _copy_biased(t, sd, p + "ln_1", g + "attn_norm")
+        _copy_biased(t, sd, p + "attn.c_attn", g + "attn_qkv")
+        _copy_biased(t, sd, p + "attn.c_proj", g + "attn_output")
+        _copy_biased(t, sd, p + "ln_2", g + "ffn_norm")
+        _copy_biased(t, sd, p + "mlp.c_fc", g + "ffn_up")
+        _copy_biased(t, sd, p + "mlp.c_proj", g + "ffn_down")
+    _copy_biased(t, sd, "transformer.ln_f", "output_norm")
+    n_kv = 1 if getattr(c, "multi_query", True) else int(c.num_attention_heads)
+    n_ff = int(getattr(c, "n_inner", None) or 4 * c.hidden_size)
+    md = _common_md("starcoder", c, n_ff,
+                    getattr(c, "layer_norm_epsilon", 1e-5), n_head_kv=n_kv)
+    return _write_gguf(out_path, "starcoder", md, t, qtype,
+                       tokenizer_fields=tokenizer_fields)
+
+
+def convert_hf_bloom(sd, c, out_path, qtype=GGMLType.F16, tokenizer_fields=None):
+    """BloomForCausalLM -> GGUF (bloom arch; embedding LayerNorm, ALiBi,
+    per-head-interleaved fused QKV; reference: llm_build_bloom)."""
+    n_head = int(c.num_attention_heads)
+    hd = int(c.hidden_size) // n_head
+    t = {"token_embd.weight": sd["transformer.word_embeddings.weight"]}
+    _copy_biased(t, sd, "transformer.word_embeddings_layernorm", "token_embd_norm")
+    for i in range(int(c.num_hidden_layers)):
+        p, g = f"transformer.h.{i}.", f"blk.{i}."
+        _copy_biased(t, sd, p + "input_layernorm", g + "attn_norm")
+        t[g + "attn_qkv.weight"] = _deinterleave_qkv(
+            sd[p + "self_attention.query_key_value.weight"], n_head, hd)
+        t[g + "attn_qkv.bias"] = _deinterleave_qkv(
+            sd[p + "self_attention.query_key_value.bias"], n_head, hd)
+        _copy_biased(t, sd, p + "self_attention.dense", g + "attn_output")
+        _copy_biased(t, sd, p + "post_attention_layernorm", g + "ffn_norm")
+        _copy_biased(t, sd, p + "mlp.dense_h_to_4h", g + "ffn_up")
+        _copy_biased(t, sd, p + "mlp.dense_4h_to_h", g + "ffn_down")
+    _copy_biased(t, sd, "transformer.ln_f", "output_norm")
+    md = _common_md("bloom", c, 4 * int(c.hidden_size),
+                    getattr(c, "layer_norm_epsilon", 1e-5))
+    return _write_gguf(out_path, "bloom", md, t, qtype,
+                       tokenizer_fields=tokenizer_fields)
+
+
 _CONVERTERS = {
     "gpt2": convert_hf_gpt2,
+    "mpt": convert_hf_mpt,
+    "bloom": convert_hf_bloom,
+    "gpt_bigcode": convert_hf_starcoder,
     "gpt_neox": convert_hf_gptneox,
     "falcon": convert_hf_falcon,
     "phi": convert_hf_phi2,

@@ -72,6 +72,9 @@ class LlamaConfig:
     shared_ffn_norm: bool = False      # FFN input = attn_norm output (falcon/phi2)
     logit_scale: float = 1.0           # command-r final logit scaling
     pre_norms: bool = True             # olmo2: False -> post-norms only
+    alibi_max_bias: float = 0.0        # mpt/bloom/jais: ALiBi attention bias
+    clamp_qkv: float = 0.0             # mpt/olmo/dbrx: clamp QKV to [-c, c]
+    residual_scale: float = 1.0        # granite/minicpm residual multiplier
 
     @property
     def hd(self) -> int:
@@ -164,7 +167,7 @@ def load_llama_weights(reader, dtype=jnp.bfloat16, device: bool = True) -> tuple
     for i in range(cfg.n_layer):
         p = f"blk.{i}."
         lw = {"wo": get(p + "attn_output.weight")}
-        if cfg.pre_norms:
+        if cfg.pre_norms and p + "attn_norm.weight" in reader.tensors:
             lw["attn_norm"] = get(p + "attn_norm.weight", as_vec=True)
         if p + "attn_qkv.weight" in reader.tensors:  # fused QKV (gpt2/falcon/neox)
             lw["wqkv"] = get(p + "attn_qkv.weight")
@@ -172,7 +175,8 @@ def load_llama_weights(reader, dtype=jnp.bfloat16, device: bool = True) -> tuple
             lw["wq"] = get(p + "attn_q.weight")
             lw["wk"] = get(p + "attn_k.weight")
             lw["wv"] = get(p + "attn_v.weight")
-        if not cfg.shared_ffn_norm and cfg.pre_norms:
+        if (not cfg.shared_ffn_norm and cfg.pre_norms
+                and p + "ffn_norm.weight" in reader.tensors):
             lw["ffn_norm"] = get(p + "ffn_norm.weight", as_vec=True)
         for bias, name in (("bqkv", "attn_qkv.bias"), ("bq", "attn_q.bias"),
                            ("bk", "attn_k.bias"), ("bv", "attn_v.bias")):
@@ -182,6 +186,8 @@ def load_llama_weights(reader, dtype=jnp.bfloat16, device: bool = True) -> tuple
         for extra, name in (
             ("attn_q_norm", "attn_q_norm.weight"),
             ("attn_k_norm", "attn_k_norm.weight"),
+            ("attn_q_norm_b", "attn_q_norm.bias"),
+            ("attn_k_norm_b", "attn_k_norm.bias"),
             ("post_attn_norm", "post_attention_norm.weight"),
             ("post_ffn_norm", "post_ffw_norm.weight"),
             ("attn_norm_b", "attn_norm.bias"),
@@ -212,7 +218,7 @@ def load_llama_weights(reader, dtype=jnp.bfloat16, device: bool = True) -> tuple
         layers.append(lw)
     weights = {
         "tok_embd": get("token_embd.weight"),
-        "output_norm": get("output_norm.weight", as_vec=True),
+        "output_norm": opt("output_norm.weight", as_vec=True),
         "output": get("output.weight")
         if "output.weight" in reader.tensors
         else get("token_embd.weight"),
@@ -222,6 +228,8 @@ def load_llama_weights(reader, dtype=jnp.bfloat16, device: bool = True) -> tuple
         ("output_norm_b", "output_norm.bias"),
         ("output_b", "output.bias"),
         ("pos_embd", "position_embd.weight"),
+        ("tok_norm", "token_embd_norm.weight"),
+        ("tok_norm_b", "token_embd_norm.bias"),
     ):
         a = opt(name, as_vec=(extra != "pos_embd"))
         if a is not None:
@@ -316,6 +324,8 @@ FLASH_THRESHOLD = 2048  # cache sizes past this use the memory-linear path
 
 def _attention(cfg: LlamaConfig, q, k_all, v_all, pos_start, T, swa: int = 0,
                scale: float = 0.0, logit_softcap: float = 0.0):
+    from ..ops.basic import alibi_slopes
+
     """GQA attention over the cache prefix.
 
     q [B, T, n_head, hd]; k_all/v_all [B, S, n_head_kv, hd].
@@ -329,7 +339,7 @@ def _attention(cfg: LlamaConfig, q, k_all, v_all, pos_start, T, swa: int = 0,
     qg = q.transpose(0, 2, 1, 3).reshape(B, cfg.n_head_kv, group, T, hd)
     k = k_all.transpose(0, 2, 1, 3)  # [B, n_kv, S, hd]
     v = v_all.transpose(0, 2, 1, 3)
-    if S >= FLASH_THRESHOLD and S % 512 == 0:
+    if S >= FLASH_THRESHOLD and S % 512 == 0 and not cfg.alibi_max_bias:
         from ..ops.attention import flash_attention_cache
 
         out = flash_attention_cache(
@@ -348,6 +358,13 @@ def _attention(cfg: LlamaConfig, q, k_all, v_all, pos_start, T, swa: int = 0,
     if swa:
         allowed = allowed & ((pos_b + t_idx) - s_idx < swa)
     mask = jnp.where(allowed, 0.0, -jnp.inf)[:, None, None]  # [B|1,1,1,T,S]
+    if cfg.alibi_max_bias:
+        # ggml softmax_ext ALiBi: bias = -slope_h * |pos_q - pos_s|
+        # (ggml-cpu.c:8289-8311; mask built per llama-graph.cpp:403-500)
+        slopes = jnp.asarray(alibi_slopes(n_head, cfg.alibi_max_bias))
+        sl = slopes.reshape(cfg.n_head_kv, group)[None, :, :, None, None]
+        dist = ((pos_b + t_idx) - s_idx).astype(jnp.float32)[:, None, None]
+        mask = mask - sl * jnp.abs(dist)
     probs = softmax_ext(
         scores, mask, scale=scale or 1.0 / np.sqrt(hd), logit_cap=logit_softcap
     ).astype(v.dtype)
@@ -388,7 +405,10 @@ def qtensor_rows(qt, start: int, n: int):
 
 def _norm(cfg, x, w, b=None):
     """Arch-aware norm: RMSNorm (gemma stores w-1; effective weight is 1+w)
-    or LayerNorm with optional bias (gpt2/gptneox/falcon/phi2 class)."""
+    or LayerNorm with optional bias (gpt2/gptneox/falcon/phi2 class).
+    w=None -> non-parametric norm (olmo, llm_build_olmo passes NULL)."""
+    if w is None:
+        w = jnp.ones((x.shape[-1],), jnp.float32)
     if cfg.norm_type == "layer":
         return norm(x, w, b, cfg.rms_eps)
     ww = (1.0 + w.astype(jnp.float32)) if cfg.norm_plus_one else w
@@ -476,11 +496,13 @@ def forward(
     if cfg.pos_embd:  # gpt2-class learned absolute positions
         pe = weights["pos_embd"][jnp.broadcast_to(positions, (B, T))]
         h = (h.astype(jnp.float32) + pe.astype(jnp.float32)).astype(compute_dtype)
+    if "tok_norm" in weights:  # bloom word_embeddings_layernorm
+        h = _norm(cfg, h, weights["tok_norm"], weights.get("tok_norm_b"))
 
     scale = cfg.attn_scale or 1.0 / float(np.sqrt(cfg.hd))
     new_k, new_v = [], []
     for il, lw in enumerate(weights["layers"]):
-        a = _norm(cfg, h, lw["attn_norm"], lw.get("attn_norm_b")) if cfg.pre_norms else h
+        a = _norm(cfg, h, lw.get("attn_norm"), lw.get("attn_norm_b")) if cfg.pre_norms else h
         if tap is not None:
             tap(f"blk.{il}.attn_q.weight", a)
             tap(f"blk.{il}.attn_k.weight", a)
@@ -500,12 +522,18 @@ def forward(
             v = matmul_lora(a, lw["wv"], lw.get("wv_lora"))
             if "bq" in lw:
                 q = q + lw["bq"]
+            if "bk" in lw:
                 k = k + lw["bk"]
+            if "bv" in lw:
                 v = v + lw["bv"]
+        if cfg.clamp_qkv:  # mpt/olmo/dbrx f_clamp_kqv
+            q = jnp.clip(q, -cfg.clamp_qkv, cfg.clamp_qkv)
+            k = jnp.clip(k, -cfg.clamp_qkv, cfg.clamp_qkv)
+            v = jnp.clip(v, -cfg.clamp_qkv, cfg.clamp_qkv)
         if "attn_q_norm" in lw and lw["attn_q_norm"].shape[-1] != cfg.hd:
-            # olmo2-style flat QK norms over the whole projection output
-            q = _norm(cfg, q, lw["attn_q_norm"])
-            k = _norm(cfg, k, lw["attn_k_norm"])
+            # olmo2/mpt-style flat QK norms over the whole projection output
+            q = _norm(cfg, q, lw["attn_q_norm"], lw.get("attn_q_norm_b"))
+            k = _norm(cfg, k, lw["attn_k_norm"], lw.get("attn_k_norm_b"))
             q = q.reshape(B, T, cfg.n_head, cfg.hd)
             k = k.reshape(B, T, cfg.n_head_kv, cfg.hd)
         else:
@@ -552,10 +580,10 @@ def forward(
         if cfg.parallel_residual:
             # gptneox/falcon/phi2: FFN reads the same residual input as attn
             f = a if cfg.shared_ffn_norm else _norm(
-                cfg, h, lw["ffn_norm"], lw.get("ffn_norm_b"))
+                cfg, h, lw.get("ffn_norm"), lw.get("ffn_norm_b"))
         else:
-            h = h + attn_out
-            f = _norm(cfg, h, lw["ffn_norm"], lw.get("ffn_norm_b")) if cfg.pre_norms else h
+            h = h + attn_out * cfg.residual_scale
+            f = _norm(cfg, h, lw.get("ffn_norm"), lw.get("ffn_norm_b")) if cfg.pre_norms else h
         if cfg.n_expert:
             ffn_out = _moe_ffn(cfg, lw, f, compute_dtype, tap, il)
         elif "ffn_gate" not in lw and "w_gateup" not in lw:
@@ -590,7 +618,7 @@ def forward(
             ffn_out = matmul_lora(gu, lw["ffn_down"], lw.get("ffn_down_lora")).astype(compute_dtype)
         if cfg.post_norms:
             ffn_out = _norm(cfg, ffn_out, lw["post_ffn_norm"])
-        h = (h + attn_out + ffn_out) if cfg.parallel_residual else (h + ffn_out)
+        h = (h + attn_out + ffn_out) if cfg.parallel_residual else (h + ffn_out * cfg.residual_scale)
         if "cvec" in lw:  # control-vector steering (llama-adapter cvec)
             h = h + lw["cvec"].astype(h.dtype)
 

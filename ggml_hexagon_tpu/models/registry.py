@@ -169,6 +169,38 @@ def _internlm2(md):
     return _base(md, "internlm2")
 
 
+def _mpt(md):
+    # reference: llm_build_mpt — LN, fused QKV (optionally clamped), ALiBi
+    # (no rope), optional flat QK LayerNorms, gelu no-gate FFN
+    return _base(md, "mpt", norm_type="layer", rms_eps=_ln_eps(md, "mpt"),
+                 rope_mode="none", act="gelu",
+                 alibi_max_bias=float(md.get("mpt.attention.max_alibi_bias", 0.0)),
+                 clamp_qkv=float(md.get("mpt.attention.clamp_kqv", 0.0)))
+
+
+def _bloom(md):
+    # reference: llm_build_bloom — embedding LayerNorm, ALiBi (f_max_alibi_bias
+    # fixed at 8, llama-model.cpp load_hparams), LN, gelu no-gate FFN
+    return _base(md, "bloom", norm_type="layer", rms_eps=_ln_eps(md, "bloom"),
+                 rope_mode="none", act="gelu", alibi_max_bias=8.0)
+
+
+def _starcoder(md):
+    # reference: llm_build_starcoder — gpt2-class graph with MQA:
+    # LN, learned positions, fused QKV + bias, gelu no-gate FFN, no rope
+    return _base(md, "starcoder", norm_type="layer",
+                 rms_eps=_ln_eps(md, "starcoder"),
+                 rope_mode="none", pos_embd=True, attn_bias=True, act="gelu")
+
+
+def _olmo(md):
+    # reference: llm_build_olmo — llama graph with non-parametric LayerNorm
+    # (NULL norm weights), optional QKV clamp, NORM rope, SwiGLU
+    return _base(md, "olmo", norm_type="layer",
+                 rms_eps=float(md.get("olmo.attention.layer_norm_epsilon", 1e-5)),
+                 clamp_qkv=float(md.get("olmo.attention.clamp_kqv", 0.0)))
+
+
 ARCHS: dict[str, Callable[[dict], LlamaConfig]] = {
     "llama": _mixtral_or_llama,
     "mistral": _mistral,
@@ -186,6 +218,10 @@ ARCHS: dict[str, Callable[[dict], LlamaConfig]] = {
     "stablelm": _stablelm,
     "olmo2": _olmo2,
     "internlm2": _internlm2,
+    "mpt": _mpt,
+    "bloom": _bloom,
+    "starcoder": _starcoder,
+    "olmo": _olmo,
 }
 
 

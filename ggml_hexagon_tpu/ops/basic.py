@@ -134,6 +134,21 @@ def apply_rope(x, positions, params: RopeParams):
     return out.astype(x.dtype)
 
 
+def alibi_slopes(n_head: int, max_bias: float):
+    """Per-head ALiBi slopes (ggml SOFT_MAX_EXT semantics,
+    ggml-cpu.c:8289-8311): heads beyond the largest power of two get the
+    interleaved half-step geometric sequence."""
+    import numpy as np
+
+    n_head_log2 = 1 << int(math.floor(math.log2(n_head)))
+    m0 = 2.0 ** (-max_bias / n_head_log2)
+    m1 = 2.0 ** (-max_bias / 2.0 / n_head_log2)
+    out = np.empty(n_head, np.float32)
+    for h in range(n_head):
+        out[h] = m0 ** (h + 1) if h < n_head_log2 else m1 ** (2 * (h - n_head_log2) + 1)
+    return out
+
+
 def softmax_ext(scores, mask=None, scale: float = 1.0, logit_cap: float = 0.0):
     """Fused scale + mask + (optional tanh soft-cap) + softmax, in f32.
 

@@ -263,3 +263,47 @@ def test_olmo2(tmp_path):
     m = transformers.Olmo2ForCausalLM(cfg).eval()
     out = run_arch_auto(m, tmp_path, "olmo2")
     assert not out.pre_norms and out.post_norms
+
+
+def test_mpt_alibi(tmp_path):
+    cfg = transformers.MptConfig(
+        d_model=256, n_heads=4, n_layers=2, expansion_ratio=2,
+        max_seq_len=64, vocab_size=256,
+        attn_config=transformers.models.mpt.configuration_mpt.MptAttentionConfig(
+            alibi=True, alibi_bias_max=8, clip_qkv=2.0))
+    torch.manual_seed(16)
+    m = transformers.MptForCausalLM(cfg).eval()
+    out = run_arch_auto(m, tmp_path, "mpt")
+    assert out.alibi_max_bias == 8.0 and out.clamp_qkv == 2.0
+    assert out.rope_mode == "none" and out.norm_type == "layer"
+
+
+def test_bloom(tmp_path):
+    cfg = transformers.BloomConfig(
+        hidden_size=256, n_head=4, n_layer=2, vocab_size=256,
+        layer_norm_epsilon=1e-5)
+    torch.manual_seed(17)
+    m = transformers.BloomForCausalLM(cfg).eval()
+    out = run_arch_auto(m, tmp_path, "bloom")
+    assert out.alibi_max_bias == 8.0 and out.act == "gelu"
+
+
+def test_starcoder_mqa(tmp_path):
+    cfg = transformers.GPTBigCodeConfig(
+        vocab_size=256, n_embd=256, n_layer=2, n_head=4, n_positions=64,
+        n_inner=512, multi_query=True)
+    torch.manual_seed(18)
+    m = transformers.GPTBigCodeForCausalLM(cfg).eval()
+    out = run_arch_auto(m, tmp_path, "starcoder")
+    assert out.n_head_kv == 1 and out.pos_embd and out.norm_type == "layer"
+
+
+def test_olmo(tmp_path):
+    cfg = transformers.OlmoConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, clip_qkv=2.0, tie_word_embeddings=False)
+    torch.manual_seed(19)
+    m = transformers.OlmoForCausalLM(cfg).eval()
+    out = run_arch_auto(m, tmp_path, "olmo")
+    assert out.clamp_qkv == 2.0 and out.norm_type == "layer"
