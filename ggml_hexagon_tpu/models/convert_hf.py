@@ -37,6 +37,9 @@ _LAYER_MAP = {
     "mlp.gate_proj.weight": "ffn_gate.weight",
     "mlp.up_proj.weight": "ffn_up.weight",
     "mlp.down_proj.weight": "ffn_down.weight",
+    # flat QK norms (olmoe/qwen3-class)
+    "self_attn.q_norm.weight": "attn_q_norm.weight",
+    "self_attn.k_norm.weight": "attn_k_norm.weight",
     # gemma2 extra norms
     "pre_feedforward_layernorm.weight": "ffn_norm.weight",
     "post_feedforward_layernorm.weight": "post_ffw_norm.weight",
@@ -54,12 +57,14 @@ def _arch_of(hf_config) -> str:
         "llama": "llama", "mistral": "llama", "mixtral": "llama",
         "qwen2": "qwen2", "gemma": "gemma", "gemma2": "gemma2",
         "phi3": "phi3", "qwen2_moe": "qwen2moe", "olmo": "olmo",
+        "granite": "granite", "granitemoe": "granitemoe", "olmoe": "olmoe",
     }.get(mt, mt)
 
 
 # NORM-rope archs whose HF q/k use rotate-half layout -> permute at convert
-# (reference: convert_hf_to_gguf.py LlamaModel.permute, OlmoModel)
-_PERMUTE_ARCHS = {"llama", "olmo"}
+# (reference: convert_hf_to_gguf.py LlamaModel.permute, OlmoModel,
+#  GraniteModel(LlamaModel))
+_PERMUTE_ARCHS = {"llama", "olmo", "granite", "granitemoe"}
 
 
 def convert_hf_llama(
@@ -110,6 +115,12 @@ def convert_hf_llama(
         w.add("olmo.attention.layer_norm_epsilon", 1e-5)
         if getattr(c, "clip_qkv", None):
             w.add("olmo.attention.clamp_kqv", float(c.clip_qkv))
+    if arch in ("granite", "granitemoe"):
+        # reference: GraniteModel.set_gguf_parameters (multiplier -> scale)
+        w.add(f"{arch}.attention.scale", float(getattr(c, "attention_multiplier", 0.0)))
+        w.add(f"{arch}.embedding_scale", float(getattr(c, "embedding_multiplier", 1.0)))
+        w.add(f"{arch}.residual_scale", float(getattr(c, "residual_multiplier", 1.0)))
+        w.add(f"{arch}.logit_scale", float(getattr(c, "logits_scaling", 1.0)))
     for key, val in (tokenizer_fields or {}).items():
         w.add(key, val)
 
@@ -185,16 +196,28 @@ def convert_hf_llama(
             emit(f"blk.{i}.ffn_gate_exps.weight", w1)
             emit(f"blk.{i}.ffn_down_exps.weight", w2)
             emit(f"blk.{i}.ffn_up_exps.weight", w3)
-        elif is_moe and pre + "mlp.gate.weight" in sd:  # qwen2moe
+        elif is_moe and pre + "mlp.gate.weight" in sd:  # qwen2moe / olmoe
             emit(f"blk.{i}.ffn_gate_inp.weight", sd[pre + "mlp.gate.weight"])
             E = int(getattr(c, "num_experts", 0))
             for tname, hname in (("gate", "gate_proj"), ("up", "up_proj"), ("down", "down_proj")):
                 stk = np.stack([sd[pre + f"mlp.experts.{e}.{hname}.weight"] for e in range(E)])
                 emit(f"blk.{i}.ffn_{tname}_exps.weight", stk)
-            emit(f"blk.{i}.ffn_gate_inp_shexp.weight", sd[pre + "mlp.shared_expert_gate.weight"])
-            emit(f"blk.{i}.ffn_gate_shexp.weight", sd[pre + "mlp.shared_expert.gate_proj.weight"])
-            emit(f"blk.{i}.ffn_up_shexp.weight", sd[pre + "mlp.shared_expert.up_proj.weight"])
-            emit(f"blk.{i}.ffn_down_shexp.weight", sd[pre + "mlp.shared_expert.down_proj.weight"])
+            if pre + "mlp.shared_expert_gate.weight" in sd:  # qwen2moe only
+                emit(f"blk.{i}.ffn_gate_inp_shexp.weight", sd[pre + "mlp.shared_expert_gate.weight"])
+                emit(f"blk.{i}.ffn_gate_shexp.weight", sd[pre + "mlp.shared_expert.gate_proj.weight"])
+                emit(f"blk.{i}.ffn_up_shexp.weight", sd[pre + "mlp.shared_expert.up_proj.weight"])
+                emit(f"blk.{i}.ffn_down_shexp.weight", sd[pre + "mlp.shared_expert.down_proj.weight"])
+        elif is_moe and pre + "block_sparse_moe.input_linear.weight" in sd:
+            # granitemoe: fused [E, 2*ffn, d] input_linear -> gate/up stacks
+            # (reference: GraniteMoeModel.modify_tensors)
+            emit(f"blk.{i}.ffn_gate_inp.weight",
+                 sd[pre + "block_sparse_moe.router.layer.weight"])
+            inp = sd[pre + "block_sparse_moe.input_linear.weight"]
+            ffn_dim = inp.shape[1] // 2
+            emit(f"blk.{i}.ffn_gate_exps.weight", inp[:, :ffn_dim])
+            emit(f"blk.{i}.ffn_up_exps.weight", inp[:, ffn_dim:])
+            emit(f"blk.{i}.ffn_down_exps.weight",
+                 sd[pre + "block_sparse_moe.output_linear.weight"])
     if "model.norm.weight" in sd:  # absent for olmo (non-parametric norms)
         onorm = sd["model.norm.weight"]
         if gemma_norm:
@@ -225,6 +248,13 @@ def _write_gguf(out_path, arch, md_kv, tensors, qtype, norm_type=GGMLType.F32,
             t = norm_type
         else:
             t = qtype
+        if arr.ndim == 3 and t not in (GGMLType.F32, GGMLType.F16):
+            from ..quant import ref_numpy  # stacked experts: per-slab quant
+
+            packed = np.concatenate(
+                [ref_numpy.quantize(a.reshape(-1), t) for a in arr])
+            w.add_tensor(name, packed, t, raw_ne=tuple(reversed(arr.shape)))
+            continue
         w.add_tensor(name, arr, t)
     w.write_file(out_path)
     return out_path
@@ -558,8 +588,75 @@ def convert_hf_bloom(sd, c, out_path, qtype=GGMLType.F16, tokenizer_fields=None)
                        tokenizer_fields=tokenizer_fields)
 
 
+def convert_hf_nemotron(sd, c, out_path, qtype=GGMLType.F16, tokenizer_fields=None):
+    """NemotronForCausalLM -> GGUF (nemotron arch; layernorm1p baked as +1
+    at convert like the reference, partial NEOX rope, relu^2 no-gate FFN)."""
+    t = {"token_embd.weight": sd["model.embed_tokens.weight"]}
+    if "lm_head.weight" in sd:
+        t["output.weight"] = sd["lm_head.weight"]
+
+    def norm1p(t_, sd_, hf, g):  # +1 on weight (NemotronModel.modify_tensors)
+        t_[g + ".weight"] = sd_[hf + ".weight"] + 1.0
+        if hf + ".bias" in sd_:
+            t_[g + ".bias"] = sd_[hf + ".bias"]
+
+    for i in range(int(c.num_hidden_layers)):
+        p, g = f"model.layers.{i}.", f"blk.{i}."
+        norm1p(t, sd, p + "input_layernorm", g + "attn_norm")
+        for proj, gn in (("q_proj", "attn_q"), ("k_proj", "attn_k"),
+                         ("v_proj", "attn_v"), ("o_proj", "attn_output")):
+            _copy_biased(t, sd, p + f"self_attn.{proj}", g + gn)
+        norm1p(t, sd, p + "post_attention_layernorm", g + "ffn_norm")
+        _copy_biased(t, sd, p + "mlp.up_proj", g + "ffn_up")
+        _copy_biased(t, sd, p + "mlp.down_proj", g + "ffn_down")
+    norm1p(t, sd, "model.norm", "output_norm")
+    hd = int(c.hidden_size) // int(c.num_attention_heads)
+    md = _common_md("nemotron", c, c.intermediate_size,
+                    getattr(c, "norm_eps", 1e-5),
+                    n_head_kv=getattr(c, "num_key_value_heads",
+                                      c.num_attention_heads))
+    md["nemotron.rope.dimension_count"] = int(
+        getattr(c, "partial_rotary_factor", 0.5) * hd)
+    return _write_gguf(out_path, "nemotron", md, t, qtype,
+                       tokenizer_fields=tokenizer_fields)
+
+
+def convert_hf_dbrx(sd, c, out_path, qtype=GGMLType.F16, tokenizer_fields=None):
+    """DbrxForCausalLM -> GGUF (dbrx arch; fused clamped QKV, MoE expert
+    stacks from flat w1/v1/w2 params; reference: DbrxModel.modify_tensors)."""
+    ffn_c, attn_c = c.ffn_config, c.attn_config
+    E = int(ffn_c.moe_num_experts)
+    n_ff = int(ffn_c.ffn_hidden_size)
+    d = int(c.d_model)
+    t = {"token_embd.weight": sd["transformer.wte.weight"],
+         "output.weight": sd["lm_head.weight"]}
+    for i in range(int(c.n_layers)):
+        p, g = f"transformer.blocks.{i}.", f"blk.{i}."
+        t[g + "attn_norm.weight"] = sd[p + "norm_attn_norm.norm_1.weight"]
+        t[g + "attn_qkv.weight"] = sd[p + "norm_attn_norm.attn.Wqkv.weight"]
+        t[g + "attn_output.weight"] = sd[p + "norm_attn_norm.attn.out_proj.weight"]
+        t[g + "ffn_norm.weight"] = sd[p + "norm_attn_norm.norm_2.weight"]
+        t[g + "ffn_gate_inp.weight"] = sd[p + "ffn.router.layer.weight"]
+        t[g + "ffn_gate_exps.weight"] = sd[p + "ffn.experts.mlp.w1"].reshape(E, n_ff, d)
+        t[g + "ffn_up_exps.weight"] = sd[p + "ffn.experts.mlp.v1"].reshape(E, n_ff, d)
+        t[g + "ffn_down_exps.weight"] = np.ascontiguousarray(
+            sd[p + "ffn.experts.mlp.w2"].reshape(E, n_ff, d).transpose(0, 2, 1))
+    t["output_norm.weight"] = sd["transformer.norm_f.weight"]
+    md = _common_md("dbrx", c, n_ff, 1e-5,
+                    n_head_kv=int(attn_c.kv_n_heads))
+    md["dbrx.context_length"] = int(c.max_seq_len)
+    md["dbrx.rope.freq_base"] = float(attn_c.rope_theta)
+    md["dbrx.attention.clamp_kqv"] = float(attn_c.clip_qkv or 0.0)
+    md["dbrx.expert_count"] = E
+    md["dbrx.expert_used_count"] = int(ffn_c.moe_top_k)
+    return _write_gguf(out_path, "dbrx", md, t, qtype,
+                       tokenizer_fields=tokenizer_fields)
+
+
 _CONVERTERS = {
     "gpt2": convert_hf_gpt2,
+    "nemotron": convert_hf_nemotron,
+    "dbrx": convert_hf_dbrx,
     "mpt": convert_hf_mpt,
     "bloom": convert_hf_bloom,
     "gpt_bigcode": convert_hf_starcoder,

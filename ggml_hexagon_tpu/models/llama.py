@@ -416,7 +416,14 @@ def _norm(cfg, x, w, b=None):
 
 
 def _act(cfg, x):
-    return gelu(x) if cfg.act == "gelu" else silu(x)
+    if cfg.act == "gelu":
+        return gelu(x)
+    if cfg.act == "relu":
+        return jax.nn.relu(x)
+    if cfg.act == "relu2":  # nemotron LLM_FFN_RELU_SQR
+        r = jax.nn.relu(x.astype(jnp.float32))
+        return (r * r).astype(x.dtype)
+    return silu(x)
 
 
 def _moe_ffn(cfg, lw, f, compute_dtype, tap=None, il=0):

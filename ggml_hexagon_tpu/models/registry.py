@@ -201,6 +201,45 @@ def _olmo(md):
                  clamp_qkv=float(md.get("olmo.attention.clamp_kqv", 0.0)))
 
 
+def _granite(md, arch="granite"):
+    # reference: llm_build_granite — llama graph + four scales
+    # (GGUF keys per GraniteModel.set_gguf_parameters)
+    ls = float(md.get(f"{arch}.logit_scale", 0.0))
+    return _base(md, arch,
+                 attn_scale=float(md.get(f"{arch}.attention.scale", 0.0)),
+                 embd_scale=float(md.get(f"{arch}.embedding_scale", 1.0)),
+                 residual_scale=float(md.get(f"{arch}.residual_scale", 1.0)),
+                 logit_scale=(1.0 / ls) if ls else 1.0)
+
+
+def _granitemoe(md):
+    return _granite(md, "granitemoe")
+
+
+def _nemotron(md):
+    # reference: llm_build_nemotron — LN (layernorm1p baked at convert),
+    # partial NEOX rope, relu^2 no-gate FFN
+    return _base(md, "nemotron", norm_type="layer",
+                 rms_eps=_ln_eps(md, "nemotron"), rope_mode="neox",
+                 act="relu2",
+                 rope_n_dims=int(md.get("nemotron.rope.dimension_count", 0)))
+
+
+def _olmoe(md):
+    # reference: llm_build_olmoe — RMS norms, flat QK RMS norms, NEOX rope,
+    # MoE with norm_topk=false
+    return _base(md, "olmoe", rope_mode="neox", norm_topk_prob=False,
+                 rms_eps=float(md.get("olmoe.attention.layer_norm_rms_epsilon", 1e-5)))
+
+
+def _dbrx(md):
+    # reference: llm_build_dbrx — LN (no bias), fused clamped QKV, NEOX rope,
+    # MoE with norm_topk=true
+    return _base(md, "dbrx", norm_type="layer", rms_eps=1e-5,
+                 rope_mode="neox",
+                 clamp_qkv=float(md.get("dbrx.attention.clamp_kqv", 0.0)))
+
+
 ARCHS: dict[str, Callable[[dict], LlamaConfig]] = {
     "llama": _mixtral_or_llama,
     "mistral": _mistral,
@@ -222,6 +261,11 @@ ARCHS: dict[str, Callable[[dict], LlamaConfig]] = {
     "bloom": _bloom,
     "starcoder": _starcoder,
     "olmo": _olmo,
+    "granite": _granite,
+    "granitemoe": _granitemoe,
+    "nemotron": _nemotron,
+    "olmoe": _olmoe,
+    "dbrx": _dbrx,
 }
 
 

@@ -307,3 +307,70 @@ def test_olmo(tmp_path):
     m = transformers.OlmoForCausalLM(cfg).eval()
     out = run_arch_auto(m, tmp_path, "olmo")
     assert out.clamp_qkv == 2.0 and out.norm_type == "layer"
+
+
+def test_granite(tmp_path):
+    cfg = transformers.GraniteConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, tie_word_embeddings=False,
+        embedding_multiplier=6.0, attention_multiplier=0.12,
+        residual_multiplier=0.5, logits_scaling=4.0)
+    torch.manual_seed(20)
+    m = transformers.GraniteForCausalLM(cfg).eval()
+    out = run_arch_auto(m, tmp_path, "granite")
+    assert out.embd_scale == 6.0 and out.residual_scale == 0.5
+    assert abs(out.attn_scale - 0.12) < 1e-6 and abs(out.logit_scale - 0.25) < 1e-6
+
+
+def test_granitemoe(tmp_path):
+    cfg = transformers.GraniteMoeConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=128, tie_word_embeddings=False,
+        embedding_multiplier=2.0, attention_multiplier=0.12,
+        residual_multiplier=0.5, logits_scaling=2.0)
+    torch.manual_seed(21)
+    m = transformers.GraniteMoeForCausalLM(cfg).eval()
+    out = run_arch_auto(m, tmp_path, "granitemoe")
+    assert out.n_expert == 4 and out.residual_scale == 0.5
+
+
+def test_nemotron(tmp_path):
+    cfg = transformers.NemotronConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, partial_rotary_factor=0.5,
+        hidden_act="relu2", norm_eps=1e-5, tie_word_embeddings=False)
+    torch.manual_seed(22)
+    m = transformers.NemotronForCausalLM(cfg).eval()
+    out = run_arch_auto(m, tmp_path, "nemotron")
+    assert out.act == "relu2" and out.norm_type == "layer" and out.rope_n_dims == 32
+
+
+def test_olmoe(tmp_path):
+    cfg = transformers.OlmoeConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=False,
+        max_position_embeddings=128, tie_word_embeddings=False)
+    torch.manual_seed(23)
+    m = transformers.OlmoeForCausalLM(cfg).eval()
+    out = run_arch_auto(m, tmp_path, "olmoe")
+    assert out.n_expert == 4 and not out.norm_topk_prob
+
+
+def test_dbrx(tmp_path):
+    from transformers.models.dbrx.configuration_dbrx import (
+        DbrxAttentionConfig, DbrxFFNConfig)
+    cfg = transformers.DbrxConfig(
+        d_model=256, n_heads=4, n_layers=2, max_seq_len=64, vocab_size=256,
+        attn_config=DbrxAttentionConfig(kv_n_heads=2, clip_qkv=8.0,
+                                        rope_theta=10000.0),
+        ffn_config=DbrxFFNConfig(ffn_hidden_size=256, moe_num_experts=4,
+                                 moe_top_k=2))
+    torch.manual_seed(23)
+    m = transformers.DbrxForCausalLM(cfg).eval()
+    out = run_arch_auto(m, tmp_path, "dbrx")
+    assert out.n_expert == 4 and out.clamp_qkv == 8.0
