@@ -58,6 +58,8 @@ def _arch_of(hf_config) -> str:
         "qwen2": "qwen2", "gemma": "gemma", "gemma2": "gemma2",
         "phi3": "phi3", "qwen2_moe": "qwen2moe", "olmo": "olmo",
         "granite": "granite", "granitemoe": "granitemoe", "olmoe": "olmoe",
+        "gemma3_text": "gemma3", "gemma3": "gemma3",
+        "qwen3": "qwen3", "qwen3_moe": "qwen3moe",
     }.get(mt, mt)
 
 
@@ -107,10 +109,19 @@ def convert_hf_llama(
         w.add("gemma2.attn_logit_softcapping", float(getattr(c, "attn_logit_softcapping", 50.0)))
         w.add("gemma2.final_logit_softcapping", float(getattr(c, "final_logit_softcapping", 30.0)))
         w.add("gemma2.attention.sliding_window", int(getattr(c, "sliding_window", 4096)))
+    if arch == "gemma3":
+        w.add("gemma3.attention.sliding_window", int(getattr(c, "sliding_window", 1024)))
+        # llama.cpp hardcodes gemma3 f_attention_scale by model size; we carry
+        # the HF query_pre_attn_scalar faithfully instead
+        qpas = float(getattr(c, "query_pre_attn_scalar", 0) or 0)
+        if qpas:
+            w.add("gemma3.attention.scale", qpas ** -0.5)
     rs = getattr(c, "rope_scaling", None)
-    if rs and rs.get("type") == "linear":
+    if rs and (rs.get("type") or rs.get("rope_type")) == "linear":
         w.add(f"{arch}.rope.scaling.type", "linear")
         w.add(f"{arch}.rope.scaling.factor", float(rs["factor"]))
+    if is_moe and getattr(c, "norm_topk_prob", None) is not None:
+        w.add(f"{arch}.norm_topk_prob", bool(c.norm_topk_prob))
     if arch == "olmo":
         w.add("olmo.attention.layer_norm_epsilon", 1e-5)
         if getattr(c, "clip_qkv", None):
@@ -127,7 +138,7 @@ def convert_hf_llama(
     n_head = int(c.num_attention_heads)
     n_head_kv = int(getattr(c, "num_key_value_heads", n_head))
     permute = arch in _PERMUTE_ARCHS  # NORM-rope family; NEOX archs pass through
-    gemma_norm = arch in ("gemma", "gemma2")
+    gemma_norm = arch in ("gemma", "gemma2", "gemma3")
 
     def pick_type(name: str, arr: np.ndarray) -> GGMLType:
         if arr.ndim < 2 or arr.shape[-1] % 256:
@@ -172,7 +183,7 @@ def convert_hf_llama(
     for i in range(int(c.num_hidden_layers)):
         pre = f"model.layers.{i}."
         layer_map = dict(_LAYER_MAP)
-        if arch == "gemma2":
+        if arch in ("gemma2", "gemma3"):
             layer_map.update(_GEMMA2_OVERRIDES)
         for hf_suffix, g_suffix in layer_map.items():
             key = pre + hf_suffix
@@ -453,6 +464,30 @@ def convert_hf_cohere(sd, c, out_path, qtype=GGMLType.F16, tokenizer_fields=None
                        tokenizer_fields=tokenizer_fields)
 
 
+def convert_hf_cohere2(sd, c, out_path, qtype=GGMLType.F16, tokenizer_fields=None):
+    """Cohere2ForCausalLM -> GGUF (cohere2 arch; SWA with rope only on SWA
+    layers, parallel residual with shared norm; reference: llm_build_cohere2)."""
+    t = {"token_embd.weight": sd["model.embed_tokens.weight"]}
+    for i in range(int(c.num_hidden_layers)):
+        p, g = f"model.layers.{i}.", f"blk.{i}."
+        _copy_biased(t, sd, p + "input_layernorm", g + "attn_norm")
+        for proj, gn in (("q_proj", "attn_q"), ("k_proj", "attn_k"),
+                         ("v_proj", "attn_v"), ("o_proj", "attn_output")):
+            _copy_biased(t, sd, p + f"self_attn.{proj}", g + gn)
+        _copy_biased(t, sd, p + "mlp.gate_proj", g + "ffn_gate")
+        _copy_biased(t, sd, p + "mlp.up_proj", g + "ffn_up")
+        _copy_biased(t, sd, p + "mlp.down_proj", g + "ffn_down")
+    _copy_biased(t, sd, "model.norm", "output_norm")
+    md = _common_md("cohere2", c, c.intermediate_size,
+                    getattr(c, "layer_norm_eps", 1e-5),
+                    n_head_kv=getattr(c, "num_key_value_heads",
+                                      c.num_attention_heads))
+    md["cohere2.logit_scale"] = float(getattr(c, "logit_scale", 1.0))
+    md["cohere2.attention.sliding_window"] = int(getattr(c, "sliding_window", 4096))
+    return _write_gguf(out_path, "cohere2", md, t, qtype,
+                       tokenizer_fields=tokenizer_fields)
+
+
 def convert_hf_stablelm(sd, c, out_path, qtype=GGMLType.F16, tokenizer_fields=None):
     """StableLmForCausalLM -> GGUF (stablelm arch; partial NEOX rotary)."""
     t = {"token_embd.weight": sd["model.embed_tokens.weight"]}
@@ -657,6 +692,7 @@ _CONVERTERS = {
     "gpt2": convert_hf_gpt2,
     "nemotron": convert_hf_nemotron,
     "dbrx": convert_hf_dbrx,
+    "cohere2": convert_hf_cohere2,
     "mpt": convert_hf_mpt,
     "bloom": convert_hf_bloom,
     "gpt_bigcode": convert_hf_starcoder,

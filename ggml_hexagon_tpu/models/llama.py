@@ -75,6 +75,9 @@ class LlamaConfig:
     alibi_max_bias: float = 0.0        # mpt/bloom/jais: ALiBi attention bias
     clamp_qkv: float = 0.0             # mpt/olmo/dbrx: clamp QKV to [-c, c]
     residual_scale: float = 1.0        # granite/minicpm residual multiplier
+    rope_theta_swa: float = 0.0        # gemma3: SWA layers use own rope base
+    rope_freq_scale_swa: float = 1.0
+    rope_swa_only: bool = False        # cohere2: rope only on SWA layers
 
     @property
     def hd(self) -> int:
@@ -93,6 +96,14 @@ class LlamaConfig:
             beta_slow=self.rope_beta_slow,
             n_ctx_orig=self.n_ctx_train,
         )
+
+    @property
+    def rope_params_swa(self) -> RopeParams:
+        """Per-layer rope for SWA layers (gemma3: rope_freq_base_train_swa)."""
+        from dataclasses import replace
+
+        return replace(self.rope_params, freq_base=self.rope_theta_swa,
+                       freq_scale=self.rope_freq_scale_swa, ext_factor=0.0)
 
     @classmethod
     def from_gguf(cls, md: dict) -> "LlamaConfig":
@@ -550,9 +561,13 @@ def forward(
                 q = _norm(cfg, q, lw["attn_q_norm"])
                 k = _norm(cfg, k, lw["attn_k_norm"])
         v = v.reshape(B, T, cfg.n_head_kv, cfg.hd)
-        if cfg.rope_mode != "none":
-            q = apply_rope(q, positions, rope)
-            k = apply_rope(k, positions, rope)  # cache stores rotated K (A.1)
+        is_swa_layer = bool(
+            cfg.swa_window and (il % cfg.swa_pattern) != cfg.swa_pattern - 1)
+        if cfg.rope_mode != "none" and not (cfg.rope_swa_only and not is_swa_layer):
+            rope_l = (cfg.rope_params_swa
+                      if (cfg.rope_theta_swa and is_swa_layer) else rope)
+            q = apply_rope(q, positions, rope_l)
+            k = apply_rope(k, positions, rope_l)  # cache stores rotated K (A.1)
         quant_kv = "k_d" in kv_cache
         if quant_kv:
             kq, kd = _kv_quantize(k)
@@ -571,7 +586,7 @@ def forward(
             new_k.append(k_l)
             new_v.append(v_l)
             k_full, v_full = k_l, v_l
-        swa = cfg.swa_window if (cfg.swa_window and (il % cfg.swa_pattern) != cfg.swa_pattern - 1) else 0
+        swa = cfg.swa_window if is_swa_layer else 0
         attn = _attention(
             cfg, q, k_full, v_full, pos_start, T, swa=swa, scale=scale,
             logit_softcap=cfg.attn_logit_softcap,

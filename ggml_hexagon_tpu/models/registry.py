@@ -240,6 +240,41 @@ def _dbrx(md):
                  clamp_qkv=float(md.get("dbrx.attention.clamp_kqv", 0.0)))
 
 
+def _gemma3(md):
+    # reference: llm_build_gemma3 — gemma2 sandwich norms + per-head QK RMS
+    # norms before rope + per-layer rope base (SWA layers: theta 10000,
+    # scale 1; pattern 5 local : 1 global, llama-model.cpp n_swa_pattern=6)
+    g = lambda k, d=None: md.get(f"gemma3.{k}", d)
+    cfg = _base(
+        md, "gemma3", rope_mode="neox", act="gelu", post_norms=True,
+        swa_window=int(g("attention.sliding_window", 1024)),
+        swa_pattern=6, rope_theta_swa=10000.0, rope_freq_scale_swa=1.0,
+        attn_scale=float(g("attention.scale", 0.0)),
+    )
+    return LlamaConfig(**{**cfg.__dict__, "embd_scale": math.sqrt(cfg.n_embd)})
+
+
+def _cohere2(md):
+    # reference: llm_build_cohere2 — command-r graph (parallel residual,
+    # shared LN) + SWA pattern 3:1 with rope applied only on SWA layers
+    return _base(md, "cohere2", norm_type="layer",
+                 rms_eps=_ln_eps(md, "cohere2"),
+                 parallel_residual=True, shared_ffn_norm=True,
+                 logit_scale=float(md.get("cohere2.logit_scale", 1.0)),
+                 swa_window=int(md.get("cohere2.attention.sliding_window", 4096)),
+                 swa_pattern=4, rope_swa_only=True)
+
+
+def _qwen3(md):
+    # qwen2 graph + per-head QK RMS norms, no attention bias
+    return _base(md, "qwen3", rope_mode="neox")
+
+
+def _qwen3moe(md):
+    return _base(md, "qwen3moe", rope_mode="neox",
+                 norm_topk_prob=bool(md.get("qwen3moe.norm_topk_prob", True)))
+
+
 ARCHS: dict[str, Callable[[dict], LlamaConfig]] = {
     "llama": _mixtral_or_llama,
     "mistral": _mistral,
@@ -266,6 +301,10 @@ ARCHS: dict[str, Callable[[dict], LlamaConfig]] = {
     "nemotron": _nemotron,
     "olmoe": _olmoe,
     "dbrx": _dbrx,
+    "gemma3": _gemma3,
+    "cohere2": _cohere2,
+    "qwen3": _qwen3,
+    "qwen3moe": _qwen3moe,
 }
 
 

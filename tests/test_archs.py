@@ -374,3 +374,55 @@ def test_dbrx(tmp_path):
     m = transformers.DbrxForCausalLM(cfg).eval()
     out = run_arch_auto(m, tmp_path, "dbrx")
     assert out.n_expert == 4 and out.clamp_qkv == 8.0
+
+
+def test_gemma3(tmp_path):
+    cfg = transformers.Gemma3TextConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=64, max_position_embeddings=128, sliding_window=8,
+        sliding_window_pattern=6, rope_theta=1000000.0,
+        rope_local_base_freq=10000.0, query_pre_attn_scalar=64,
+        hidden_act="gelu_pytorch_tanh", hidden_activation="gelu_pytorch_tanh")
+    torch.manual_seed(24)
+    m = transformers.Gemma3ForCausalLM(cfg).eval()
+    out = run_arch_auto(m, tmp_path, "gemma3")
+    assert out.rope_theta_swa == 10000.0 and out.swa_pattern == 6
+    assert out.post_norms
+
+
+def test_cohere2(tmp_path):
+    cfg = transformers.Cohere2Config(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, logit_scale=0.25, sliding_window=8,
+        sliding_window_pattern=4, tie_word_embeddings=True)
+    torch.manual_seed(25)
+    m = transformers.Cohere2ForCausalLM(cfg).eval()
+    out = run_arch_auto(m, tmp_path, "cohere2")
+    assert out.rope_swa_only and out.swa_pattern == 4 and out.logit_scale == 0.25
+
+
+def test_qwen3(tmp_path):
+    cfg = transformers.Qwen3Config(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=64, max_position_embeddings=128, tie_word_embeddings=False)
+    torch.manual_seed(26)
+    m = transformers.Qwen3ForCausalLM(cfg).eval()
+    out = run_arch_auto(m, tmp_path, "qwen3")
+    assert out.rope_mode == "neox"
+
+
+def test_qwen3moe(tmp_path):
+    cfg = transformers.Qwen3MoeConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        moe_intermediate_size=256, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=64,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=True,
+        max_position_embeddings=128, tie_word_embeddings=False,
+        decoder_sparse_step=1, mlp_only_layers=[])
+    torch.manual_seed(27)
+    m = transformers.Qwen3MoeForCausalLM(cfg).eval()
+    out = run_arch_auto(m, tmp_path, "qwen3moe")
+    assert out.n_expert == 4 and out.norm_topk_prob
