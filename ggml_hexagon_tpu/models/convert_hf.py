@@ -40,6 +40,10 @@ _LAYER_MAP = {
     # flat QK norms (olmoe/qwen3-class)
     "self_attn.q_norm.weight": "attn_q_norm.weight",
     "self_attn.k_norm.weight": "attn_k_norm.weight",
+    # LayerNorm biases (phimoe-class)
+    "input_layernorm.bias": "attn_norm.bias",
+    "post_attention_layernorm.bias": "ffn_norm.bias",
+    "self_attn.o_proj.bias": "attn_output.bias",
     # gemma2 extra norms
     "pre_feedforward_layernorm.weight": "ffn_norm.weight",
     "post_feedforward_layernorm.weight": "post_ffw_norm.weight",
@@ -60,13 +64,15 @@ def _arch_of(hf_config) -> str:
         "granite": "granite", "granitemoe": "granitemoe", "olmoe": "olmoe",
         "gemma3_text": "gemma3", "gemma3": "gemma3",
         "qwen3": "qwen3", "qwen3_moe": "qwen3moe",
+        "minicpm": "minicpm", "phimoe": "phimoe", "deepseek": "deepseek",
     }.get(mt, mt)
 
 
 # NORM-rope archs whose HF q/k use rotate-half layout -> permute at convert
 # (reference: convert_hf_to_gguf.py LlamaModel.permute, OlmoModel,
 #  GraniteModel(LlamaModel))
-_PERMUTE_ARCHS = {"llama", "olmo", "granite", "granitemoe"}
+_PERMUTE_ARCHS = {"llama", "olmo", "granite", "granitemoe", "minicpm",
+                  "deepseek"}
 
 
 def convert_hf_llama(
@@ -80,7 +86,8 @@ def convert_hf_llama(
     """Write a GGUF file from an HF state dict (name -> numpy array)."""
     c = hf_config
     arch = _arch_of(c)
-    is_moe = getattr(c, "num_local_experts", 0) > 0 or getattr(c, "num_experts", 0) > 0
+    is_moe = (getattr(c, "num_local_experts", 0) or getattr(c, "num_experts", 0)
+              or getattr(c, "n_routed_experts", 0) or 0) > 0
     w = GGUFWriter()
     w.add("general.architecture", arch)
     w.add("general.name", getattr(c, "name_or_path", "") or f"hf-{arch}")
@@ -100,7 +107,8 @@ def convert_hf_llama(
         w.add(f"{arch}.attention.key_length", int(head_dim))
         w.add(f"{arch}.attention.value_length", int(head_dim))
     if is_moe:
-        n_exp = int(getattr(c, "num_local_experts", 0) or getattr(c, "num_experts", 0))
+        n_exp = int(getattr(c, "num_local_experts", 0) or getattr(c, "num_experts", 0)
+                    or getattr(c, "n_routed_experts", 0))
         w.add(f"{arch}.expert_count", n_exp)
         w.add(f"{arch}.expert_used_count", int(getattr(c, "num_experts_per_tok", 2)))
         if getattr(c, "moe_intermediate_size", 0):
@@ -126,6 +134,22 @@ def convert_hf_llama(
         w.add("olmo.attention.layer_norm_epsilon", 1e-5)
         if getattr(c, "clip_qkv", None):
             w.add("olmo.attention.clamp_kqv", float(c.clip_qkv))
+    if arch == "phimoe":
+        w.add("phimoe.router_jitter_noise",
+              float(getattr(c, "router_jitter_noise", 0.01) or 0.0))
+    if arch == "minicpm":
+        # reference: MiniCPMModel.set_gguf_parameters (scale formulas)
+        w.add("minicpm.embedding_scale", float(getattr(c, "scale_emb", 1.0)))
+        w.add("minicpm.residual_scale",
+              float(getattr(c, "scale_depth", 1.0))
+              / float(c.num_hidden_layers) ** 0.5)
+        w.add("minicpm.logit_scale",
+              float(c.hidden_size) / float(getattr(c, "dim_model_base", c.hidden_size)))
+    if arch == "deepseek":
+        w.add("deepseek.leading_dense_block_count",
+              int(getattr(c, "first_k_dense_replace", 0)))
+        w.add("deepseek.expert_weights_scale",
+              float(getattr(c, "routed_scaling_factor", 1.0)))
     if arch in ("granite", "granitemoe"):
         # reference: GraniteModel.set_gguf_parameters (multiplier -> scale)
         w.add(f"{arch}.attention.scale", float(getattr(c, "attention_multiplier", 0.0)))
@@ -207,9 +231,9 @@ def convert_hf_llama(
             emit(f"blk.{i}.ffn_gate_exps.weight", w1)
             emit(f"blk.{i}.ffn_down_exps.weight", w2)
             emit(f"blk.{i}.ffn_up_exps.weight", w3)
-        elif is_moe and pre + "mlp.gate.weight" in sd:  # qwen2moe / olmoe
+        elif is_moe and pre + "mlp.gate.weight" in sd:  # qwen2moe/olmoe/deepseek
             emit(f"blk.{i}.ffn_gate_inp.weight", sd[pre + "mlp.gate.weight"])
-            E = int(getattr(c, "num_experts", 0))
+            E = int(getattr(c, "num_experts", 0) or getattr(c, "n_routed_experts", 0))
             for tname, hname in (("gate", "gate_proj"), ("up", "up_proj"), ("down", "down_proj")):
                 stk = np.stack([sd[pre + f"mlp.experts.{e}.{hname}.weight"] for e in range(E)])
                 emit(f"blk.{i}.ffn_{tname}_exps.weight", stk)
@@ -218,6 +242,10 @@ def convert_hf_llama(
                 emit(f"blk.{i}.ffn_gate_shexp.weight", sd[pre + "mlp.shared_expert.gate_proj.weight"])
                 emit(f"blk.{i}.ffn_up_shexp.weight", sd[pre + "mlp.shared_expert.up_proj.weight"])
                 emit(f"blk.{i}.ffn_down_shexp.weight", sd[pre + "mlp.shared_expert.down_proj.weight"])
+            elif pre + "mlp.shared_experts.gate_proj.weight" in sd:  # deepseek
+                emit(f"blk.{i}.ffn_gate_shexp.weight", sd[pre + "mlp.shared_experts.gate_proj.weight"])
+                emit(f"blk.{i}.ffn_up_shexp.weight", sd[pre + "mlp.shared_experts.up_proj.weight"])
+                emit(f"blk.{i}.ffn_down_shexp.weight", sd[pre + "mlp.shared_experts.down_proj.weight"])
         elif is_moe and pre + "block_sparse_moe.input_linear.weight" in sd:
             # granitemoe: fused [E, 2*ffn, d] input_linear -> gate/up stacks
             # (reference: GraniteMoeModel.modify_tensors)
@@ -234,8 +262,12 @@ def convert_hf_llama(
         if gemma_norm:
             onorm = onorm + 1.0
         emit("output_norm.weight", onorm)
+    if "model.norm.bias" in sd:
+        emit("output_norm.bias", sd["model.norm.bias"])
     if "lm_head.weight" in sd:
         emit("output.weight", sd["lm_head.weight"])
+    if "lm_head.bias" in sd:
+        emit("output.bias", sd["lm_head.bias"])
     w.write_file(out_path)
     return out_path
 
@@ -562,7 +594,9 @@ def convert_hf_mpt(sd, c, out_path, qtype=GGMLType.F16, tokenizer_fields=None):
     _copy_biased(t, sd, "transformer.norm_f", "output_norm")
     ac = getattr(c, "attn_config", None)
     aget = (lambda k, d: getattr(ac, k, d)) if ac is not None else (lambda k, d: d)
-    n_ff = int(getattr(c, "expansion_ratio", 4) * c.hidden_size)
+    # derive n_ff from the actual tensor (HF MptMLP hardcodes 4*hidden and
+    # ignores expansion_ratio)
+    n_ff = int(sd["transformer.blocks.0.ffn.up_proj.weight"].shape[0])
     md = _common_md("mpt", c, n_ff, getattr(c, "layer_norm_epsilon", 1e-5),
                     n_head_kv=aget("kv_n_heads", None) or c.num_attention_heads)
     md["mpt.context_length"] = int(getattr(c, "max_seq_len", 2048))
@@ -688,11 +722,81 @@ def convert_hf_dbrx(sd, c, out_path, qtype=GGMLType.F16, tokenizer_fields=None):
                        tokenizer_fields=tokenizer_fields)
 
 
+def convert_hf_chatglm(sd, c, out_path, qtype=GGMLType.F16, tokenizer_fields=None):
+    """GlmForCausalLM (GLM-4 HF layout) -> GGUF (chatglm arch; partial
+    NORM-mode rope, fused SWIGLU gate_up; reference: llm_build_chatglm)."""
+    t = {"token_embd.weight": sd["model.embed_tokens.weight"]}
+    if "lm_head.weight" in sd:
+        t["output.weight"] = sd["lm_head.weight"]
+    for i in range(int(c.num_hidden_layers)):
+        p, g = f"model.layers.{i}.", f"blk.{i}."
+        _copy_biased(t, sd, p + "input_layernorm", g + "attn_norm")
+        for proj, gn in (("q_proj", "attn_q"), ("k_proj", "attn_k"),
+                         ("v_proj", "attn_v"), ("o_proj", "attn_output")):
+            _copy_biased(t, sd, p + f"self_attn.{proj}", g + gn)
+        _copy_biased(t, sd, p + "post_attention_layernorm", g + "ffn_norm")
+        # fused [2*ffn, d] gate_up stays fused (ggml LLM_FFN_SWIGLU)
+        t[g + "ffn_up.weight"] = sd[p + "mlp.gate_up_proj.weight"]
+        _copy_biased(t, sd, p + "mlp.down_proj", g + "ffn_down")
+    _copy_biased(t, sd, "model.norm", "output_norm")
+    hd = int(c.hidden_size) // int(c.num_attention_heads)
+    md = _common_md("chatglm", c, c.intermediate_size,
+                    getattr(c, "rms_norm_eps", 1e-5),
+                    n_head_kv=getattr(c, "num_key_value_heads",
+                                      c.num_attention_heads))
+    md["chatglm.attention.layer_norm_rms_epsilon"] = float(
+        getattr(c, "rms_norm_eps", 1e-5))
+    md["chatglm.rope.dimension_count"] = int(
+        getattr(c, "partial_rotary_factor", 0.5) * hd)
+    return _write_gguf(out_path, "chatglm", md, t, qtype,
+                       tokenizer_fields=tokenizer_fields)
+
+
+def convert_hf_exaone(sd, c, out_path, qtype=GGMLType.F16, tokenizer_fields=None):
+    """ExaoneForCausalLM -> GGUF (exaone arch; RMS norms under gpt2-style
+    names, SwiGLU via c_fc_0/c_fc_1; reference: ExaoneModel converter)."""
+    t = {"token_embd.weight": sd["transformer.wte.weight"]}
+    if "lm_head.weight" in sd:
+        t["output.weight"] = sd["lm_head.weight"]
+    for i in range(int(c.num_layers)):
+        p, g = f"transformer.h.{i}.", f"blk.{i}."
+        t[g + "attn_norm.weight"] = sd[p + "ln_1.weight"]
+        for proj, gn in (("q_proj", "attn_q"), ("k_proj", "attn_k"),
+                         ("v_proj", "attn_v"), ("out_proj", "attn_output")):
+            _copy_biased(t, sd, p + f"attn.attention.{proj}", g + gn)
+        t[g + "ffn_norm.weight"] = sd[p + "ln_2.weight"]
+        _copy_biased(t, sd, p + "mlp.c_fc_0", g + "ffn_gate")
+        _copy_biased(t, sd, p + "mlp.c_fc_1", g + "ffn_up")
+        _copy_biased(t, sd, p + "mlp.c_proj", g + "ffn_down")
+    t["output_norm.weight"] = sd["transformer.ln_f.weight"]
+    hd = int(c.hidden_size) // int(c.num_attention_heads)
+    md = {
+        "exaone.block_count": int(c.num_layers),
+        "exaone.context_length": int(getattr(c, "max_position_embeddings", 4096)),
+        "exaone.embedding_length": int(c.hidden_size),
+        "exaone.feed_forward_length": int(getattr(c, "intermediate_size", 4 * c.hidden_size)),
+        "exaone.attention.head_count": int(c.num_attention_heads),
+        "exaone.attention.head_count_kv": int(getattr(c, "num_key_value_heads",
+                                                      c.num_attention_heads)),
+        "exaone.attention.layer_norm_rms_epsilon": float(
+            getattr(c, "layer_norm_epsilon", 1e-5)),
+        "exaone.rope.freq_base": float(getattr(c, "rope_theta", 10000.0)),
+        "exaone.rope.dimension_count": int(
+            (getattr(c, "partial_rotary_factor", None) or 1.0) * hd),
+        "exaone.vocab_size": int(c.vocab_size),
+    }
+    return _write_gguf(out_path, "exaone", md, t, qtype,
+                       tokenizer_fields=tokenizer_fields)
+
+
 _CONVERTERS = {
     "gpt2": convert_hf_gpt2,
     "nemotron": convert_hf_nemotron,
     "dbrx": convert_hf_dbrx,
     "cohere2": convert_hf_cohere2,
+    "glm": convert_hf_chatglm,
+    "chatglm": convert_hf_chatglm,
+    "exaone": convert_hf_exaone,
     "mpt": convert_hf_mpt,
     "bloom": convert_hf_bloom,
     "gpt_bigcode": convert_hf_starcoder,

@@ -78,6 +78,8 @@ class LlamaConfig:
     rope_theta_swa: float = 0.0        # gemma3: SWA layers use own rope base
     rope_freq_scale_swa: float = 1.0
     rope_swa_only: bool = False        # cohere2: rope only on SWA layers
+    moe_gating: str = "softmax"        # 'softmax' | 'sparsemixer' (phimoe)
+    moe_jitter_eps: float = 0.0        # sparsemixer mask threshold
 
     @property
     def hd(self) -> int:
@@ -210,7 +212,9 @@ def load_llama_weights(reader, dtype=jnp.bfloat16, device: bool = True) -> tuple
             a = opt(p + name, as_vec=True)
             if a is not None:
                 lw[extra] = a
-        if cfg.n_expert:
+        if cfg.n_expert and p + "ffn_gate_inp.weight" in reader.tensors:
+            # MoE layer (leading dense layers of deepseek-class models fall
+            # through to the dense branch — per-layer presence-driven)
             lw["ffn_gate_inp"] = get(p + "ffn_gate_inp.weight")
             lw["ffn_gate_exps"] = get(p + "ffn_gate_exps.weight")
             lw["ffn_up_exps"] = get(p + "ffn_up_exps.weight")
@@ -222,9 +226,18 @@ def load_llama_weights(reader, dtype=jnp.bfloat16, device: bool = True) -> tuple
                     lw[sh] = a
         else:
             g = opt(p + "ffn_gate.weight")
+            up = get(p + "ffn_up.weight")
             if g is not None:  # gated (SwiGLU-class); absent for gpt2-class FFN
                 lw["ffn_gate"] = g
-            lw["ffn_up"] = get(p + "ffn_up.weight")
+                lw["ffn_up"] = up
+            else:
+                rows = up.n if isinstance(up, QTensor) else up.shape[0]
+                if cfg.n_ff and rows == 2 * cfg.n_ff:
+                    # fused SWIGLU gate_up (chatglm/phi3-style GGUFs,
+                    # ggml LLM_FFN_SWIGLU: silu(first half) * second half)
+                    lw["w_gateup"] = up
+                else:
+                    lw["ffn_up"] = up
             lw["ffn_down"] = get(p + "ffn_down.weight")
         layers.append(lw)
     weights = {
@@ -447,13 +460,31 @@ def _moe_ffn(cfg, lw, f, compute_dtype, tap=None, il=0):
     E, K = cfg.n_expert, cfg.n_expert_used
     n_ff_e = cfg.n_ff_exp or cfg.n_ff
     router = matmul(f, lw["ffn_gate_inp"]).astype(jnp.float32)  # [B,T,E]
-    probs = jax.nn.softmax(router, axis=-1)
-    topv, topi = jax.lax.top_k(probs, K)  # [B,T,K]
-    if cfg.norm_topk_prob:
-        topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
-    # dense per-token expert weights (0 outside top-k)
-    onehot = jax.nn.one_hot(topi, E, dtype=jnp.float32)  # [B,T,K,E]
-    w_tok = jnp.einsum("btk,btke->bte", topv, onehot)  # [B,T,E]
+    if cfg.moe_gating == "sparsemixer":
+        # phimoe inference routing (HF modeling_phimoe.sparsemixer eval
+        # path): per selection round, mask logits more than 2*eps below the
+        # max (relative), softmax over survivors, take the argmax weight.
+        # NOTE: deliberate fidelity improvement over the reference, which
+        # approximates this with softmax->top2->renorm (llm_build_phi3).
+        w_tok = jnp.zeros_like(router)
+        s = router
+        for _ in range(2):
+            mx = jnp.max(s, axis=-1, keepdims=True)
+            oh = jax.nn.one_hot(jnp.argmax(s, axis=-1), E, dtype=jnp.float32)
+            factor = jnp.maximum(jnp.abs(router), mx)
+            masked = jnp.where(
+                (mx - s) / factor > 2 * cfg.moe_jitter_eps, -jnp.inf, s)
+            p = jax.nn.softmax(masked, axis=-1)
+            w_tok = w_tok + jnp.sum(p * oh, axis=-1, keepdims=True) * oh
+            s = jnp.where(oh > 0, -jnp.inf, s)
+    else:
+        probs = jax.nn.softmax(router, axis=-1)
+        topv, topi = jax.lax.top_k(probs, K)  # [B,T,K]
+        if cfg.norm_topk_prob:
+            topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+        # dense per-token expert weights (0 outside top-k)
+        onehot = jax.nn.one_hot(topi, E, dtype=jnp.float32)  # [B,T,K,E]
+        w_tok = jnp.einsum("btk,btke->bte", topv, onehot)  # [B,T,E]
     n_ff, d = n_ff_e, cfg.n_embd
     out = 0.0
     for e in range(E):
@@ -470,12 +501,15 @@ def _moe_ffn(cfg, lw, f, compute_dtype, tap=None, il=0):
             tap(f"blk.{il}.ffn_down_exps.weight", gu)
         dly = matmul(gu, down_e).astype(jnp.float32)
         out = out + dly * w_tok[..., e : e + 1]
-    if "ffn_gate_shexp" in lw:  # qwen2moe shared expert + sigmoid gate
-        sg = jax.nn.sigmoid(matmul(f, lw["ffn_gate_inp_shexp"]).astype(jnp.float32))
+    if "ffn_gate_shexp" in lw:
         g = _act(cfg, matmul(f, lw["ffn_gate_shexp"]).astype(compute_dtype))
         u = matmul(f, lw["ffn_up_shexp"]).astype(compute_dtype)
         sh = matmul(g * u, lw["ffn_down_shexp"]).astype(jnp.float32)
-        out = out + sg * sh
+        if "ffn_gate_inp_shexp" in lw:  # qwen2moe: sigmoid-gated shared expert
+            sg = jax.nn.sigmoid(matmul(f, lw["ffn_gate_inp_shexp"]).astype(jnp.float32))
+            sh = sg * sh
+        # deepseek-class: shared experts added unconditionally
+        out = out + sh
     return out.astype(compute_dtype)
 
 
@@ -606,7 +640,7 @@ def forward(
         else:
             h = h + attn_out * cfg.residual_scale
             f = _norm(cfg, h, lw.get("ffn_norm"), lw.get("ffn_norm_b")) if cfg.pre_norms else h
-        if cfg.n_expert:
+        if "ffn_gate_inp" in lw:
             ffn_out = _moe_ffn(cfg, lw, f, compute_dtype, tap, il)
         elif "ffn_gate" not in lw and "w_gateup" not in lw:
             # no-gate FFN (gpt2 class): down(act(up x + b)) + b

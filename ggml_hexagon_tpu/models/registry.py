@@ -275,6 +275,43 @@ def _qwen3moe(md):
                  norm_topk_prob=bool(md.get("qwen3moe.norm_topk_prob", True)))
 
 
+def _chatglm(md):
+    # reference: llm_build_chatglm — RMS norms, partial NORM-mode rope,
+    # fused SWIGLU gate_up, optional QKV bias
+    return _base(md, "chatglm",
+                 rope_n_dims=int(md.get("chatglm.rope.dimension_count", 0)))
+
+
+def _phimoe(md):
+    # reference: PHIMOE dispatches llm_build_phi3 with MoE (norm_topk=true);
+    # we keep HF-faithful LayerNorm+bias and sparsemixer inference routing
+    return _base(md, "phimoe", norm_type="layer", rope_mode="neox",
+                 moe_gating="sparsemixer",
+                 moe_jitter_eps=float(md.get("phimoe.router_jitter_noise", 0.0)))
+
+
+def _minicpm(md):
+    # reference: MINICPM dispatches llm_build_llama with granite-style
+    # scales (MiniCPMModel.set_gguf_parameters formulas)
+    ls = float(md.get("minicpm.logit_scale", 0.0))
+    return _base(md, "minicpm",
+                 embd_scale=float(md.get("minicpm.embedding_scale", 1.0)),
+                 residual_scale=float(md.get("minicpm.residual_scale", 1.0)),
+                 logit_scale=(1.0 / ls) if ls else 1.0)
+
+
+def _exaone(md):
+    # reference: llm_build_exaone — llama graph with NEOX rope
+    return _base(md, "exaone", rope_mode="neox",
+                 rope_n_dims=int(md.get("exaone.rope.dimension_count", 0)))
+
+
+def _deepseek(md):
+    # reference: llm_build_deepseek — llama graph + MoE (norm_topk=false)
+    # with unsigned shared experts and leading dense layers
+    return _base(md, "deepseek", norm_topk_prob=False)
+
+
 ARCHS: dict[str, Callable[[dict], LlamaConfig]] = {
     "llama": _mixtral_or_llama,
     "mistral": _mistral,
@@ -305,6 +342,11 @@ ARCHS: dict[str, Callable[[dict], LlamaConfig]] = {
     "cohere2": _cohere2,
     "qwen3": _qwen3,
     "qwen3moe": _qwen3moe,
+    "chatglm": _chatglm,
+    "phimoe": _phimoe,
+    "minicpm": _minicpm,
+    "exaone": _exaone,
+    "deepseek": _deepseek,
 }
 
 

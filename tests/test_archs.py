@@ -426,3 +426,149 @@ def test_qwen3moe(tmp_path):
     m = transformers.Qwen3MoeForCausalLM(cfg).eval()
     out = run_arch_auto(m, tmp_path, "qwen3moe")
     assert out.n_expert == 4 and out.norm_topk_prob
+
+
+def test_chatglm_glm4(tmp_path):
+    cfg = transformers.GlmConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=64, partial_rotary_factor=0.5, attention_bias=True,
+        max_position_embeddings=128, tie_word_embeddings=False,
+        pad_token_id=0, eos_token_id=2, bos_token_id=None)
+    torch.manual_seed(28)
+    m = transformers.GlmForCausalLM(cfg).eval()
+    out = run_arch_auto(m, tmp_path, "chatglm")
+    assert out.rope_mode == "norm" and out.rope_n_dims == 32
+
+
+def test_phimoe(tmp_path):
+    cfg = transformers.PhimoeConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2, router_jitter_noise=0.0,
+        input_jitter_noise=0.0, max_position_embeddings=128,
+        original_max_position_embeddings=128, rope_scaling=None,
+        lm_head_bias=True, attention_bias=True, tie_word_embeddings=False)
+    torch.manual_seed(29)
+    m = transformers.PhimoeForCausalLM(cfg).eval()
+    out = run_arch_auto(m, tmp_path, "phimoe")
+    assert out.n_expert == 4 and out.norm_type == "layer"
+
+
+def test_minicpm_scales(tmp_path):
+    """MiniCPM = llama graph + embedding/residual/logit scales; verified
+    against a manually-scaled torch reference (no HF class in-tree)."""
+    from ggml_hexagon_tpu.models.convert_hf import convert_hf_model
+    from ggml_hexagon_tpu.models.registry import config_from_gguf
+
+    cfg = transformers.LlamaConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, tie_word_embeddings=True)
+    torch.manual_seed(30)
+    m = transformers.LlamaForCausalLM(cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    cfg.model_type = "minicpm"
+    cfg.scale_emb = 12.0
+    cfg.scale_depth = 1.4
+    cfg.dim_model_base = 32
+    path = str(tmp_path / "minicpm.gguf")
+    convert_hf_model(sd, cfg, path, qtype=GGMLType.F32)
+    with GGUFReader.open(path) as r:
+        mcfg, weights = load_llama_weights(r, dtype=jnp.float32)
+        md = dict(r.metadata)
+    assert mcfg.embd_scale == 12.0
+    assert abs(mcfg.residual_scale - 1.4 / 2 ** 0.5) < 1e-6
+    assert abs(mcfg.logit_scale - 32.0 / 256.0) < 1e-6
+    kv = init_kv_cache(mcfg, 1, 16, dtype=jnp.float32)
+    logits, _ = forward(mcfg, weights, jnp.zeros((1, 4), jnp.int32), kv, 0,
+                        logits_all=True, compute_dtype=jnp.float32)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_deepseek_v1(tmp_path):
+    """DeepSeek v1: MoE with unsigned shared experts + leading dense layers
+    (synthetic state dict in HF deepseek naming; no HF class in-tree)."""
+    from types import SimpleNamespace
+    from ggml_hexagon_tpu.models.convert_hf import convert_hf_model
+
+    rng = np.random.default_rng(31)
+    D, FF, E, L, V = 256, 256, 4, 2, 256
+    f = lambda *s: rng.standard_normal(s, dtype=np.float32) * 0.02
+    sd = {"model.embed_tokens.weight": f(V, D), "model.norm.weight": np.ones(D, np.float32),
+          "lm_head.weight": f(V, D)}
+    for i in range(L):
+        p = f"model.layers.{i}."
+        sd[p + "input_layernorm.weight"] = np.ones(D, np.float32)
+        sd[p + "post_attention_layernorm.weight"] = np.ones(D, np.float32)
+        for n in ("q", "k", "v", "o"):
+            sd[p + f"self_attn.{n}_proj.weight"] = f(D, D)
+        if i == 0:  # leading dense layer (first_k_dense_replace=1)
+            sd[p + "mlp.gate_proj.weight"] = f(FF, D)
+            sd[p + "mlp.up_proj.weight"] = f(FF, D)
+            sd[p + "mlp.down_proj.weight"] = f(D, FF)
+        else:
+            sd[p + "mlp.gate.weight"] = f(E, D)
+            for e in range(E):
+                sd[p + f"mlp.experts.{e}.gate_proj.weight"] = f(FF, D)
+                sd[p + f"mlp.experts.{e}.up_proj.weight"] = f(FF, D)
+                sd[p + f"mlp.experts.{e}.down_proj.weight"] = f(D, FF)
+            sd[p + "mlp.shared_experts.gate_proj.weight"] = f(FF, D)
+            sd[p + "mlp.shared_experts.up_proj.weight"] = f(FF, D)
+            sd[p + "mlp.shared_experts.down_proj.weight"] = f(D, FF)
+    c = SimpleNamespace(
+        model_type="deepseek", vocab_size=V, hidden_size=D,
+        intermediate_size=FF, num_hidden_layers=L, num_attention_heads=4,
+        num_key_value_heads=4, max_position_embeddings=128,
+        rms_norm_eps=1e-5, rope_theta=10000.0, n_routed_experts=E,
+        num_experts_per_tok=2, first_k_dense_replace=1, rope_scaling=None,
+        moe_intermediate_size=FF)
+    path = str(tmp_path / "deepseek.gguf")
+    convert_hf_model(sd, c, path, qtype=GGMLType.F32)
+    with GGUFReader.open(path) as r:
+        cfg, weights = load_llama_weights(r, dtype=jnp.float32)
+    assert cfg.n_expert == E and not cfg.norm_topk_prob
+    assert "ffn_gate_inp" not in weights["layers"][0]  # dense lead layer
+    assert "ffn_gate_shexp" in weights["layers"][1]
+    assert "ffn_gate_inp_shexp" not in weights["layers"][1]
+    kv = init_kv_cache(cfg, 1, 16, dtype=jnp.float32)
+    logits, _ = forward(cfg, weights, jnp.zeros((1, 4), jnp.int32), kv, 0,
+                        logits_all=True, compute_dtype=jnp.float32)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_exaone(tmp_path):
+    """EXAONE: llama graph under gpt2-ish tensor names (synthetic sd)."""
+    from types import SimpleNamespace
+    from ggml_hexagon_tpu.models.convert_hf import convert_hf_model
+
+    rng = np.random.default_rng(32)
+    D, FF, L, V = 256, 512, 2, 256
+    f = lambda *s: rng.standard_normal(s, dtype=np.float32) * 0.02
+    sd = {"transformer.wte.weight": f(V, D),
+          "transformer.ln_f.weight": np.ones(D, np.float32),
+          "lm_head.weight": f(V, D)}
+    for i in range(L):
+        p = f"transformer.h.{i}."
+        sd[p + "ln_1.weight"] = np.ones(D, np.float32)
+        sd[p + "ln_2.weight"] = np.ones(D, np.float32)
+        for n in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            sd[p + f"attn.attention.{n}.weight"] = f(D, D)
+        sd[p + "mlp.c_fc_0.weight"] = f(FF, D)
+        sd[p + "mlp.c_fc_1.weight"] = f(FF, D)
+        sd[p + "mlp.c_proj.weight"] = f(D, FF)
+    c = SimpleNamespace(
+        model_type="exaone", vocab_size=V, hidden_size=D,
+        intermediate_size=FF, num_layers=L, num_attention_heads=4,
+        num_key_value_heads=4, max_position_embeddings=128,
+        layer_norm_epsilon=1e-5, rope_theta=10000.0, rope_scaling=None,
+        partial_rotary_factor=1.0)
+    path = str(tmp_path / "exaone.gguf")
+    convert_hf_model(sd, c, path, qtype=GGMLType.F32)
+    with GGUFReader.open(path) as r:
+        cfg, weights = load_llama_weights(r, dtype=jnp.float32)
+    assert cfg.rope_mode == "neox" and cfg.arch == "exaone"
+    kv = init_kv_cache(cfg, 1, 16, dtype=jnp.float32)
+    logits, _ = forward(cfg, weights, jnp.zeros((1, 4), jnp.int32), kv, 0,
+                        logits_all=True, compute_dtype=jnp.float32)
+    assert np.isfinite(np.asarray(logits)).all()
