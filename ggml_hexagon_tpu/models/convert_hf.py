@@ -65,6 +65,7 @@ def _arch_of(hf_config) -> str:
         "gemma3_text": "gemma3", "gemma3": "gemma3",
         "qwen3": "qwen3", "qwen3_moe": "qwen3moe",
         "minicpm": "minicpm", "phimoe": "phimoe", "deepseek": "deepseek",
+        "xverse": "xverse",
     }.get(mt, mt)
 
 
@@ -72,7 +73,7 @@ def _arch_of(hf_config) -> str:
 # (reference: convert_hf_to_gguf.py LlamaModel.permute, OlmoModel,
 #  GraniteModel(LlamaModel))
 _PERMUTE_ARCHS = {"llama", "olmo", "granite", "granitemoe", "minicpm",
-                  "deepseek"}
+                  "deepseek", "xverse"}
 
 
 def convert_hf_llama(
@@ -789,8 +790,121 @@ def convert_hf_exaone(sd, c, out_path, qtype=GGMLType.F16, tokenizer_fields=None
                        tokenizer_fields=tokenizer_fields)
 
 
+def convert_hf_baichuan(sd, c, out_path, qtype=GGMLType.F16, tokenizer_fields=None):
+    """BaichuanForCausalLM -> GGUF (baichuan arch; fused W_pack split with
+    llama permute; 13B class uses ALiBi; reference: BaichuanModel)."""
+    n_head = int(c.num_attention_heads)
+    hd = int(c.hidden_size) // n_head
+    t = {"token_embd.weight": sd["model.embed_tokens.weight"],
+         "output_norm.weight": sd["model.norm.weight"]}
+    if "lm_head.weight" in sd:
+        t["output.weight"] = sd["lm_head.weight"]
+    for i in range(int(c.num_hidden_layers)):
+        p, g = f"model.layers.{i}.", f"blk.{i}."
+        t[g + "attn_norm.weight"] = sd[p + "input_layernorm.weight"]
+        wp = sd[p + "self_attn.W_pack.weight"]
+        d = int(c.hidden_size)
+        t[g + "attn_q.weight"] = permute_qk(wp[:d], n_head)
+        t[g + "attn_k.weight"] = permute_qk(wp[d:2 * d], n_head)
+        t[g + "attn_v.weight"] = wp[2 * d:]
+        t[g + "attn_output.weight"] = sd[p + "self_attn.o_proj.weight"]
+        t[g + "ffn_norm.weight"] = sd[p + "post_attention_layernorm.weight"]
+        t[g + "ffn_gate.weight"] = sd[p + "mlp.gate_proj.weight"]
+        t[g + "ffn_up.weight"] = sd[p + "mlp.up_proj.weight"]
+        t[g + "ffn_down.weight"] = sd[p + "mlp.down_proj.weight"]
+    md = _common_md("baichuan", c, c.intermediate_size, 1e-5)
+    md["baichuan.attention.layer_norm_rms_epsilon"] = float(
+        getattr(c, "rms_norm_eps", 1e-6))
+    del md["baichuan.attention.layer_norm_epsilon"]
+    _ = hd
+    return _write_gguf(out_path, "baichuan", md, t, qtype,
+                       tokenizer_fields=tokenizer_fields)
+
+
+def convert_hf_orion(sd, c, out_path, qtype=GGMLType.F16, tokenizer_fields=None):
+    """OrionForCausalLM -> GGUF (orion arch; LayerNorm + bias, NORM rope)."""
+    t = {"token_embd.weight": sd["model.embed_tokens.weight"]}
+    if "lm_head.weight" in sd:
+        t["output.weight"] = sd["lm_head.weight"]
+    for i in range(int(c.num_hidden_layers)):
+        p, g = f"model.layers.{i}.", f"blk.{i}."
+        _copy_biased(t, sd, p + "input_layernorm", g + "attn_norm")
+        for proj, gn in (("q_proj", "attn_q"), ("k_proj", "attn_k"),
+                         ("v_proj", "attn_v"), ("o_proj", "attn_output")):
+            _copy_biased(t, sd, p + f"self_attn.{proj}", g + gn)
+        _copy_biased(t, sd, p + "post_attention_layernorm", g + "ffn_norm")
+        _copy_biased(t, sd, p + "mlp.gate_proj", g + "ffn_gate")
+        _copy_biased(t, sd, p + "mlp.up_proj", g + "ffn_up")
+        _copy_biased(t, sd, p + "mlp.down_proj", g + "ffn_down")
+    _copy_biased(t, sd, "model.norm", "output_norm")
+    md = _common_md("orion", c, c.intermediate_size,
+                    getattr(c, "rms_norm_eps", 1e-5),
+                    n_head_kv=getattr(c, "num_key_value_heads",
+                                      c.num_attention_heads))
+    return _write_gguf(out_path, "orion", md, t, qtype,
+                       tokenizer_fields=tokenizer_fields)
+
+
+def convert_hf_qwen(sd, c, out_path, qtype=GGMLType.F16, tokenizer_fields=None):
+    """QWenLMHeadModel (Qwen v1) -> GGUF (qwen arch; fused QKV + bias,
+    NEOX rope, SwiGLU w1/w2; reference: QwenModel — n_ff = intermediate/2)."""
+    t = {"token_embd.weight": sd["transformer.wte.weight"],
+         "output_norm.weight": sd["transformer.ln_f.weight"]}
+    if "lm_head.weight" in sd:
+        t["output.weight"] = sd["lm_head.weight"]
+    for i in range(int(c.num_hidden_layers)):
+        p, g = f"transformer.h.{i}.", f"blk.{i}."
+        t[g + "attn_norm.weight"] = sd[p + "ln_1.weight"]
+        _copy_biased(t, sd, p + "attn.c_attn", g + "attn_qkv")
+        t[g + "attn_output.weight"] = sd[p + "attn.c_proj.weight"]
+        t[g + "ffn_norm.weight"] = sd[p + "ln_2.weight"]
+        t[g + "ffn_gate.weight"] = sd[p + "mlp.w2.weight"]
+        t[g + "ffn_up.weight"] = sd[p + "mlp.w1.weight"]
+        t[g + "ffn_down.weight"] = sd[p + "mlp.c_proj.weight"]
+    md = _common_md("qwen", c, int(c.intermediate_size) // 2,
+                    getattr(c, "layer_norm_epsilon", 1e-6))
+    md["qwen.attention.layer_norm_rms_epsilon"] = float(
+        getattr(c, "layer_norm_epsilon", 1e-6))
+    return _write_gguf(out_path, "qwen", md, t, qtype,
+                       tokenizer_fields=tokenizer_fields)
+
+
+def convert_hf_jais(sd, c, out_path, qtype=GGMLType.F16, tokenizer_fields=None):
+    """JAISLMHeadModel -> GGUF (jais arch; gpt2-style Conv1D transposes,
+    ALiBi, SwiGLU c_fc/c_fc2, muP scales baked into tensors at convert —
+    reference: JaisModel)."""
+    emb_scale = float(getattr(c, "mup_embeddings_scale", 0) or
+                      getattr(c, "embeddings_scale", 1.0))
+    width_scale = 1.0
+    if getattr(c, "mup_output_alpha", None) is not None:
+        width_scale = float(c.mup_output_alpha) * float(c.mup_width_scale)
+    elif getattr(c, "width_scale", None) is not None:
+        width_scale = float(c.width_scale)
+    t = {"token_embd.weight": sd["transformer.wte.weight"] * emb_scale}
+    for i in range(int(c.num_hidden_layers)):
+        p, g = f"transformer.h.{i}.", f"blk.{i}."
+        _copy_biased(t, sd, p + "ln_1", g + "attn_norm")
+        _copy_biased(t, sd, p + "attn.c_attn", g + "attn_qkv", transpose=True)
+        _copy_biased(t, sd, p + "attn.c_proj", g + "attn_output", transpose=True)
+        _copy_biased(t, sd, p + "ln_2", g + "ffn_norm")
+        _copy_biased(t, sd, p + "mlp.c_fc", g + "ffn_up", transpose=True)
+        _copy_biased(t, sd, p + "mlp.c_fc2", g + "ffn_gate", transpose=True)
+        _copy_biased(t, sd, p + "mlp.c_proj", g + "ffn_down", transpose=True)
+    _copy_biased(t, sd, "transformer.ln_f", "output_norm")
+    t["output.weight"] = t["token_embd.weight"] / emb_scale * width_scale
+    n_ff = int(getattr(c, "n_inner", None) or 4 * c.hidden_size)
+    md = _common_md("jais", c, n_ff, getattr(c, "layer_norm_epsilon", 1e-5))
+    md["jais.attention.max_alibi_bias"] = 8.0
+    return _write_gguf(out_path, "jais", md, t, qtype,
+                       tokenizer_fields=tokenizer_fields)
+
+
 _CONVERTERS = {
     "gpt2": convert_hf_gpt2,
+    "baichuan": convert_hf_baichuan,
+    "orion": convert_hf_orion,
+    "qwen": convert_hf_qwen,
+    "jais": convert_hf_jais,
     "nemotron": convert_hf_nemotron,
     "dbrx": convert_hf_dbrx,
     "cohere2": convert_hf_cohere2,

@@ -312,6 +312,41 @@ def _deepseek(md):
     return _base(md, "deepseek", norm_topk_prob=False)
 
 
+def _baichuan(md):
+    # reference: llm_build_baichuan — RMS + SwiGLU; 7B uses NORM rope,
+    # 13B (n_layer 40) uses ALiBi (f_max_alibi_bias = 8)
+    n_layer = int(md.get("baichuan.block_count", 32))
+    if n_layer >= 40:
+        return _base(md, "baichuan", rope_mode="none", alibi_max_bias=8.0)
+    return _base(md, "baichuan")
+
+
+def _xverse(md):
+    # reference: llm_build_xverse — the llama graph
+    return _base(md, "xverse")
+
+
+def _orion(md):
+    # reference: llm_build_orion — LayerNorm + bias, NORM rope, SwiGLU
+    return _base(md, "orion", norm_type="layer", rms_eps=_ln_eps(md, "orion"))
+
+
+def _qwen(md):
+    # reference: llm_build_qwen — RMS, fused QKV + bias, NEOX rope, SwiGLU
+    return _base(md, "qwen", rope_mode="neox", attn_bias=True)
+
+
+def _jais(md):
+    # reference: llm_build_jais — LN + bias, fused QKV, ALiBi, SwiGLU,
+    # kq_scale = 1/n_embd_head (muP; tensor scales baked at convert)
+    n_embd = int(md.get("jais.embedding_length"))
+    n_head = int(md.get("jais.attention.head_count"))
+    return _base(md, "jais", norm_type="layer", rms_eps=_ln_eps(md, "jais"),
+                 rope_mode="none", attn_bias=True,
+                 alibi_max_bias=float(md.get("jais.attention.max_alibi_bias", 8.0)),
+                 attn_scale=1.0 / (n_embd // n_head))
+
+
 ARCHS: dict[str, Callable[[dict], LlamaConfig]] = {
     "llama": _mixtral_or_llama,
     "mistral": _mistral,
@@ -347,6 +382,11 @@ ARCHS: dict[str, Callable[[dict], LlamaConfig]] = {
     "minicpm": _minicpm,
     "exaone": _exaone,
     "deepseek": _deepseek,
+    "baichuan": _baichuan,
+    "xverse": _xverse,
+    "orion": _orion,
+    "qwen": _qwen,
+    "jais": _jais,
 }
 
 

@@ -42,8 +42,9 @@ class T5Config:
 
     @classmethod
     def from_gguf(cls, md: dict) -> "T5Config":
-        g = lambda k, d=None: md.get(f"t5.{k}", d)
-        n_vocab = md.get("t5.vocab_size") or len(md.get("tokenizer.ggml.tokens", [])) or 32128
+        arch = md.get("general.architecture", "t5")  # 't5' | 't5encoder'
+        g = lambda k, d=None: md.get(f"{arch}.{k}", d)
+        n_vocab = g("vocab_size") or len(md.get("tokenizer.ggml.tokens", [])) or 32128
         return cls(
             n_vocab=int(n_vocab),
             d_model=int(g("embedding_length")),
@@ -54,6 +55,7 @@ class T5Config:
             rel_buckets=int(g("attention.relative_buckets_count", 32)),
             rms_eps=float(g("attention.layer_norm_epsilon", 1e-6)),
             gated_act=bool(g("feed_forward.gated", False)),
+            arch=arch,
         )
 
 
@@ -195,35 +197,37 @@ def load_t5_weights(reader, dtype=jnp.float32):
     weights = {
         "tok_embd": get("token_embd.weight"),
         "enc_rel_bias": get("enc.blk.0.attn_rel_b.weight"),
-        "dec_rel_bias": get("dec.blk.0.attn_rel_b.weight"),
         "enc_output_norm": get("enc.output_norm.weight"),
-        "dec_output_norm": get("dec.output_norm.weight"),
         "output": get("output.weight") if "output.weight" in reader.tensors else None,
         "enc_layers": stack("enc", cfg.n_layer),
-        "dec_layers": stack("dec", cfg.n_layer),
     }
+    if cfg.arch != "t5encoder":  # T5ENCODER: encoder-only (llm_build_t5_enc)
+        weights["dec_rel_bias"] = get("dec.blk.0.attn_rel_b.weight")
+        weights["dec_output_norm"] = get("dec.output_norm.weight")
+        weights["dec_layers"] = stack("dec", cfg.n_layer)
     return cfg, weights
 
 
 def convert_hf_t5(state_dict: dict, hf_config, out_path: str,
                   qtype: GGMLType = GGMLType.F32,
-                  tokenizer_fields: dict | None = None):
+                  tokenizer_fields: dict | None = None,
+                  arch: str = "t5"):
     from ..gguf.writer import GGUFWriter
 
     c = hf_config
     gated = "gated" in getattr(c, "feed_forward_proj", "relu")
     w = GGUFWriter()
-    w.add("general.architecture", "t5")
-    w.add("t5.block_count", int(c.num_layers))
-    w.add("t5.embedding_length", int(c.d_model))
-    w.add("t5.feed_forward_length", int(c.d_ff))
-    w.add("t5.attention.head_count", int(c.num_heads))
-    w.add("t5.attention.key_length", int(c.d_kv))
-    w.add("t5.attention.relative_buckets_count", int(c.relative_attention_num_buckets))
-    w.add("t5.attention.layer_norm_epsilon", float(c.layer_norm_epsilon))
-    w.add("t5.vocab_size", int(c.vocab_size))
-    w.add("t5.feed_forward.gated", gated)
-    w.add("t5.context_length", 512)
+    w.add("general.architecture", arch)
+    w.add(f"{arch}.block_count", int(c.num_layers))
+    w.add(f"{arch}.embedding_length", int(c.d_model))
+    w.add(f"{arch}.feed_forward_length", int(c.d_ff))
+    w.add(f"{arch}.attention.head_count", int(c.num_heads))
+    w.add(f"{arch}.attention.key_length", int(c.d_kv))
+    w.add(f"{arch}.attention.relative_buckets_count", int(c.relative_attention_num_buckets))
+    w.add(f"{arch}.attention.layer_norm_epsilon", float(c.layer_norm_epsilon))
+    w.add(f"{arch}.vocab_size", int(c.vocab_size))
+    w.add(f"{arch}.feed_forward.gated", gated)
+    w.add(f"{arch}.context_length", 512)
     for k, v in (tokenizer_fields or {}).items():
         w.add(k, v)
     sd = {k: np.asarray(v) for k, v in state_dict.items()}
@@ -234,7 +238,9 @@ def convert_hf_t5(state_dict: dict, hf_config, out_path: str,
         w.add_tensor(name, arr, t)
 
     emit("token_embd.weight", sd["shared.weight"], q=True)
-    for side, hf_side in (("enc", "encoder"), ("dec", "decoder")):
+    sides = ((("enc", "encoder"),) if arch == "t5encoder"
+             else (("enc", "encoder"), ("dec", "decoder")))
+    for side, hf_side in sides:
         for i in range(int(c.num_layers)):
             hb = f"{hf_side}.block.{i}.layer."
             gb = f"{side}.blk.{i}."
@@ -259,8 +265,17 @@ def convert_hf_t5(state_dict: dict, hf_config, out_path: str,
                 emit(gb + "ffn_up.weight", sd[hb + dd + "wi.weight"], q=True)
             emit(gb + "ffn_down.weight", sd[hb + dd + "wo.weight"], q=True)
     emit("enc.output_norm.weight", sd["encoder.final_layer_norm.weight"])
-    emit("dec.output_norm.weight", sd["decoder.final_layer_norm.weight"])
+    if arch != "t5encoder":
+        emit("dec.output_norm.weight", sd["decoder.final_layer_norm.weight"])
     if "lm_head.weight" in sd and not getattr(c, "tie_word_embeddings", True):
         emit("output.weight", sd["lm_head.weight"], q=True)
     w.write_file(out_path)
     return out_path
+
+
+def convert_hf_t5encoder(state_dict, hf_config, out_path,
+                         qtype=GGMLType.F32, tokenizer_fields=None):
+    """T5EncoderModel -> GGUF (t5encoder arch; reference: T5EncoderModel
+    converter / llm_build_t5_enc — encoder-only, used via llama_encode)."""
+    return convert_hf_t5(state_dict, hf_config, out_path, qtype=qtype,
+                         tokenizer_fields=tokenizer_fields, arch="t5encoder")
