@@ -261,6 +261,115 @@ class MirostatV2(Sampler):
         self.mu -= self.eta * e
 
 
+class MirostatV1(Sampler):
+    """Mirostat v1 (llama-sampling.cpp llama_sampler_mirostat_apply):
+    estimate the Zipf exponent s_hat from the top-m probabilities, derive
+    the top-k cut from the target surprise mu, then sample and update mu."""
+
+    name = "mirostat"
+
+    def __init__(self, n_vocab: int, tau: float = 5.0, eta: float = 0.1,
+                 m: int = 100, seed: int = 0):
+        self.n_vocab, self.tau, self.eta, self.m = n_vocab, tau, eta, m
+        self.mu = 2 * tau
+        self.rng = np.random.default_rng(seed)
+        self._last_surprise = 0.0
+
+    def apply(self, cand):
+        probs = cand.softmax()
+        order = np.argsort(-probs, kind="stable")
+        p = probs[order]
+        n = min(self.m - 1, p.size - 1)
+        i = np.arange(n, dtype=np.float64)
+        t_i = np.log((i + 2) / (i + 1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            b_i = np.log(np.maximum(p[:n], 1e-30) / np.maximum(p[1 : n + 1], 1e-30))
+        s_hat = float(np.sum(t_i * b_i) / np.sum(t_i * t_i))
+        eps_hat = s_hat - 1.0
+        k = ((eps_hat * 2.0 ** self.mu) / (1 - self.n_vocab ** -eps_hat)) ** (1 / s_hat)
+        k = max(int(k), 1)
+        mask = np.full(probs.shape, -np.inf, dtype=np.float32)
+        keep = order[:k]
+        mask[keep] = cand.logits[keep]
+        cand.logits = mask
+        probs = cand.softmax().astype(np.float64)
+        probs = probs / probs.sum()
+        tid = int(self.rng.choice(probs.size, p=probs))
+        self._last_surprise = float(-np.log2(max(probs[tid], 1e-30)))
+        sel = np.full(cand.logits.shape, -np.inf, dtype=np.float32)
+        sel[tid] = 0.0
+        cand.logits = sel
+        cand.probs = None
+
+    def accept(self, token):
+        self.mu -= self.eta * (self._last_surprise - self.tau)
+
+    def reset(self):
+        self.mu = 2 * self.tau
+
+
+class Infill(Sampler):
+    """Fill-in-middle sampler (llama-sampling.cpp llama_sampler_infill_apply):
+    prefer EOG when its mass dominates, merge common-prefix token pieces,
+    then keep only confident text tokens (p >= 0.2, then >= 1/(n_txt+1)).
+
+    is_eog: token -> bool;  piece: token -> bytes;  eot_id: fallback token.
+    """
+
+    name = "infill"
+
+    def __init__(self, is_eog, piece, eot_id: int, n_consider: int = 64):
+        self.is_eog, self.piece, self.eot_id = is_eog, piece, eot_id
+        self.n_consider = n_consider  # prefix-merge over the top-n only
+
+    def apply(self, cand):
+        probs = cand.softmax().astype(np.float64)
+        eog = np.fromiter((self.is_eog(int(t)) for t in range(probs.size)),
+                          dtype=bool, count=probs.size)
+        p_eog = float(probs[eog].sum())
+        p_txt = float(probs[~eog].sum())
+        out = np.full(probs.shape, -np.inf, dtype=np.float32)
+        if 3 * p_eog * probs.size > p_txt:  # EOG dominates -> keep only EOG
+            out[eog] = cand.logits[eog]
+            cand.logits = out
+            cand.probs = None
+            return
+        # merge tokens whose piece is a prefix of another (top-n window)
+        top = np.argsort(-probs, kind="stable")[: self.n_consider]
+        pieces = {int(t): self.piece(int(t)) for t in top}
+        p = probs.copy()
+        alive = {int(t) for t in top if pieces[int(t)]}
+        for t0 in list(alive):
+            for t1 in list(alive):
+                if t0 == t1 or t0 not in alive or t1 not in alive:
+                    continue
+                b0, b1 = pieces[t0], pieces[t1]
+                if len(b0) <= len(b1) and b1[: len(b0)] == b0:
+                    dst, src = (t1, t0) if p[t1] > p[t0] else (t0, t1)
+                    p[dst] += p[src]
+                    p[src] = 0.0
+                    alive.discard(src)
+        # threshold pass 1: drop non-EOG below 0.2
+        keep = (p >= 0.2) | eog
+        n_non_eog = int((keep & ~eog & (p > 0)).sum())
+        if n_non_eog == 0:
+            out[self.eot_id] = 0.0
+            cand.logits = out
+            cand.probs = None
+            return
+        p_kept = p * keep
+        p_kept = p_kept / p_kept.sum()
+        # threshold pass 2: drop non-EOG below 1/(n_non_eog+1)
+        keep2 = (p_kept >= 1.0 / (n_non_eog + 1)) | (eog & keep)
+        sel = keep & keep2 & (p > 0)
+        if not sel.any():
+            sel = keep
+        with np.errstate(divide="ignore"):
+            out[sel] = np.log(np.maximum(p[sel], 1e-30)).astype(np.float32)
+        cand.logits = out
+        cand.probs = None
+
+
 class Dist(Sampler):
     """Final seeded categorical draw."""
 
@@ -334,6 +443,7 @@ def make_chain(
     mirostat: int = 0,
     mirostat_tau: float = 5.0,
     mirostat_eta: float = 0.1,
+    n_vocab: int = 32000,
     grammar_sampler=None,
 ) -> SamplerChain:
     """Build the default chain in the reference's order (common/sampling.cpp:225).
@@ -348,6 +458,12 @@ def make_chain(
     chain.append(Penalties(penalty_last_n, penalty_repeat, penalty_freq, penalty_present))
     if temp <= 0:
         chain.append(Greedy())
+        return SamplerChain(chain)
+    if mirostat == 1:
+        chain.append(Temp(temp))
+        chain.append(MirostatV1(n_vocab=n_vocab, tau=mirostat_tau,
+                                eta=mirostat_eta, seed=seed))
+        chain.append(Dist(seed))
         return SamplerChain(chain)
     if mirostat == 2:
         chain.append(Temp(temp))

@@ -136,3 +136,53 @@ def test_dry_penalizes_repeats():
     c2 = Candidates(np.zeros(10, np.float32))
     d2.apply(c2)
     assert c2.logits[8] < c.logits[7]
+
+
+def test_mirostat_v1_converges_surprise():
+    from ggml_hexagon_tpu.runtime.sampling import Candidates, MirostatV1
+
+    rng = np.random.default_rng(0)
+    s = MirostatV1(n_vocab=200, tau=3.0, eta=0.2, seed=1)
+    surprises = []
+    for _ in range(150):
+        # Zipf-ish logits
+        logits = (-1.2 * np.log(np.arange(1, 201))).astype(np.float32)
+        rng.shuffle(logits)
+        c = Candidates(logits=logits.copy())
+        s.apply(c)
+        tid = int(np.argmax(c.logits))
+        s.accept(tid)
+        surprises.append(s._last_surprise)
+    # mu control loop keeps observed surprise near tau on average
+    assert abs(np.mean(surprises[50:]) - 3.0) < 1.5
+
+
+def test_infill_prefers_eog_when_dominant():
+    from ggml_hexagon_tpu.runtime.sampling import Candidates, Infill
+
+    V = 16
+    eog = {2}
+    s = Infill(is_eog=lambda t: t in eog, piece=lambda t: f"tok{t}".encode(),
+               eot_id=2)
+    logits = np.full(V, -2.0, np.float32)
+    logits[2] = 5.0  # EOG dominates
+    c = Candidates(logits=logits.copy())
+    s.apply(c)
+    assert np.argmax(c.logits) == 2
+    assert np.isneginf(c.logits[[0, 1, 3]]).all()
+
+
+def test_infill_merges_prefixes_and_thresholds():
+    from ggml_hexagon_tpu.runtime.sampling import Candidates, Infill
+
+    pieces = {0: b"he", 1: b"hello", 2: b"", 3: b"x", 4: b"y"}
+    s = Infill(is_eog=lambda t: t == 2, piece=lambda t: pieces.get(t, b""),
+               eot_id=2)
+    # 'he' (0.3) is a prefix of 'hello' (0.4) -> merged into 'hello' (0.7)
+    logits = np.log(np.array([0.3, 0.4, 0.01, 0.19, 0.10], np.float32))
+    c = Candidates(logits=logits.copy())
+    s.apply(c)
+    probs = c.softmax()
+    assert np.argmax(probs) == 1          # merged mass went to 'hello'
+    assert probs[1] > 0.75                # 0.7 of 0.9 kept mass
+    assert np.isneginf(c.logits[0])       # prefix token was merged away
