@@ -57,6 +57,35 @@ def cmd_generate(args):
     return 0
 
 
+def cmd_llava(args):
+    """llava-cli analog: prompt with an <image> placeholder + image file
+    (raw .npy HxWx3 uint8, or any format if PIL is importable)."""
+    import numpy as np
+
+    from .runtime import make_chain
+    from .runtime.llava import LlavaEngine
+
+    lv = LlavaEngine.from_gguf(args.model, args.mmproj, max_seq=args.ctx_size)
+    eng = lv.engine
+    if args.image.endswith(".npy"):
+        img = np.load(args.image)
+    else:
+        try:
+            from PIL import Image  # optional; not baked into this env
+        except ImportError:
+            print("error: non-.npy images need PIL", file=sys.stderr)
+            return 1
+        img = np.asarray(Image.open(args.image).convert("RGB"))
+    before, _, after = args.prompt.partition("<image>")
+    segs = [("tokens", eng.tokenizer.encode(before)), ("image", img)]
+    if after:
+        segs.append(("tokens", eng.tokenizer.encode(after)))
+    chain = make_chain(temp=args.temp, seed=args.seed)
+    toks = lv.generate(segs, n_predict=args.n_predict, sampler=chain)
+    print(eng.tokenizer.decode(toks))
+    return 0
+
+
 def cmd_quantize(args):
     from .gguf import GGUFReader
     from .quant.policy import FTYPES, quantize_model
@@ -211,6 +240,17 @@ def main(argv=None):
     g.add_argument("--on-device", action="store_true",
                    help="device-side decode loop (no per-token host sync)")
     g.set_defaults(fn=cmd_generate)
+
+    lv = sub.add_parser("llava", help="multimodal generation (model + mmproj)")
+    lv.add_argument("-m", "--model", required=True)
+    lv.add_argument("--mmproj", required=True)
+    lv.add_argument("--image", required=True, help=".npy HxWx3 uint8 (or PIL-readable)")
+    lv.add_argument("-p", "--prompt", default="<image>")
+    lv.add_argument("-n", "--n-predict", type=int, default=32)
+    lv.add_argument("-c", "--ctx-size", type=int, default=2048)
+    lv.add_argument("--temp", type=float, default=0.0)
+    lv.add_argument("--seed", type=int, default=42)
+    lv.set_defaults(fn=cmd_llava)
 
     q = sub.add_parser("quantize", help="quantize a GGUF model")
     q.add_argument("input")

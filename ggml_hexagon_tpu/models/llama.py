@@ -523,6 +523,7 @@ def forward(
     compute_dtype=jnp.bfloat16,
     tap=None,  # optional fn(weight_name, activation) for imatrix collection
     logits_idx=None,  # [B] per-row position whose logits to return
+    input_embeds=None,  # [B, T, n_embd]: raw embeddings (llava image splice)
 ):
     """One decoder step over T new tokens.  Returns (logits, new_kv_cache).
 
@@ -537,14 +538,22 @@ def forward(
     gelu FFN, embedding scaling, (1+w) norms, post-norms, logit softcaps,
     alternating sliding-window attention, MoE FFN.
     """
-    B, T = tokens.shape
+    if input_embeds is not None:
+        B, T = input_embeds.shape[:2]
+    else:
+        B, T = tokens.shape
     rope = cfg.rope_params
     # pos_start: scalar, or [B] per-row offsets (continuous batching)
     pos_vec = jnp.reshape(jnp.asarray(pos_start, jnp.int32), (-1, 1))
     positions = pos_vec + jnp.arange(T, dtype=jnp.int32)[None, :]  # [B|1, T]
-    h = embed(weights["tok_embd"], tokens, compute_dtype)
-    if cfg.embd_scale != 1.0:
-        h = (h.astype(jnp.float32) * cfg.embd_scale).astype(compute_dtype)
+    if input_embeds is not None:
+        # raw embeddings are NOT re-scaled (llm_build_gemma3: scale only
+        # applies to token inputs, not encoded image embeddings)
+        h = input_embeds.astype(compute_dtype)
+    else:
+        h = embed(weights["tok_embd"], tokens, compute_dtype)
+        if cfg.embd_scale != 1.0:
+            h = (h.astype(jnp.float32) * cfg.embd_scale).astype(compute_dtype)
     if cfg.pos_embd:  # gpt2-class learned absolute positions
         pe = weights["pos_embd"][jnp.broadcast_to(positions, (B, T))]
         h = (h.astype(jnp.float32) + pe.astype(jnp.float32)).astype(compute_dtype)

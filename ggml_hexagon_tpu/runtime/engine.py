@@ -199,6 +199,32 @@ class Engine:
         self.perf.n_prefill += T
         return logits
 
+    def prefill_embeds(self, embeds: np.ndarray) -> np.ndarray:
+        """Feed raw embeddings [B, T, n_embd] (llava image segments —
+        the analog of llava_eval_image_embed, examples/llava/llava.cpp).
+        Returns last-position logits [B, V]."""
+        embeds = np.asarray(embeds, dtype=np.float32)
+        if embeds.ndim == 2:
+            embeds = embeds[None]
+        B, T, D = embeds.shape
+        assert B == self.batch and self.n_past + T <= self.max_seq
+        logits = None
+        off = 0
+        for take, bucket in self._chunks(T):
+            chunk = embeds[:, off : off + take]
+            if take < bucket:
+                chunk = np.pad(chunk, ((0, 0), (0, bucket - take), (0, 0)))
+            out, self.kv = self._fwd(
+                self.weights, None, self.kv, jnp.int32(self.n_past),
+                logits_all=True, input_embeds=jnp.asarray(chunk),
+            )
+            logits = np.asarray(out[:, take - 1, :])
+            self.n_past += take
+            off += take
+        self.cached_tokens = []  # token-identity cache is void after embeds
+        self.perf.n_prefill += T
+        return logits
+
     def eval_tokens(self, tokens) -> np.ndarray:
         """Consume tokens (batch=1) returning logits at EVERY position [T, V]
         (the speculative verifier's one-pass scoring of a draft block)."""
