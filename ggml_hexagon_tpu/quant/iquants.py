@@ -7,9 +7,9 @@ follow ggml/src/ggml-quants.c dequantize_row_iq* / tq*; every decoder is
 differentially tested byte-for-byte against gguf-py's independent
 implementation on random bit patterns.
 
-Codebook *encoders* (the iq2/iq3/iq1 nearest-neighbour searches) are not
-yet implemented — pre-quantized i-quant GGUFs load and run; producing them
-requires the reference's llama-quantize for now.
+Codebook *encoders* (the iq2/iq3/iq1 searches) are implemented below with
+the reference's search structure but a whole-codebook snap in place of the
+truncated neighbour lists — see the encoder section comment.
 """
 from __future__ import annotations
 
@@ -303,6 +303,361 @@ def quantize_tq2_0(x: np.ndarray) -> np.ndarray:
     return out.reshape(-1)
 
 
+# ---------------------------------------------------------------------------
+# codebook encoders (imatrix-aware)
+# ---------------------------------------------------------------------------
+# Same search structure as the reference's quantize_row_iq*_impl
+# (ggml-quants.c:2954-4742): per sub-block sign factoring (with the 7-bit
+# ksigns parity trick), a scale-candidate sweep, codebook snapping, and
+# sumqx/sumq2 scale refits.  One deliberate improvement: where the reference
+# snaps off-grid points via precomputed *truncated* neighbour lists
+# (iq2_find_best_neighbour), we search the WHOLE codebook against the true
+# dequant values — a strict superset of the reference's search space, so
+# weighted error is never worse.  Encoders accept quant_weights=None by
+# substituting uniform weights (the reference asserts an imatrix instead).
+
+
+def _block_weights(x, qw, sigma_mult=1.0):
+    """weight[i] = qw[i] * sqrt(sigma2 + x[i]^2) per 256-block (x [N,256])."""
+    sigma2 = sigma_mult * np.mean(x * x, axis=1, keepdims=True)
+    if qw is None:
+        qw = 1.0
+    return qw * np.sqrt(sigma2 + x * x)
+
+
+def _extract_signs(x, w, parity: bool):
+    """Per 8-group sign bytes.  parity=True: 7-bit ksigns encoding — if the
+    group has an odd number of negatives, flip the least-important element
+    (min w*x^2) so the 8th sign is recoverable from parity.
+    x [N, 256] -> (xval [N,256], sbytes [N,32] uint8)."""
+    g = x.reshape(-1, 32, 8)
+    wg = w.reshape(-1, 32, 8)
+    neg = (g < 0).astype(np.uint8)
+    xval = np.abs(g)
+    bits = (neg << np.arange(8, dtype=np.uint8)).sum(axis=2).astype(np.uint8)
+    if parity:
+        odd = (np.bitwise_count(bits) & 1).astype(bool)
+        imp = wg * g * g
+        imin = np.argmin(imp, axis=2)
+        rows = np.nonzero(odd)
+        xval[rows[0], rows[1], imin[odd]] *= -1.0
+        bits[odd] ^= (1 << imin[odd]).astype(np.uint8)
+        bits &= 127
+    return xval.reshape(x.shape), bits.reshape(x.shape[0], 32)
+
+
+def _snap_global(xv, w, scale, qvals, chunk=8192):
+    """Best codebook row per cell: argmin_g sum_i w*(x - scale*q_g)^2.
+    xv, w [M, C]; scale [M]; qvals [G, C] -> idx [M]."""
+    q2 = (qvals * qvals).T  # [C, G]
+    qt = qvals.T
+    out = np.empty(xv.shape[0], dtype=np.int64)
+    for s in range(0, xv.shape[0], chunk):
+        e = min(s + chunk, xv.shape[0])
+        a = (w[s:e] * xv[s:e]) @ qt          # [m, G]
+        b = w[s:e] @ q2                      # [m, G]
+        sc = scale[s:e, None]
+        out[s:e] = np.argmax(2.0 * sc * a - sc * sc * b, axis=1)
+    return out
+
+
+def _refit_scale(xv, w, q):
+    """scale = sum(w x q)/sum(w q q) per row; also returns the score
+    sumqx^2/sumq2 the reference maximizes."""
+    sumqx = np.sum(w * xv * q, axis=-1)
+    sumq2 = np.sum(w * q * q, axis=-1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        scale = np.where(sumq2 > 0, sumqx / np.where(sumq2 == 0, 1, sumq2), 0.0)
+    return np.maximum(scale, 0.0), np.where(sumq2 > 0, sumqx * sumqx / np.where(sumq2 == 0, 1, sumq2), 0.0)
+
+
+def _signgrid_search(xval, weight, sub, cell, kmax, step, qvals):
+    """Shared iq2/iq3 search.  xval/weight [N,256] (signs factored out).
+    Returns (scales [N, 256//sub], idx [N, 256//cell])."""
+    N = xval.shape[0]
+    nsub = 256 // sub
+    xs = xval.reshape(N * nsub, sub)
+    ws = weight.reshape(N * nsub, sub)
+    maxv = np.maximum(xs.max(axis=1), 0.0)
+    # candidate sweep with free (non-codebook) levels, like the reference's
+    # is-loop; the codebook constraint is applied in the snap passes below
+    best_scale = np.zeros(N * nsub, np.float32)
+    best_score = np.zeros(N * nsub, np.float32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for i_s in range(-6, 7):
+            denom = 2 * kmax - 1 + i_s * step
+            idv = np.where(maxv > 0, denom / np.where(maxv == 0, 1, maxv), 0.0)
+            L = np.clip(np.rint(0.5 * (idv[:, None] * xs - 1)), 0, kmax - 1)
+            q = 2 * L + 1
+            scale, score = _refit_scale(xs, ws, q)
+            better = score > best_score
+            best_score = np.where(better, score, best_score)
+            best_scale = np.where(better, scale, best_scale)
+    scale = best_scale
+    ncell = sub // cell
+    xc = xs.reshape(-1, cell)
+    wc = ws.reshape(-1, cell)
+    for _ in range(2):  # snap -> refit, twice
+        idx = _snap_global(xc, wc, np.repeat(scale, ncell), qvals)
+        q = qvals[idx].reshape(N * nsub, sub)
+        scale, _ = _refit_scale(xs, ws, q)
+    return (scale.reshape(N, nsub).astype(np.float32),
+            idx.reshape(N, 256 // cell))
+
+
+def _pack_subscales(scales, d):
+    """l = clip(round(0.5*(scale/d - 1)), 0, 15) (iq2/iq3 sub-scales)."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv = np.where(d > 0, 1.0 / np.where(d == 0, 1, d), 0.0)
+    return np.clip(np.rint(0.5 * (inv[:, None] * scales - 1)), 0, 15).astype(np.uint8)
+
+
+def quantize_iq2_xxs(x, quant_weights=None):
+    xb = np.ascontiguousarray(x, np.float32).reshape(-1, QK_K)
+    qw = None if quant_weights is None else np.asarray(quant_weights, np.float32).reshape(xb.shape)
+    N = xb.shape[0]
+    w = _block_weights(xb, qw)
+    xval, sbytes = _extract_signs(xb, w, parity=True)
+    qvals = IQ2XXS_GRID.astype(np.float32) / 8.0
+    scales, idx = _signgrid_search(xval, w, sub=32, cell=8, kmax=3, step=0.1,
+                                   qvals=qvals)
+    d = scales.max(axis=1) / 31.0
+    ls = _pack_subscales(scales, d)  # [N, 8]
+    out = np.zeros((N, 66), np.uint8)
+    out[:, :2] = d.astype(np.float16).view(np.uint8).reshape(N, 2)
+    idx4 = idx.reshape(N, 8, 4).astype(np.uint32)
+    s4 = sbytes.reshape(N, 8, 4).astype(np.uint32)
+    aux32a = (idx4[..., 0] | (idx4[..., 1] << 8) | (idx4[..., 2] << 16)
+              | (idx4[..., 3] << 24))
+    aux32b = (s4[..., 0] | (s4[..., 1] << 7) | (s4[..., 2] << 14)
+              | (s4[..., 3] << 21) | (ls.astype(np.uint32) << 28))
+    dead = scales.max(axis=1) <= 0
+    aux32a[dead] = 0
+    aux32b[dead] = 0
+    packed = np.stack([aux32a, aux32b], axis=2)  # [N, 8, 2] u32
+    out[:, 2:] = packed.astype("<u4").view(np.uint8).reshape(N, 64)
+    return out.reshape(-1)
+
+
+def quantize_iq2_xs(x, quant_weights=None):
+    xb = np.ascontiguousarray(x, np.float32).reshape(-1, QK_K)
+    qw = None if quant_weights is None else np.asarray(quant_weights, np.float32).reshape(xb.shape)
+    N = xb.shape[0]
+    w = _block_weights(xb, qw)
+    xval, sbytes = _extract_signs(xb, w, parity=True)
+    qvals = IQ2XS_GRID.astype(np.float32) / 8.0
+    scales, idx = _signgrid_search(xval, w, sub=16, cell=8, kmax=3, step=0.1,
+                                   qvals=qvals)
+    d = scales.max(axis=1) / 31.0
+    ls = _pack_subscales(scales, d)  # [N, 16]
+    out = np.zeros((N, 74), np.uint8)
+    out[:, :2] = d.astype(np.float16).view(np.uint8).reshape(N, 2)
+    q16 = (idx.astype(np.uint16) | (sbytes.astype(np.uint16) << 9))
+    out[:, 2:66] = q16.astype("<u2").view(np.uint8).reshape(N, 64)
+    out[:, 66:74] = (ls[:, 0::2] | (ls[:, 1::2] << 4))
+    return out.reshape(-1)
+
+
+def quantize_iq2_s(x, quant_weights=None):
+    xb = np.ascontiguousarray(x, np.float32).reshape(-1, QK_K)
+    qw = None if quant_weights is None else np.asarray(quant_weights, np.float32).reshape(xb.shape)
+    N = xb.shape[0]
+    w = _block_weights(xb, qw)
+    xval, sbytes = _extract_signs(xb, w, parity=False)  # full 8-bit signs
+    qvals = IQ2S_GRID.astype(np.float32) / 8.0
+    scales, idx = _signgrid_search(xval, w, sub=16, cell=8, kmax=3, step=0.1,
+                                   qvals=qvals)
+    d = scales.max(axis=1) / 31.0
+    ls = _pack_subscales(scales, d)
+    out = np.zeros((N, 82), np.uint8)
+    out[:, :2] = (d * 0.9875).astype(np.float16).view(np.uint8).reshape(N, 2)
+    out[:, 2:34] = (idx & 255).astype(np.uint8)
+    out[:, 34:66] = sbytes
+    hi = (idx >> 8).astype(np.uint8).reshape(N, 8, 4)
+    out[:, 66:74] = (hi[:, :, 0] | (hi[:, :, 1] << 2) | (hi[:, :, 2] << 4)
+                     | (hi[:, :, 3] << 6))
+    out[:, 74:82] = (ls[:, 0::2] | (ls[:, 1::2] << 4))
+    return out.reshape(-1)
+
+
+def quantize_iq3_xxs(x, quant_weights=None):
+    xb = np.ascontiguousarray(x, np.float32).reshape(-1, QK_K)
+    qw = None if quant_weights is None else np.asarray(quant_weights, np.float32).reshape(xb.shape)
+    N = xb.shape[0]
+    w = _block_weights(xb, qw)
+    xval, sbytes = _extract_signs(xb, w, parity=True)
+    qvals = IQ3XXS_GRID.astype(np.float32) / 4.0
+    scales, idx = _signgrid_search(xval, w, sub=32, cell=4, kmax=8, step=0.2,
+                                   qvals=qvals)
+    d = scales.max(axis=1) / 31.0
+    ls = _pack_subscales(scales, d)
+    out = np.zeros((N, 98), np.uint8)
+    out[:, :2] = (d * 1.0125).astype(np.float16).view(np.uint8).reshape(N, 2)
+    out[:, 2:66] = idx.astype(np.uint8)
+    s4 = sbytes.reshape(N, 8, 4).astype(np.uint32)
+    aux32 = (s4[..., 0] | (s4[..., 1] << 7) | (s4[..., 2] << 14)
+             | (s4[..., 3] << 21) | (ls.astype(np.uint32) << 28))
+    out[:, 66:98] = aux32.astype("<u4").view(np.uint8).reshape(N, 32)
+    return out.reshape(-1)
+
+
+def quantize_iq3_s(x, quant_weights=None):
+    xb = np.ascontiguousarray(x, np.float32).reshape(-1, QK_K)
+    qw = None if quant_weights is None else np.asarray(quant_weights, np.float32).reshape(xb.shape)
+    N = xb.shape[0]
+    w = _block_weights(xb, qw)
+    xval, sbytes = _extract_signs(xb, w, parity=False)
+    qvals = IQ3S_GRID.astype(np.float32)
+    scales, idx = _signgrid_search(xval, w, sub=32, cell=4, kmax=8, step=0.2,
+                                   qvals=qvals)
+    # iq3_s decode: db = d*(1 + 2*ls), ls 4-bit
+    d = scales.max(axis=1) / 31.0
+    ls = _pack_subscales(scales, d)
+    out = np.zeros((N, 110), np.uint8)
+    out[:, :2] = (d * 1.033).astype(np.float16).view(np.uint8).reshape(N, 2)
+    out[:, 2:66] = (idx & 255).astype(np.uint8)
+    hibit = (idx >> 8).astype(np.uint8).reshape(N, 8, 8)  # per 32-chunk, 8 cells
+    out[:, 66:74] = (hibit << np.arange(8, dtype=np.uint8)).sum(axis=2).astype(np.uint8)
+    out[:, 74:106] = sbytes
+    out[:, 106:110] = (ls[:, 0::2] | (ls[:, 1::2] << 4))
+    return out.reshape(-1)
+
+
+def _iq1_split_search(xs, ws, delta):
+    """Exact weighted 3-level (-1/0/+1 + shift*delta) split search
+    (quantize_row_iq1_s_impl): sort, prefix sums, scan (i1,i2) splits for
+    both shift signs.  xs, ws [M, B] -> (L [M,B] in {0,1,2}, scale [M],
+    shift [M] in {+1,-1})."""
+    M, B = xs.shape
+    order = np.argsort(xs, axis=1, kind="stable")
+    xs_s = np.take_along_axis(xs, order, axis=1)
+    ws_s = np.take_along_axis(ws, order, axis=1)
+    sumx = np.zeros((M, B + 1), np.float64)
+    sumw = np.zeros((M, B + 1), np.float64)
+    np.cumsum(ws_s * xs_s, axis=1, out=sumx[:, 1:])
+    np.cumsum(ws_s, axis=1, out=sumw[:, 1:])
+    i1 = np.arange(B + 1)[:, None]
+    i2 = np.arange(B + 1)[None, :]
+    valid = (i2 >= i1)[None]  # [1, B+1, B+1]
+    best_score = np.full(M, -np.finfo(np.float32).tiny, np.float64)
+    best = None
+    for shift in (1, -1):
+        lv = np.array([-1 + shift * delta, shift * delta, 1 + shift * delta])
+        s1 = sumx[:, i1[:, 0]][:, :, None]
+        s2 = sumx[:, i2[0]][:, None, :]
+        sT = sumx[:, -1][:, None, None]
+        w1 = sumw[:, i1[:, 0]][:, :, None]
+        w2 = sumw[:, i2[0]][:, None, :]
+        wT = sumw[:, -1][:, None, None]
+        sumqx = s1 * lv[0] + (s2 - s1) * lv[1] + (sT - s2) * lv[2]
+        sumq2 = w1 * lv[0] ** 2 + (w2 - w1) * lv[1] ** 2 + (wT - w2) * lv[2] ** 2
+        with np.errstate(divide="ignore", invalid="ignore"):
+            score = np.where((sumq2 > 0) & valid, sumqx * sumqx / np.where(sumq2 == 0, 1, sumq2), -np.inf)
+        flat = score.reshape(M, -1)
+        k = np.argmax(flat, axis=1)
+        sc_ = flat[np.arange(M), k]
+        better = sc_ > best_score
+        cand_i1, cand_i2 = np.divmod(k, B + 1)
+        cand_scale = (np.take_along_axis(sumqx.reshape(M, -1), k[:, None], 1)[:, 0]
+                      / np.maximum(np.take_along_axis(sumq2.reshape(M, -1), k[:, None], 1)[:, 0], 1e-30))
+        if best is None:
+            best = [cand_i1.copy(), cand_i2.copy(), cand_scale.copy(),
+                    np.full(M, shift)]
+            best_score = sc_
+        else:
+            for arr, cand in zip(best, (cand_i1, cand_i2, cand_scale,
+                                        np.full(M, shift))):
+                arr[better] = cand[better]
+            best_score = np.where(better, sc_, best_score)
+    bi1, bi2, scale, shifts = best
+    ranks = np.empty_like(order)
+    np.put_along_axis(ranks, order, np.broadcast_to(np.arange(B), (M, B)).copy(), axis=1)
+    L = (ranks >= bi1[:, None]).astype(np.int8) + (ranks >= bi2[:, None]).astype(np.int8)
+    negative = scale < 0
+    L[negative] = 2 - L[negative]
+    shifts = np.where(negative, -shifts, shifts)
+    scale = np.abs(scale)
+    return L, scale.astype(np.float32), shifts.astype(np.int8)
+
+
+def quantize_iq1_s(x, quant_weights=None):
+    xb = np.ascontiguousarray(x, np.float32).reshape(-1, QK_K)
+    qw = None if quant_weights is None else np.asarray(quant_weights, np.float32).reshape(xb.shape)
+    N = xb.shape[0]
+    w = _block_weights(xb, qw, sigma_mult=2.0)
+    xs = xb.reshape(N * 8, 32)
+    ws = w.reshape(N * 8, 32)
+    _, scale, shifts = _iq1_split_search(xs, ws, IQ1S_DELTA)
+    # snap each 8-group to the 2048-row grid at the chosen shift, refit
+    gridf = IQ1S_GRID.astype(np.float32)
+    xc = xs.reshape(-1, 8)
+    wc = ws.reshape(-1, 8)
+    shift_e = np.repeat(shifts, 4).astype(np.float32)
+    qv_p = gridf + IQ1S_DELTA
+    qv_m = gridf - IQ1S_DELTA
+    idx_p = _snap_global(xc, wc, np.repeat(scale, 4), qv_p)
+    idx_m = _snap_global(xc, wc, np.repeat(scale, 4), qv_m)
+    idx = np.where(shift_e > 0, idx_p, idx_m)
+    q = np.where(shift_e[:, None] > 0, qv_p[idx], qv_m[idx]).reshape(N * 8, 32)
+    scale, _ = _refit_scale(xs, ws, q)
+    scales = scale.reshape(N, 8)
+    idx = idx.reshape(N, 8, 4)
+    d = scales.max(axis=1) / 15.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv = np.where(d > 0, 1.0 / np.where(d == 0, 1, d), 0.0)
+    ls = np.clip(np.rint(0.5 * (inv[:, None] * scales - 1)), 0, 7).astype(np.uint32)
+    out = np.zeros((N, 50), np.uint8)
+    out[:, :2] = (d * 1.125).astype(np.float16).view(np.uint8).reshape(N, 2)
+    out[:, 2:34] = (idx & 255).astype(np.uint8).reshape(N, 32)
+    hi = (idx >> 8).astype(np.uint32)  # 3 bits per 8-group
+    qh = (hi[..., 0] | (hi[..., 1] << 3) | (hi[..., 2] << 6) | (hi[..., 3] << 9)
+          | (ls << 12) | ((shifts.reshape(N, 8) < 0).astype(np.uint32) << 15))
+    out[:, 34:50] = qh.astype("<u2").view(np.uint8).reshape(N, 16)
+    return out.reshape(-1)
+
+
+def quantize_iq1_m(x, quant_weights=None):
+    xb = np.ascontiguousarray(x, np.float32).reshape(-1, QK_K)
+    qw = None if quant_weights is None else np.asarray(quant_weights, np.float32).reshape(xb.shape)
+    N = xb.shape[0]
+    w = _block_weights(xb, qw, sigma_mult=2.0)
+    xs = xb.reshape(N * 16, 16)
+    ws = w.reshape(N * 16, 16)
+    _, scale, _ = _iq1_split_search(xs, ws, IQ1M_DELTA)
+    # per-8-group shift chosen in the snap (reference: best_k combo search)
+    gridf = IQ1S_GRID.astype(np.float32)
+    xc = xs.reshape(-1, 8)
+    wc = ws.reshape(-1, 8)
+    both = np.concatenate([gridf + IQ1M_DELTA, gridf - IQ1M_DELTA], axis=0)
+    idx2 = _snap_global(xc, wc, np.repeat(scale, 2), both)
+    gshift = idx2 >= len(gridf)
+    idx = np.where(gshift, idx2 - len(gridf), idx2)
+    q = both[idx2].reshape(N * 16, 16)
+    scale, _ = _refit_scale(xs, ws, q)
+    scales = scale.reshape(N, 16)
+    d = scales.max(axis=1) / 15.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv = np.where(d > 0, 1.0 / np.where(d == 0, 1, d), 0.0)
+    ls = np.clip(np.rint(0.5 * (inv[:, None] * scales - 1)), 0, 7).astype(np.uint32)
+    idx = idx.reshape(N, 32)
+    gshift = gshift.reshape(N, 32)
+    out = np.zeros((N, 56), np.uint8)
+    out[:, 0:32] = (idx & 255).astype(np.uint8)
+    hi = (idx >> 8).astype(np.uint8)
+    nib = (hi | (gshift.astype(np.uint8) << 3)).reshape(N, 16, 2)
+    out[:, 32:48] = nib[:, :, 0] | (nib[:, :, 1] << 4)
+    d16 = (d * 1.1125).astype(np.float16).view(np.uint16).astype(np.uint32)  # [N]
+    sc = np.zeros((N, 4), np.uint32)
+    for ib in range(16):
+        sc[:, ib // 4] |= ls[:, ib] << (3 * (ib % 4))
+    sc[:, 0] |= ((d16 >> 0) & 0xF) << 12
+    sc[:, 1] |= ((d16 >> 4) & 0xF) << 12
+    sc[:, 2] |= ((d16 >> 8) & 0xF) << 12
+    sc[:, 3] |= ((d16 >> 12) & 0xF) << 12
+    out[:, 48:56] = sc.astype("<u2").view(np.uint8).reshape(N, 8)
+    return out.reshape(-1)
+
+
 DEQUANT_IQ = {
     GGMLType.IQ4_NL: dequantize_iq4_nl,
     GGMLType.IQ4_XS: dequantize_iq4_xs,
@@ -320,6 +675,23 @@ DEQUANT_IQ = {
 QUANT_IQ = {
     GGMLType.IQ4_NL: quantize_iq4_nl,
     GGMLType.TQ2_0: quantize_tq2_0,
+    GGMLType.IQ2_XXS: quantize_iq2_xxs,
+    GGMLType.IQ2_XS: quantize_iq2_xs,
+    GGMLType.IQ2_S: quantize_iq2_s,
+    GGMLType.IQ3_XXS: quantize_iq3_xxs,
+    GGMLType.IQ3_S: quantize_iq3_s,
+    GGMLType.IQ1_S: quantize_iq1_s,
+    GGMLType.IQ1_M: quantize_iq1_m,
+}
+
+QUANT_IQ_IMATRIX = {
+    GGMLType.IQ2_XXS: quantize_iq2_xxs,
+    GGMLType.IQ2_XS: quantize_iq2_xs,
+    GGMLType.IQ2_S: quantize_iq2_s,
+    GGMLType.IQ3_XXS: quantize_iq3_xxs,
+    GGMLType.IQ3_S: quantize_iq3_s,
+    GGMLType.IQ1_S: quantize_iq1_s,
+    GGMLType.IQ1_M: quantize_iq1_m,
 }
 
 

@@ -33,7 +33,21 @@ FTYPES = {
     "Q5_1": GGMLType.Q5_1,
     "Q4_0": GGMLType.Q4_0,
     "Q4_1": GGMLType.Q4_1,
+    # i-quant mixtures (llama.h ftypes IQ1_S..IQ4_XS)
+    "IQ1_S": GGMLType.IQ1_S,
+    "IQ1_M": GGMLType.IQ1_M,
+    "IQ2_XXS": GGMLType.IQ2_XXS,
+    "IQ2_XS": GGMLType.IQ2_XS,
+    "IQ2_S": GGMLType.IQ2_S,
+    "IQ2_M": GGMLType.IQ2_S,
+    "IQ3_XXS": GGMLType.IQ3_XXS,
+    "IQ3_S": GGMLType.IQ3_S,
+    "IQ3_M": GGMLType.IQ3_S,
+    "IQ4_NL": GGMLType.IQ4_NL,
+    "IQ4_XS": GGMLType.IQ4_XS,
 }
+
+_IQ_LOW = ("IQ1_S", "IQ1_M", "IQ2_XXS", "IQ2_XS", "IQ2_S", "IQ2_M")
 
 
 @dataclass
@@ -52,8 +66,14 @@ class QuantPolicy:
         # output / token embedding: protected (llama-quant.cpp: output gets
         # Q6_K for all K-quant ftypes unless already >= 6 bits)
         if name == "output.weight":
+            if self.ftype in _IQ_LOW:  # llama-quant.cpp: sub-3bpw -> Q5_K out
+                return GGMLType.Q5_K
             return base if base in (GGMLType.Q8_0,) else GGMLType.Q6_K
         if name == "token_embd.weight":
+            if self.ftype in ("IQ1_S", "IQ1_M", "IQ2_XXS", "IQ2_XS"):
+                return GGMLType.Q2_K
+            if self.ftype in ("IQ2_S", "IQ2_M", "IQ3_XXS"):
+                return GGMLType.IQ3_S
             if self.ftype in ("Q2_K", "Q3_K_S"):
                 return GGMLType.Q2_K
             if self.ftype.startswith("Q3_K"):
@@ -66,6 +86,10 @@ class QuantPolicy:
             or (layer - self.n_layer // 8) % 3 == 2
         )
         if ".attn_v.weight" in name:
+            if self.ftype in ("IQ1_S", "IQ1_M", "IQ2_XXS", "IQ2_XS"):
+                return GGMLType.Q4_K  # n_gqa>=4 branch; safe default
+            if self.ftype in ("IQ2_S", "IQ2_M", "IQ3_XXS"):
+                return GGMLType.IQ3_S
             if self.ftype == "Q4_K_M":
                 return GGMLType.Q6_K if use_more_bits else GGMLType.Q4_K
             if self.ftype == "Q5_K_M":

@@ -895,7 +895,7 @@ DEQUANTIZE = {
     GGMLType.Q8_K: dequantize_q8_K,
 }
 
-from .iquants import DEQUANT_IQ, QUANT_IQ  # noqa: E402  (circular-safe)
+from .iquants import DEQUANT_IQ, QUANT_IQ, QUANT_IQ_IMATRIX  # noqa: E402  (circular-safe)
 
 DEQUANTIZE.update(DEQUANT_IQ)
 QUANTIZE.update(QUANT_IQ)
@@ -908,6 +908,7 @@ QUANTIZE_IMATRIX = {
     GGMLType.Q5_K: quantize_q5_K,
     GGMLType.Q6_K: quantize_q6_K,
 }
+QUANTIZE_IMATRIX.update(QUANT_IQ_IMATRIX)  # iq encoders take quant_weights kw
 
 
 def quantize(x: np.ndarray, qtype: GGMLType, quant_weights: np.ndarray | None = None) -> np.ndarray:

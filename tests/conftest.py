@@ -41,8 +41,15 @@ def _load_reference_gguf_py():
     if not os.path.isdir(os.path.join(path, "gguf")):
         return None
     if "gguf" not in sys.modules or not hasattr(sys.modules["gguf"], "__path__"):
+        import importlib.machinery
+
         pkg = types.ModuleType("gguf")
         pkg.__path__ = [os.path.join(path, "gguf")]
+        # a real ModuleSpec so later importlib.util.find_spec("gguf") calls
+        # (e.g. transformers integration probing) don't raise
+        pkg.__spec__ = importlib.machinery.ModuleSpec(
+            "gguf", None, is_package=True)
+        pkg.__spec__.submodule_search_locations = pkg.__path__
         sys.modules["gguf"] = pkg
     sys.path.insert(0, path)
     try:
