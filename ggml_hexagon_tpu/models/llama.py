@@ -80,6 +80,20 @@ class LlamaConfig:
     rope_swa_only: bool = False        # cohere2: rope only on SWA layers
     moe_gating: str = "softmax"        # 'softmax' | 'sparsemixer' (phimoe)
     moe_jitter_eps: float = 0.0        # sparsemixer mask threshold
+    swin_norm: bool = False            # chameleon: norm attn/ffn OUTPUT pre-residual
+    norm_qk_type: str = ""             # chameleon: LayerNorm QK while body is RMS
+    n_head_arr: tuple = ()             # deci/openelm: per-layer head counts
+    n_head_kv_arr: tuple = ()          # (0 kv heads = linear attn; 0 heads = no attn)
+
+    def nh(self, il: int) -> int:
+        return self.n_head_arr[il] if self.n_head_arr else self.n_head
+
+    def nhkv(self, il: int) -> int:
+        return self.n_head_kv_arr[il] if self.n_head_kv_arr else self.n_head_kv
+
+    @property
+    def n_head_kv_max(self) -> int:
+        return max(self.n_head_kv_arr) if self.n_head_kv_arr else self.n_head_kv
 
     @property
     def hd(self) -> int:
@@ -179,17 +193,19 @@ def load_llama_weights(reader, dtype=jnp.bfloat16, device: bool = True) -> tuple
     layers = []
     for i in range(cfg.n_layer):
         p = f"blk.{i}."
-        lw = {"wo": get(p + "attn_output.weight")}
-        if cfg.pre_norms and p + "attn_norm.weight" in reader.tensors:
+        lw = {}
+        if p + "attn_output.weight" in reader.tensors:
+            lw["wo"] = get(p + "attn_output.weight")
+        if p + "attn_norm.weight" in reader.tensors:
             lw["attn_norm"] = get(p + "attn_norm.weight", as_vec=True)
         if p + "attn_qkv.weight" in reader.tensors:  # fused QKV (gpt2/falcon/neox)
             lw["wqkv"] = get(p + "attn_qkv.weight")
-        else:
+        elif p + "attn_q.weight" in reader.tensors:
             lw["wq"] = get(p + "attn_q.weight")
             lw["wk"] = get(p + "attn_k.weight")
             lw["wv"] = get(p + "attn_v.weight")
-        if (not cfg.shared_ffn_norm and cfg.pre_norms
-                and p + "ffn_norm.weight" in reader.tensors):
+        # else: attention-free layer (deci / Llama-3_1-Nemotron-51B)
+        if p + "ffn_norm.weight" in reader.tensors:
             lw["ffn_norm"] = get(p + "ffn_norm.weight", as_vec=True)
         for bias, name in (("bqkv", "attn_qkv.bias"), ("bq", "attn_q.bias"),
                            ("bk", "attn_k.bias"), ("bv", "attn_v.bias")):
@@ -203,6 +219,11 @@ def load_llama_weights(reader, dtype=jnp.bfloat16, device: bool = True) -> tuple
             ("attn_k_norm_b", "attn_k_norm.bias"),
             ("post_attn_norm", "post_attention_norm.weight"),
             ("post_ffn_norm", "post_ffw_norm.weight"),
+            # grok names its pre-residual norms differently
+            # (llama-arch.cpp:316-317 attn_output_norm / layer_output_norm)
+            ("post_attn_norm", "attn_output_norm.weight"),
+            ("post_ffn_norm", "layer_output_norm.weight"),
+            ("ffn_norm_exps", "ffn_norm_exps.weight"),  # arctic MoE-branch norm
             ("attn_norm_b", "attn_norm.bias"),
             ("ffn_norm_b", "ffn_norm.bias"),
             ("bo", "attn_output.bias"),
@@ -224,7 +245,9 @@ def load_llama_weights(reader, dtype=jnp.bfloat16, device: bool = True) -> tuple
                 a = opt(p + sh + ".weight")
                 if a is not None:
                     lw[sh] = a
-        else:
+        if p + "ffn_up.weight" in reader.tensors:
+            # dense FFN — also alongside MoE for arctic (llm_build_arctic:
+            # residual-branch dense MLP + MoE branch normed by ffn_norm_exps)
             g = opt(p + "ffn_gate.weight")
             up = get(p + "ffn_up.weight")
             if g is not None:  # gated (SwiGLU-class); absent for gpt2-class FFN
@@ -315,7 +338,7 @@ def init_kv_cache(cfg: LlamaConfig, batch: int, max_seq: int, dtype=jnp.bfloat16
     quantized cache (int8 values + f32 per-32-group scales along head_dim —
     the analog of llama.cpp's type_k/type_v=Q8_0 cache, llama-kv-cache.h:188).
     """
-    shape = (cfg.n_layer, batch, max_seq, cfg.n_head_kv, cfg.hd)
+    shape = (cfg.n_layer, batch, max_seq, max(cfg.n_head_kv_max, 1), cfg.hd)
     if dtype == "q8_0":
         assert cfg.hd % KV_GROUP == 0, f"head_dim {cfg.hd} % {KV_GROUP}"
         sshape = shape[:-1] + (cfg.hd // KV_GROUP,)
@@ -359,8 +382,9 @@ def _attention(cfg: LlamaConfig, q, k_all, v_all, pos_start, T, swa: int = 0,
     """
     B, _, n_head, hd = q.shape
     S = k_all.shape[1]
-    group = n_head // cfg.n_head_kv
-    qg = q.transpose(0, 2, 1, 3).reshape(B, cfg.n_head_kv, group, T, hd)
+    n_kv = k_all.shape[2]  # per-layer KV head count (deci/openelm vary it)
+    group = n_head // n_kv
+    qg = q.transpose(0, 2, 1, 3).reshape(B, n_kv, group, T, hd)
     k = k_all.transpose(0, 2, 1, 3)  # [B, n_kv, S, hd]
     v = v_all.transpose(0, 2, 1, 3)
     if S >= FLASH_THRESHOLD and S % 512 == 0 and not cfg.alibi_max_bias:
@@ -386,7 +410,7 @@ def _attention(cfg: LlamaConfig, q, k_all, v_all, pos_start, T, swa: int = 0,
         # ggml softmax_ext ALiBi: bias = -slope_h * |pos_q - pos_s|
         # (ggml-cpu.c:8289-8311; mask built per llama-graph.cpp:403-500)
         slopes = jnp.asarray(alibi_slopes(n_head, cfg.alibi_max_bias))
-        sl = slopes.reshape(cfg.n_head_kv, group)[None, :, :, None, None]
+        sl = slopes.reshape(n_kv, group)[None, :, :, None, None]
         dist = ((pos_b + t_idx) - s_idx).astype(jnp.float32)[:, None, None]
         mask = mask - sl * jnp.abs(dist)
     probs = softmax_ext(
@@ -425,6 +449,16 @@ def qtensor_rows(qt, start: int, n: int):
             None if qt.m is None else qt.m[start : start + n],
         )
     return qt[start : start + n]
+
+
+def _norm_qk(cfg, x, w, b=None):
+    """QK-norm with optional type override (chameleon: LayerNorm QK norms in
+    an RMS-bodied model, llm_build_chameleon LLM_NORM + f_norm_eps=1e-5).
+    2-D weights [n_head, hd] give per-head distinct parameters."""
+    t = cfg.norm_qk_type or cfg.norm_type
+    if t == "layer":
+        return norm(x, w, b, cfg.rms_eps)
+    return rms_norm(x, w, cfg.rms_eps)
 
 
 def _norm(cfg, x, w, b=None):
@@ -513,6 +547,71 @@ def _moe_ffn(cfg, lw, f, compute_dtype, tap=None, il=0):
     return out.astype(compute_dtype)
 
 
+def _dense_ffn(cfg, lw, f, compute_dtype, tap=None, il=0):
+    """Dense FFN: gated (SwiGLU/GeGLU), fused gate_up, or no-gate MLP."""
+    if "ffn_gate" not in lw and "w_gateup" not in lw:
+        # no-gate FFN (gpt2 class): down(act(up x + b)) + b
+        if tap is not None:
+            tap(f"blk.{il}.ffn_up.weight", f)
+        up = matmul_lora(f, lw["ffn_up"], lw.get("ffn_up_lora"))
+        if "ffn_up_b" in lw:
+            up = up + lw["ffn_up_b"]
+        gu = _act(cfg, up.astype(compute_dtype))
+        if tap is not None:
+            tap(f"blk.{il}.ffn_down.weight", gu)
+        out = matmul_lora(gu, lw["ffn_down"], lw.get("ffn_down_lora"))
+        if "ffn_down_b" in lw:
+            out = out + lw["ffn_down_b"]
+        return out.astype(compute_dtype)
+    if tap is not None:
+        tap(f"blk.{il}.ffn_gate.weight", f)
+        tap(f"blk.{il}.ffn_up.weight", f)
+    if "w_gateup" in lw:
+        gu2 = matmul(f, lw["w_gateup"]).astype(compute_dtype)
+        ng = cfg.n_ff
+        gate = _act(cfg, gu2[..., :ng])
+        up = gu2[..., ng:]
+    else:
+        gate = _act(cfg, matmul_lora(f, lw["ffn_gate"], lw.get("ffn_gate_lora")).astype(compute_dtype))
+        up = matmul_lora(f, lw["ffn_up"], lw.get("ffn_up_lora")).astype(compute_dtype)
+    gu = gate * up
+    if tap is not None:
+        tap(f"blk.{il}.ffn_down.weight", gu)
+    return matmul_lora(gu, lw["ffn_down"], lw.get("ffn_down_lora")).astype(compute_dtype)
+
+
+def _ffn_out(cfg, lw, f, h_in, compute_dtype, tap=None, il=0):
+    """FFN dispatch: MoE, arctic's parallel dense+MoE, or dense."""
+    if "ffn_gate_inp" in lw and "ffn_norm_exps" in lw:
+        # arctic: dense MLP on the ffn_norm'd residual branch PLUS an MoE
+        # branch computed from the LAYER INPUT normed by ffn_norm_exps
+        # (llm_build_arctic, src/llama-model.cpp:9275-9312)
+        dense = _dense_ffn(cfg, lw, f, compute_dtype, tap, il)
+        moe = _moe_ffn(cfg, lw, _norm(cfg, h_in, lw["ffn_norm_exps"]),
+                       compute_dtype, tap, il)
+        ffn_out = dense + moe
+    elif "ffn_gate_inp" in lw:
+        ffn_out = _moe_ffn(cfg, lw, f, compute_dtype, tap, il)
+    else:
+        ffn_out = _dense_ffn(cfg, lw, f, compute_dtype, tap, il)
+    if cfg.post_norms:
+        ffn_out = _norm(cfg, ffn_out, lw["post_ffn_norm"])
+    if cfg.swin_norm:  # chameleon: ffn_norm applied to output, pre-residual
+        ffn_out = _norm(cfg, ffn_out, lw["ffn_norm"])
+    return ffn_out
+
+
+def _ffn_block(cfg, lw, f, h, h_in, compute_dtype, tap=None, il=0):
+    """FFN + residual for layers without attention (deci)."""
+    if "ffn_up" not in lw and "ffn_gate_inp" not in lw:
+        return h  # fully pass-through layer
+    ffn_out = _ffn_out(cfg, lw, f, h_in, compute_dtype, tap, il)
+    h = h + ffn_out * cfg.residual_scale
+    if "cvec" in lw:
+        h = h + lw["cvec"].astype(h.dtype)
+    return h
+
+
 def forward(
     cfg: LlamaConfig,
     weights: dict,
@@ -562,15 +661,42 @@ def forward(
 
     scale = cfg.attn_scale or 1.0 / float(np.sqrt(cfg.hd))
     new_k, new_v = [], []
+    quant_kv = "k_d" in kv_cache
     for il, lw in enumerate(weights["layers"]):
-        a = _norm(cfg, h, lw.get("attn_norm"), lw.get("attn_norm_b")) if cfg.pre_norms else h
+        h_in = h  # layer input (arctic's MoE branch norms THIS, not ffn_inp)
+        nh, nhkv = cfg.nh(il), cfg.nhkv(il)
+        has_attn = ("wq" in lw or "wqkv" in lw) and nhkv > 0
+        # note: a missing attn_norm tensor still norms when pre_norms (olmo's
+        # non-parametric LayerNorm); only deci's attention-free layers skip
+        a = (_norm(cfg, h, lw.get("attn_norm"), lw.get("attn_norm_b"))
+             if (cfg.pre_norms and not cfg.swin_norm
+                 and (has_attn or "attn_norm" in lw))
+             else h)
+        if not has_attn:
+            # deci (Llama-3_1-Nemotron-51B): attention-free layer, or
+            # "linear attention" = wo applied directly to the normed input
+            # (llm_build_deci, src/llama-model.cpp:4383-4398)
+            if quant_kv:
+                new_k.append((kv_cache["k"][il], kv_cache["k_d"][il]))
+                new_v.append((kv_cache["v"][il], kv_cache["v_d"][il]))
+            else:
+                new_k.append(kv_cache["k"][il])
+                new_v.append(kv_cache["v"][il])
+            if "wo" in lw and nh > 0:  # linear attention
+                attn_out = matmul(a, lw["wo"]).astype(compute_dtype)
+                h = h + attn_out * cfg.residual_scale
+            # else: layer input passes through untouched (no residual add)
+            f = (_norm(cfg, h, lw.get("ffn_norm"), lw.get("ffn_norm_b"))
+                 if cfg.pre_norms else h)
+            h = _ffn_block(cfg, lw, f, h, h_in, compute_dtype, tap, il)
+            continue
         if tap is not None:
             tap(f"blk.{il}.attn_q.weight", a)
             tap(f"blk.{il}.attn_k.weight", a)
             tap(f"blk.{il}.attn_v.weight", a)
         if "wqkv" in lw:  # fused projection (models/fuse.py or GGUF attn_qkv)
-            nq = cfg.n_head * cfg.hd
-            nk = nv = cfg.n_head_kv * cfg.hd
+            nq = nh * cfg.hd
+            nk = nv = nhkv * cfg.hd
             qkv = matmul(a, lw["wqkv"])
             if "bqkv" in lw:
                 qkv = qkv + lw["bqkv"]
@@ -591,19 +717,22 @@ def forward(
             q = jnp.clip(q, -cfg.clamp_qkv, cfg.clamp_qkv)
             k = jnp.clip(k, -cfg.clamp_qkv, cfg.clamp_qkv)
             v = jnp.clip(v, -cfg.clamp_qkv, cfg.clamp_qkv)
-        if "attn_q_norm" in lw and lw["attn_q_norm"].shape[-1] != cfg.hd:
+        if ("attn_q_norm" in lw and lw["attn_q_norm"].ndim == 1
+                and lw["attn_q_norm"].shape[-1] != cfg.hd):
             # olmo2/mpt-style flat QK norms over the whole projection output
-            q = _norm(cfg, q, lw["attn_q_norm"], lw.get("attn_q_norm_b"))
-            k = _norm(cfg, k, lw["attn_k_norm"], lw.get("attn_k_norm_b"))
-            q = q.reshape(B, T, cfg.n_head, cfg.hd)
-            k = k.reshape(B, T, cfg.n_head_kv, cfg.hd)
+            q = _norm_qk(cfg, q, lw["attn_q_norm"], lw.get("attn_q_norm_b"))
+            k = _norm_qk(cfg, k, lw["attn_k_norm"], lw.get("attn_k_norm_b"))
+            q = q.reshape(B, T, nh, cfg.hd)
+            k = k.reshape(B, T, nhkv, cfg.hd)
         else:
-            q = q.reshape(B, T, cfg.n_head, cfg.hd)
-            k = k.reshape(B, T, cfg.n_head_kv, cfg.hd)
-            if "attn_q_norm" in lw:  # qwen3/command-r per-head QK norms
-                q = _norm(cfg, q, lw["attn_q_norm"])
-                k = _norm(cfg, k, lw["attn_k_norm"])
-        v = v.reshape(B, T, cfg.n_head_kv, cfg.hd)
+            q = q.reshape(B, T, nh, cfg.hd)
+            k = k.reshape(B, T, nhkv, cfg.hd)
+            if "attn_q_norm" in lw:
+                # qwen3/command-r/openelm per-head QK norms ([hd] shared, or
+                # chameleon [n_head, hd] per-head distinct LayerNorms)
+                q = _norm_qk(cfg, q, lw["attn_q_norm"], lw.get("attn_q_norm_b"))
+                k = _norm_qk(cfg, k, lw["attn_k_norm"], lw.get("attn_k_norm_b"))
+        v = v.reshape(B, T, nhkv, cfg.hd)
         is_swa_layer = bool(
             cfg.swa_window and (il % cfg.swa_pattern) != cfg.swa_pattern - 1)
         if cfg.rope_mode != "none" and not (cfg.rope_swa_only and not is_swa_layer):
@@ -611,7 +740,11 @@ def forward(
                       if (cfg.rope_theta_swa and is_swa_layer) else rope)
             q = apply_rope(q, positions, rope_l)
             k = apply_rope(k, positions, rope_l)  # cache stores rotated K (A.1)
-        quant_kv = "k_d" in kv_cache
+        if nhkv < cfg.n_head_kv_max:  # pad into the fixed-width cache
+            padw = [(0, 0)] * 4
+            padw[2] = (0, cfg.n_head_kv_max - nhkv)
+            k = jnp.pad(k, padw)
+            v = jnp.pad(v, padw)
         if quant_kv:
             kq, kd = _kv_quantize(k)
             vq, vd = _kv_quantize(v)
@@ -629,6 +762,9 @@ def forward(
             new_k.append(k_l)
             new_v.append(v_l)
             k_full, v_full = k_l, v_l
+        if nhkv < cfg.n_head_kv_max:
+            k_full = k_full[:, :, :nhkv]
+            v_full = v_full[:, :, :nhkv]
         swa = cfg.swa_window if is_swa_layer else 0
         attn = _attention(
             cfg, q, k_full, v_full, pos_start, T, swa=swa, scale=scale,
@@ -642,47 +778,17 @@ def forward(
         attn_out = attn_out.astype(compute_dtype)
         if cfg.post_norms:
             attn_out = _norm(cfg, attn_out, lw["post_attn_norm"])
+        if cfg.swin_norm:  # chameleon: attn_norm applied to output, pre-residual
+            attn_out = _norm(cfg, attn_out, lw["attn_norm"])
         if cfg.parallel_residual:
             # gptneox/falcon/phi2: FFN reads the same residual input as attn
             f = a if cfg.shared_ffn_norm else _norm(
                 cfg, h, lw.get("ffn_norm"), lw.get("ffn_norm_b"))
         else:
             h = h + attn_out * cfg.residual_scale
-            f = _norm(cfg, h, lw.get("ffn_norm"), lw.get("ffn_norm_b")) if cfg.pre_norms else h
-        if "ffn_gate_inp" in lw:
-            ffn_out = _moe_ffn(cfg, lw, f, compute_dtype, tap, il)
-        elif "ffn_gate" not in lw and "w_gateup" not in lw:
-            # no-gate FFN (gpt2 class): down(act(up x + b)) + b
-            if tap is not None:
-                tap(f"blk.{il}.ffn_up.weight", f)
-            up = matmul_lora(f, lw["ffn_up"], lw.get("ffn_up_lora"))
-            if "ffn_up_b" in lw:
-                up = up + lw["ffn_up_b"]
-            gu = _act(cfg, up.astype(compute_dtype))
-            if tap is not None:
-                tap(f"blk.{il}.ffn_down.weight", gu)
-            ffn_out = matmul_lora(gu, lw["ffn_down"], lw.get("ffn_down_lora"))
-            if "ffn_down_b" in lw:
-                ffn_out = ffn_out + lw["ffn_down_b"]
-            ffn_out = ffn_out.astype(compute_dtype)
-        else:
-            if tap is not None:
-                tap(f"blk.{il}.ffn_gate.weight", f)
-                tap(f"blk.{il}.ffn_up.weight", f)
-            if "w_gateup" in lw:
-                gu2 = matmul(f, lw["w_gateup"]).astype(compute_dtype)
-                ng = cfg.n_ff
-                gate = _act(cfg, gu2[..., :ng])
-                up = gu2[..., ng:]
-            else:
-                gate = _act(cfg, matmul_lora(f, lw["ffn_gate"], lw.get("ffn_gate_lora")).astype(compute_dtype))
-                up = matmul_lora(f, lw["ffn_up"], lw.get("ffn_up_lora")).astype(compute_dtype)
-            gu = gate * up
-            if tap is not None:
-                tap(f"blk.{il}.ffn_down.weight", gu)
-            ffn_out = matmul_lora(gu, lw["ffn_down"], lw.get("ffn_down_lora")).astype(compute_dtype)
-        if cfg.post_norms:
-            ffn_out = _norm(cfg, ffn_out, lw["post_ffn_norm"])
+            f = (_norm(cfg, h, lw.get("ffn_norm"), lw.get("ffn_norm_b"))
+                 if (cfg.pre_norms and not cfg.swin_norm) else h)
+        ffn_out = _ffn_out(cfg, lw, f, h_in, compute_dtype, tap, il)
         h = (h + attn_out + ffn_out) if cfg.parallel_residual else (h + ffn_out * cfg.residual_scale)
         if "cvec" in lw:  # control-vector steering (llama-adapter cvec)
             h = h + lw["cvec"].astype(h.dtype)

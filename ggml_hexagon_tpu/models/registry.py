@@ -15,7 +15,16 @@ from .llama import LlamaConfig
 
 def _base(md: dict, arch: str, **overrides) -> LlamaConfig:
     g = lambda k, d=None: md.get(f"{arch}.{k}", d)
-    n_head = int(g("attention.head_count"))
+
+    def scalar_or_arr(v):
+        """deci/openelm store per-layer head/ffn counts as GGUF arrays."""
+        if isinstance(v, (list, tuple)):
+            return int(max(v)), tuple(int(x) for x in v)
+        return int(v), ()
+
+    n_head, n_head_arr = scalar_or_arr(g("attention.head_count"))
+    n_head_kv, n_head_kv_arr = scalar_or_arr(g("attention.head_count_kv", n_head))
+    n_ff, _ = scalar_or_arr(g("feed_forward_length"))
     scaling = g("rope.scaling.type", "none") or "none"
     freq_scale = 1.0
     ext_factor = 0.0
@@ -29,8 +38,10 @@ def _base(md: dict, arch: str, **overrides) -> LlamaConfig:
         n_embd=int(g("embedding_length")),
         n_layer=int(g("block_count")),
         n_head=n_head,
-        n_head_kv=int(g("attention.head_count_kv", n_head)),
-        n_ff=int(g("feed_forward_length")),
+        n_head_arr=n_head_arr,
+        n_head_kv=n_head_kv,
+        n_head_kv_arr=n_head_kv_arr,
+        n_ff=n_ff,
         rms_eps=float(g("attention.layer_norm_rms_epsilon", 1e-5)),
         rope_theta=float(g("rope.freq_base", 10000.0)),
         rope_freq_scale=freq_scale,
@@ -347,6 +358,78 @@ def _jais(md):
                  attn_scale=1.0 / (n_embd // n_head))
 
 
+def _grok(md):
+    # reference: llm_build_grok — RMS norms, NEOX rope, kq_scale = 1.0,
+    # pre-residual attn_output_norm/layer_output_norm, gelu MoE
+    # (norm_topk=true), embeddings x78.38367176906169, logits
+    # x0.5773502691896257 (src/llama-model.cpp:4883-5043)
+    return _base(md, "grok", rope_mode="neox", act="gelu", attn_scale=1.0,
+                 post_norms=True, embd_scale=78.38367176906169,
+                 logit_scale=0.5773502691896257)
+
+
+def _plamo(md):
+    # reference: llm_build_plamo — RMS, NORM rope over the full head dim,
+    # parallel residual with the FFN reading the attn_norm output
+    return _base(md, "plamo", parallel_residual=True, shared_ffn_norm=True)
+
+
+def _codeshell(md):
+    # reference: llm_build_codeshell — LN + bias, fused QKV + bias, partial
+    # NEOX rope (rope.dimension_count), gelu no-gate FFN
+    return _base(md, "codeshell", norm_type="layer",
+                 rms_eps=_ln_eps(md, "codeshell"), rope_mode="neox",
+                 attn_bias=True, act="gelu",
+                 rope_n_dims=int(md.get("codeshell.rope.dimension_count", 0)))
+
+
+def _refact(md):
+    # reference: llm_build_refact — RMS + SwiGLU, no rope, ALiBi with
+    # f_max_alibi_bias hardcoded to 8 (load_hparams :638-639)
+    return _base(md, "refact", rope_mode="none", alibi_max_bias=8.0)
+
+
+def _chameleon(md):
+    # reference: llm_build_chameleon — llama graph + per-head LayerNorm QK
+    # norms with [hd, n_head] distinct weights; swin_norm moves attn_norm/
+    # ffn_norm to the block OUTPUT pre-residual (llama-model.cpp:11405-11560)
+    swin = bool(md.get("chameleon.swin_norm", False))
+    return _base(md, "chameleon", norm_qk_type="layer",
+                 swin_norm=swin, pre_norms=not swin)
+
+
+def _arctic(md):
+    # reference: llm_build_arctic — llama graph where EVERY layer has a dense
+    # residual MLP plus an MoE branch over ffn_norm_exps(layer input),
+    # norm_topk=true (llama-model.cpp:9201-9320)
+    return _base(md, "arctic")
+
+
+def _deci(md):
+    # reference: llm_build_deci — llama graph with per-layer head counts;
+    # n_head==0 -> attention-free layer, n_head_kv==0 -> "linear attention"
+    # (wo only) for Llama-3_1-Nemotron-51B (llama-model.cpp:4360-4530)
+    return _base(md, "deci")
+
+
+def _openelm(md):
+    # reference: llm_build_openelm — per-layer n_head/n_head_kv arrays,
+    # fused QKV, per-head RMS QK norms, partial NEOX rope, SwiGLU, tied head
+    head_dim = int(md.get("openelm.attention.key_length", 0))
+    return _base(md, "openelm", rope_mode="neox", head_dim=head_dim,
+                 rope_n_dims=int(md.get("openelm.rope.dimension_count", 0)))
+
+
+def _bailingmoe(md):
+    # reference: llm_build_bailingmoe — llama MoE graph whose effective head
+    # dim is n_rot (rope.dimension_count), kq_scale = 1/sqrt(n_rot), silu
+    # experts + unconditional shared expert, expert_weights_norm from GGUF
+    # (llama-model.cpp:11906-12040)
+    return _base(md, "bailingmoe",
+                 head_dim=int(md.get("bailingmoe.rope.dimension_count", 0)),
+                 norm_topk_prob=bool(md.get("bailingmoe.expert_weights_norm", False)))
+
+
 ARCHS: dict[str, Callable[[dict], LlamaConfig]] = {
     "llama": _mixtral_or_llama,
     "mistral": _mistral,
@@ -387,6 +470,15 @@ ARCHS: dict[str, Callable[[dict], LlamaConfig]] = {
     "orion": _orion,
     "qwen": _qwen,
     "jais": _jais,
+    "grok": _grok,
+    "plamo": _plamo,
+    "codeshell": _codeshell,
+    "refact": _refact,
+    "chameleon": _chameleon,
+    "arctic": _arctic,
+    "deci": _deci,
+    "openelm": _openelm,
+    "bailingmoe": _bailingmoe,
 }
 
 
