@@ -24,10 +24,17 @@ def cmd_generate(args):
     from .runtime.device_sampling import DeviceSamplerParams
 
     eng = Engine.from_gguf(args.model, max_seq=args.ctx_size)
-    if args.prompt is None:
+    if args.prompt_tokens:
+        ids = [int(t) for t in args.prompt_tokens.replace(",", " ").split()]
+    elif args.prompt is None:
         print("error: --prompt required", file=sys.stderr)
         return 1
-    ids = eng.tokenizer.encode(args.prompt)
+    elif eng.tokenizer is None:
+        print("error: model has no tokenizer; use --prompt-tokens",
+              file=sys.stderr)
+        return 1
+    else:
+        ids = eng.tokenizer.encode(args.prompt)
     print(f"prompt tokens: {ids}", file=sys.stderr)
     t0 = time.time()
     if args.on_device:
@@ -47,10 +54,12 @@ def cmd_generate(args):
         for t in eng.generate(ids, n_predict=args.n_predict, sampler=chain):
             toks.append(t)
             if args.stream:
-                sys.stdout.write(eng.tokenizer.decode([t], skip_special=False))
+                sys.stdout.write(eng.tokenizer.decode([t], skip_special=False)
+                                 if eng.tokenizer else f"{t} ")
                 sys.stdout.flush()
     if not args.stream:
-        print(eng.tokenizer.decode(toks))
+        print(eng.tokenizer.decode(toks) if eng.tokenizer else
+              " ".join(str(t) for t in toks))
     else:
         print()
     print(f"[{eng.perf.report()}]", file=sys.stderr)
@@ -227,6 +236,7 @@ def main(argv=None):
     g = sub.add_parser("generate", help="generate text from a prompt")
     g.add_argument("-m", "--model", required=True)
     g.add_argument("-p", "--prompt")
+    g.add_argument("--prompt-tokens", help="raw token ids, e.g. '1,2,3'")
     g.add_argument("-n", "--n-predict", type=int, default=64)
     g.add_argument("-c", "--ctx-size", type=int, default=2048)
     g.add_argument("--temp", type=float, default=0.8)

@@ -129,6 +129,23 @@ def convert_hf_llama(
     if rs and (rs.get("type") or rs.get("rope_type")) == "linear":
         w.add(f"{arch}.rope.scaling.type", "linear")
         w.add(f"{arch}.rope.scaling.factor", float(rs["factor"]))
+    if rs and (rs.get("type") or rs.get("rope_type")) in ("su", "longrope"):
+        # phi3 longrope (reference Phi3MiniModel.generate_extra_tensors):
+        # attn_factor = sqrt(1 + log(scale)/log(orig_ctx)), factors become
+        # the rope_factors_long/short freq-divisor tensors
+        import math as _math
+
+        orig = int(getattr(c, "original_max_position_embeddings", 0)
+                   or rs.get("original_max_position_embeddings", 0))
+        scale = int(c.max_position_embeddings) / max(orig, 1)
+        attn_factor = (_math.sqrt(1 + _math.log(scale) / _math.log(orig))
+                       if scale > 1.0 else 1.0)
+        w.add(f"{arch}.rope.scaling.original_context_length", orig)
+        w.add(f"{arch}.rope.scaling.attn_factor", float(attn_factor))
+        w.add_tensor("blk.0.rope_factors_long.weight",
+                     np.asarray(rs["long_factor"], np.float32))
+        w.add_tensor("blk.0.rope_factors_short.weight",
+                     np.asarray(rs["short_factor"], np.float32))
     if is_moe and getattr(c, "norm_topk_prob", None) is not None:
         w.add(f"{arch}.norm_topk_prob", bool(c.norm_topk_prob))
     if arch == "olmo":

@@ -56,6 +56,21 @@ class DeepseekConfig:
     yarn_log_mul: float = 0.0
     n_ctx_train: int = 4096
     arch: str = "deepseek2"
+    # --- minicpm3 / plm variation points (llm_build_minicpm3 / llm_build_plm)
+    rope_mode: str = "norm"        # minicpm3: neox
+    embd_scale: float = 1.0        # minicpm3: scale_embd = 12
+    res_scale: float = 1.0         # minicpm3: scale_depth/sqrt(n_layer)
+    logit_scale: float = 1.0       # minicpm3: n_embd_base(256)/n_embd
+    ffn_gated: bool = True         # plm: False (up -> relu^2 -> down)
+    rope_ff: tuple = ()            # minicpm3 longrope freq factors (active)
+    rope_ff_long: tuple = ()
+
+    def resolve_rope_factors(self, n_ctx: int) -> "DeepseekConfig":
+        from dataclasses import replace
+
+        if self.rope_ff_long and n_ctx > self.n_ctx_train:
+            return replace(self, rope_ff=self.rope_ff_long)
+        return self
 
     @property
     def hd_k(self) -> int:
@@ -63,7 +78,8 @@ class DeepseekConfig:
 
     @classmethod
     def from_gguf(cls, md: dict) -> "DeepseekConfig":
-        g = lambda k, d=None: md.get(f"deepseek2.{k}", d)
+        arch = md.get("general.architecture", "deepseek2")
+        g = lambda k, d=None: md.get(f"{arch}.{k}", d)
         qk_rope = int(g("rope.dimension_count", 64))
         hd_k = int(g("attention.key_length", 192))
         scaling = g("rope.scaling.type", "none") or "none"
@@ -72,10 +88,24 @@ class DeepseekConfig:
             freq_scale = 1.0 / float(g("rope.scaling.factor"))
             ext = 1.0
         n_vocab = g("vocab_size") or len(md.get("tokenizer.ggml.tokens", [])) or 102400
+        n_embd = int(g("embedding_length"))
+        n_layer = int(g("block_count"))
+        extra = {}
+        if arch == "minicpm3":
+            # llm_build_minicpm3 hardcodes n_embd_base=256, scale_embd=12,
+            # scale_depth=1.4 (src/llama-model.cpp:7338-7341)
+            extra = dict(rope_mode="neox", embd_scale=12.0,
+                         res_scale=1.4 / math.sqrt(n_layer),
+                         logit_scale=256.0 / n_embd)
+        elif arch == "plm":
+            # llm_build_plm: direct wq, no-gate relu^2 FFN (LLM_FFN_RELU_SQR)
+            extra = dict(ffn_gated=False)
         return cls(
+            arch=arch,
+            **extra,
             n_vocab=int(n_vocab),
-            n_embd=int(g("embedding_length")),
-            n_layer=int(g("block_count")),
+            n_embd=n_embd,
+            n_layer=n_layer,
             n_head=int(g("attention.head_count")),
             n_ff=int(g("feed_forward_length")),
             q_lora_rank=int(g("attention.q_lora_rank", 0) or 0),
@@ -103,6 +133,17 @@ class DeepseekConfig:
 
 def load_deepseek_weights(reader, dtype=jnp.bfloat16, device=True):
     cfg = DeepseekConfig.from_gguf(reader.metadata)
+    # minicpm3 longrope factors (stored once on blk.0, duplicated per layer
+    # in the reference, llama-model.cpp:1794-1795)
+    from dataclasses import replace
+
+    _ff = {}
+    for field, tn in (("rope_ff", "blk.0.rope_factors_short.weight"),
+                      ("rope_ff_long", "blk.0.rope_factors_long.weight")):
+        if tn in reader.tensors:
+            _ff[field] = tuple(float(x) for x in reader.tensor_f32(tn))
+    if _ff:
+        cfg = replace(cfg, **_ff)
 
     def get(name, vec=False):
         t = reader.tensors[name]
@@ -152,7 +193,8 @@ def load_deepseek_weights(reader, dtype=jnp.bfloat16, device=True):
                 if a is not None:
                     lw[sh] = a
         else:
-            lw["ffn_gate"] = get(p + "ffn_gate.weight")
+            if cfg.ffn_gated:
+                lw["ffn_gate"] = get(p + "ffn_gate.weight")
             lw["ffn_up"] = get(p + "ffn_up.weight")
             lw["ffn_down"] = get(p + "ffn_down.weight")
         layers.append(lw)
@@ -220,13 +262,16 @@ def forward(cfg: DeepseekConfig, weights, tokens, kv_cache, pos_start,
     attn_factor = (1.0 / (1.0 + 0.1 * math.log(1.0 / cfg.rope_freq_scale))
                    if cfg.rope_freq_scale != 1.0 else 1.0)
     rope = RopeParams(
-        n_dims=dr, mode="norm", freq_base=cfg.rope_theta,
+        n_dims=dr, mode=cfg.rope_mode, freq_base=cfg.rope_theta,
         freq_scale=cfg.rope_freq_scale, ext_factor=cfg.rope_ext_factor,
-        attn_factor=attn_factor, n_ctx_orig=cfg.n_ctx_train)
+        attn_factor=attn_factor, n_ctx_orig=cfg.n_ctx_train,
+        freq_factors=cfg.rope_ff)
 
     pos_vec = jnp.reshape(jnp.asarray(pos_start, jnp.int32), (-1, 1))
     positions = pos_vec + jnp.arange(T, dtype=jnp.int32)[None, :]
     h = embed(weights["tok_embd"], tokens, compute_dtype)
+    if cfg.embd_scale != 1.0:  # minicpm3 scale_embd
+        h = h * cfg.embd_scale
     new_k, new_v = [], []
     for il, lw in enumerate(weights["layers"]):
         a = rms_norm(h, lw["attn_norm"], cfg.rms_eps)
@@ -266,19 +311,26 @@ def forward(cfg: DeepseekConfig, weights, tokens, kv_cache, pos_start,
                          preferred_element_type=jnp.float32)
         attn_out = matmul(ctx.reshape(B, T, H * dv).astype(compute_dtype),
                           lw["wo"]).astype(compute_dtype)
-        h = h + attn_out
+        h = h + attn_out * cfg.res_scale
         f = rms_norm(h, lw["ffn_norm"], cfg.rms_eps)
         if "ffn_gate_inp" in lw:
             ffn_out = _moe(cfg, lw, f, compute_dtype)
+        elif not cfg.ffn_gated:
+            # plm LLM_FFN_RELU_SQR + LLM_FFN_SEQ: down(relu(up x)^2)
+            u = matmul(f, lw["ffn_up"]).astype(compute_dtype)
+            u = jnp.square(jax.nn.relu(u.astype(jnp.float32))).astype(compute_dtype)
+            ffn_out = matmul(u, lw["ffn_down"]).astype(compute_dtype)
         else:
             g = silu(matmul(f, lw["ffn_gate"]).astype(compute_dtype))
             u = matmul(f, lw["ffn_up"]).astype(compute_dtype)
             ffn_out = matmul(g * u, lw["ffn_down"]).astype(compute_dtype)
-        h = h + ffn_out
+        h = h + ffn_out * cfg.res_scale
     kv_cache = {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
     h = rms_norm(h, weights["output_norm"], cfg.rms_eps)
     if not logits_all:
         h = h[:, -1, :]
+    if cfg.logit_scale != 1.0:  # minicpm3 lm-head scaling (n_embd_base/n_embd)
+        h = h * cfg.logit_scale
     logits = matmul(h, weights["output"])
     return logits.astype(jnp.float32), kv_cache
 

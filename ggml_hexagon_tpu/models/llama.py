@@ -84,6 +84,20 @@ class LlamaConfig:
     norm_qk_type: str = ""             # chameleon: LayerNorm QK while body is RMS
     n_head_arr: tuple = ()             # deci/openelm: per-layer head counts
     n_head_kv_arr: tuple = ()          # (0 kv heads = linear attn; 0 heads = no attn)
+    # longrope/llama3 per-pair frequency divisors (ggml freq_factors src2):
+    # active set + the phi3 long-context alternative (llama-model.cpp:12067-
+    # 12078: rope_freqs wins; else long when n_ctx_per_seq > n_ctx_orig)
+    rope_ff: tuple = ()
+    rope_ff_long: tuple = ()
+
+    def resolve_rope_factors(self, n_ctx: int) -> "LlamaConfig":
+        """Pick long-context freq factors when the runtime context exceeds
+        the original training context (get_rope_factors callback)."""
+        from dataclasses import replace
+
+        if self.rope_ff_long and n_ctx > self.n_ctx_train:
+            return replace(self, rope_ff=self.rope_ff_long)
+        return self
 
     def nh(self, il: int) -> int:
         return self.n_head_arr[il] if self.n_head_arr else self.n_head
@@ -111,6 +125,7 @@ class LlamaConfig:
             beta_fast=self.rope_beta_fast,
             beta_slow=self.rope_beta_slow,
             n_ctx_orig=self.n_ctx_train,
+            freq_factors=self.rope_ff,
         )
 
     @property
@@ -164,9 +179,21 @@ def load_llama_weights(reader, dtype=jnp.bfloat16, device: bool = True) -> tuple
     MoE expert tensors) load when present; output falls back to the tied
     token embedding (reference: llm_load_tensors TOKEN_EMBD reuse).
     """
+    from dataclasses import replace
+
     from .registry import config_from_gguf
 
     cfg = config_from_gguf(reader.metadata)
+    # longrope / llama3 frequency factors (stored on blk.0 in GGUF; the
+    # reference duplicates them per layer, llama-model.cpp:1669-1673)
+    _ff = {}
+    for field, tn in (("rope_ff", "blk.0.rope_freqs.weight"),
+                      ("rope_ff", "blk.0.rope_factors_short.weight"),
+                      ("rope_ff_long", "blk.0.rope_factors_long.weight")):
+        if tn in reader.tensors and not _ff.get(field):
+            _ff[field] = tuple(float(x) for x in reader.tensor_f32(tn))
+    if _ff:
+        cfg = replace(cfg, **_ff)
 
     def get(name, as_vec=False):
         t = reader.tensors[name]

@@ -46,7 +46,12 @@ def _base(md: dict, arch: str, **overrides) -> LlamaConfig:
         rope_theta=float(g("rope.freq_base", 10000.0)),
         rope_freq_scale=freq_scale,
         rope_ext_factor=ext_factor,
-        n_ctx_train=int(g("context_length", 2048)),
+        # longrope/yarn attn magnitude correction (phi3 converter writes
+        # sqrt(1+log(scale)/log(orig_ctx)) as rope.scaling.attn_factor)
+        rope_attn_factor=float(g("rope.scaling.attn_factor", 1.0)),
+        # n_ctx_orig_yarn: original_context_length wins (llama.cpp hparams)
+        n_ctx_train=int(g("rope.scaling.original_context_length", 0)
+                        or g("context_length", 2048)),
         head_dim=int(g("attention.key_length", 0)),
         n_expert=int(g("expert_count", 0)),
         n_expert_used=int(g("expert_used_count", 0)),

@@ -59,6 +59,9 @@ class RopeParams:
     beta_fast: float = 32.0
     beta_slow: float = 1.0
     n_ctx_orig: int = 0  # original training context for YaRN
+    # per-pair frequency divisors (ggml rope_ext src2 "freq_factors":
+    # phi3 longrope rope_factors_long/short, llama3 rope_freqs) — theta/ff
+    freq_factors: tuple = ()
 
 
 def _yarn_corr_dim(n_dims: int, n_ctx_orig: int, n_rot: float, base: float) -> float:
@@ -80,6 +83,9 @@ def rope_freqs(params: RopeParams):
     half = params.n_dims // 2
     j = jnp.arange(half, dtype=jnp.float32)
     theta = params.freq_base ** (-2.0 * j / params.n_dims)  # base^-2j/n
+    if params.freq_factors:
+        # ggml-cpu.c rope: rope_yarn(theta/ff, ...) — factors divide theta
+        theta = theta / jnp.asarray(params.freq_factors, jnp.float32)[:half]
     if params.ext_factor != 0.0 and params.n_ctx_orig > 0:
         # YaRN: interpolate between scaled and unscaled freq per dimension
         lo = math.floor(

@@ -57,6 +57,8 @@ class Engine:
         compute_dtype=jnp.bfloat16,
         fuse: bool = False,
     ):
+        if hasattr(cfg, "resolve_rope_factors"):
+            cfg = cfg.resolve_rope_factors(max_seq)  # phi3 longrope long/short
         self.cfg = cfg
         if fuse:
             from ..models.fuse import fuse_weights
