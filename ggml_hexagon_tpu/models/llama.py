@@ -84,6 +84,7 @@ class LlamaConfig:
     norm_qk_type: str = ""             # chameleon: LayerNorm QK while body is RMS
     n_head_arr: tuple = ()             # deci/openelm: per-layer head counts
     n_head_kv_arr: tuple = ()          # (0 kv heads = linear attn; 0 heads = no attn)
+    rope_sections: tuple = ()          # qwen2vl M-RoPE (t,h,w,e) section dims
     # longrope/llama3 per-pair frequency divisors (ggml freq_factors src2):
     # active set + the phi3 long-context alternative (llama-model.cpp:12067-
     # 12078: rope_freqs wins; else long when n_ctx_per_seq > n_ctx_orig)
@@ -126,6 +127,7 @@ class LlamaConfig:
             beta_slow=self.rope_beta_slow,
             n_ctx_orig=self.n_ctx_train,
             freq_factors=self.rope_ff,
+            sections=self.rope_sections,
         )
 
     @property
@@ -256,6 +258,17 @@ def load_llama_weights(reader, dtype=jnp.bfloat16, device: bool = True) -> tuple
             ("bo", "attn_output.bias"),
             ("ffn_up_b", "ffn_up.bias"),
             ("ffn_down_b", "ffn_down.bias"),
+            # bitnet: pre-projection RMS sub-norms + per-tensor quant scales
+            # (llm_build_bitnet, llama-model.cpp:9731-9880)
+            ("attn_sub_norm", "attn_sub_norm.weight"),
+            ("ffn_sub_norm", "ffn_sub_norm.weight"),
+            ("wq_scale", "attn_q.scale"),
+            ("wk_scale", "attn_k.scale"),
+            ("wv_scale", "attn_v.scale"),
+            ("wo_scale", "attn_output.scale"),
+            ("ffn_gate_scale", "ffn_gate.scale"),
+            ("ffn_up_scale", "ffn_up.scale"),
+            ("ffn_down_scale", "ffn_down.scale"),
         ):
             a = opt(p + name, as_vec=True)
             if a is not None:
@@ -599,12 +612,24 @@ def _dense_ffn(cfg, lw, f, compute_dtype, tap=None, il=0):
         gate = _act(cfg, gu2[..., :ng])
         up = gu2[..., ng:]
     else:
-        gate = _act(cfg, matmul_lora(f, lw["ffn_gate"], lw.get("ffn_gate_lora")).astype(compute_dtype))
-        up = matmul_lora(f, lw["ffn_up"], lw.get("ffn_up_lora")).astype(compute_dtype)
+        gate = matmul_lora(f, lw["ffn_gate"], lw.get("ffn_gate_lora"))
+        up = matmul_lora(f, lw["ffn_up"], lw.get("ffn_up_lora"))
+        if "ffn_gate_scale" in lw:  # bitnet per-tensor quant scales
+            gate = gate * lw["ffn_gate_scale"]
+        if "ffn_up_scale" in lw:
+            up = up * lw["ffn_up_scale"]
+        gate = _act(cfg, gate.astype(compute_dtype))
+        up = up.astype(compute_dtype)
     gu = gate * up
+    if "ffn_sub_norm" in lw:
+        # bitnet: RMS sub-norm on gated activations BEFORE down projection
+        gu = rms_norm(gu, lw["ffn_sub_norm"], cfg.rms_eps)
     if tap is not None:
         tap(f"blk.{il}.ffn_down.weight", gu)
-    return matmul_lora(gu, lw["ffn_down"], lw.get("ffn_down_lora")).astype(compute_dtype)
+    out = matmul_lora(gu, lw["ffn_down"], lw.get("ffn_down_lora"))
+    if "ffn_down_scale" in lw:
+        out = out * lw["ffn_down_scale"]
+    return out.astype(compute_dtype)
 
 
 def _ffn_out(cfg, lw, f, h_in, compute_dtype, tap=None, il=0):
@@ -734,6 +759,12 @@ def forward(
             q = matmul_lora(a, lw["wq"], lw.get("wq_lora"))
             k = matmul_lora(a, lw["wk"], lw.get("wk_lora"))
             v = matmul_lora(a, lw["wv"], lw.get("wv_lora"))
+            if "wq_scale" in lw:  # bitnet per-tensor quant scales
+                q = q * lw["wq_scale"]
+            if "wk_scale" in lw:
+                k = k * lw["wk_scale"]
+            if "wv_scale" in lw:
+                v = v * lw["wv_scale"]
             if "bq" in lw:
                 q = q + lw["bq"]
             if "bk" in lw:
@@ -799,7 +830,13 @@ def forward(
         ).astype(compute_dtype)
         if tap is not None:
             tap(f"blk.{il}.attn_output.weight", attn)
+        if "attn_sub_norm" in lw:
+            # bitnet: RMS sub-norm on the attention output BEFORE the output
+            # projection (llm_build_bitnet, src/llama-model.cpp:9816-9819)
+            attn = rms_norm(attn, lw["attn_sub_norm"], cfg.rms_eps)
         attn_out = matmul_lora(attn, lw["wo"], lw.get("wo_lora"))
+        if "wo_scale" in lw:
+            attn_out = attn_out * lw["wo_scale"]
         if "bo" in lw:
             attn_out = attn_out + lw["bo"]
         attn_out = attn_out.astype(compute_dtype)

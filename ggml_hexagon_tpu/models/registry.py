@@ -435,6 +435,22 @@ def _bailingmoe(md):
                  norm_topk_prob=bool(md.get("bailingmoe.expert_weights_norm", False)))
 
 
+def _bitnet(md):
+    # reference: llm_build_bitnet — llama graph + per-tensor quant scale
+    # scalars (attn_q.scale ...), RMS sub-norms before wo / ffn_down, NEOX
+    # rope, tied lm_head (llama-model.cpp:9731-9895)
+    return _base(md, "bitnet", rope_mode="neox")
+
+
+def _qwen2vl(md):
+    # reference: llm_build_qwen2vl — qwen2 graph with M-RoPE
+    # (ggml_rope_multi + rope_sections, llama-model.cpp:6179-6297)
+    return _base(md, "qwen2vl", attn_bias=True, rope_mode="mrope",
+                 rope_sections=tuple(int(x) for x in
+                                     md.get("qwen2vl.rope.dimension_sections",
+                                            ())))
+
+
 ARCHS: dict[str, Callable[[dict], LlamaConfig]] = {
     "llama": _mixtral_or_llama,
     "mistral": _mistral,
@@ -484,6 +500,8 @@ ARCHS: dict[str, Callable[[dict], LlamaConfig]] = {
     "deci": _deci,
     "openelm": _openelm,
     "bailingmoe": _bailingmoe,
+    "bitnet": _bitnet,
+    "qwen2vl": _qwen2vl,
 }
 
 

@@ -62,6 +62,9 @@ class RopeParams:
     # per-pair frequency divisors (ggml rope_ext src2 "freq_factors":
     # phi3 longrope rope_factors_long/short, llama3 rope_freqs) — theta/ff
     freq_factors: tuple = ()
+    # M-RoPE (qwen2vl, ggml_rope_multi): pair j reads position stream
+    # (t,h,w,e) by sector = j % sum(sections) (ggml-cpu.c:8650-8706)
+    sections: tuple = ()
 
 
 def _yarn_corr_dim(n_dims: int, n_ctx_orig: int, n_rot: float, base: float) -> float:
@@ -114,18 +117,39 @@ def apply_rope(x, positions, params: RopeParams):
     mode 'norm': adjacent pairs (x[2j], x[2j+1]) — what LLAMA-family GGUFs
     expect (conversion pre-permutes Q/K so this equals HF rotate-half).
     mode 'neox': split halves (x[j], x[j+half]).
+    mode 'mrope' (qwen2vl M-RoPE, ggml_rope_multi): neox pairing, but pair j
+    reads one of 4 position streams (t,h,w,e) chosen by its section; pass
+    positions [..., T] for text (t=h=w=pos, e=0) or [4, ..., T] multimodal.
     Dims beyond n_dims pass through unrotated.
     """
+    import numpy as np
+
     n_dims = params.n_dims
     head_dim = x.shape[-1]
     inv_freq, mscale = rope_freqs(params)
-    pos = positions.astype(jnp.float32)[..., :, None]  # [..., T, 1]
-    angles = pos * inv_freq[None, :]  # [..., T, half]
+    if params.mode == "mrope":
+        half = n_dims // 2
+        sect_dims = sum(params.sections) or half
+        bounds = np.cumsum(params.sections or (half,))
+        # stream per pair: sector < s0 -> t, < s0+s1 -> h, < +s2 -> w, else e
+        stream = np.searchsorted(bounds, np.arange(half) % sect_dims,
+                                 side="right")
+        if positions.ndim == x.ndim - 2:  # text-only: t=h=w=pos, e=0
+            pos4 = jnp.stack([positions, positions, positions,
+                              jnp.zeros_like(positions)])
+        else:
+            pos4 = positions
+        # [half, ..., T] -> [..., T, half]
+        pos_sel = jnp.moveaxis(pos4[stream], 0, -1).astype(jnp.float32)
+        angles = pos_sel * inv_freq[None, :]
+    else:
+        pos = positions.astype(jnp.float32)[..., :, None]  # [..., T, 1]
+        angles = pos * inv_freq[None, :]  # [..., T, half]
     cos = (jnp.cos(angles) * mscale)[..., :, None, :]  # [..., T, 1, half]
     sin = (jnp.sin(angles) * mscale)[..., :, None, :]
     xf = x.astype(jnp.float32)
     rot, rest = xf[..., :n_dims], xf[..., n_dims:]
-    if params.mode == "neox":
+    if params.mode in ("neox", "mrope"):
         x1 = rot[..., : n_dims // 2]
         x2 = rot[..., n_dims // 2 :]
         out = jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
