@@ -38,10 +38,22 @@ class BertConfig:
     n_ctx_train: int = 512
     n_token_types: int = 2
     arch: str = "bert"
+    # --- nomic_bert / jina_bert_v2 variation points (llm_build_bert) ---
+    n_head_kv: int = 0               # 0 -> n_head
+    rope: bool = False               # nomic: NEOX rope, no learned positions
+    rope_theta: float = 10000.0
+    fused_qkv: bool = False          # nomic: single wqkv, no biases
+    ffn_gated: bool = False          # nomic (silu) / jina (gelu) gated FFN
+    act: str = "gelu"
+    alibi_max_bias: float = 0.0      # jina v2: 8.0 (hardcoded in load_hparams)
 
     @property
     def hd(self) -> int:
         return self.n_embd // self.n_head
+
+    @property
+    def nhkv(self) -> int:
+        return self.n_head_kv or self.n_head
 
     @classmethod
     def from_gguf(cls, md: dict) -> "BertConfig":
@@ -49,15 +61,28 @@ class BertConfig:
         g = lambda k, d=None: md.get(f"{arch}.{k}", d)
         n_vocab = md.get(f"{arch}.vocab_size") or len(
             md.get("tokenizer.ggml.tokens", [])) or 30522
+        extra = {}
+        if arch == "nomic_bert":
+            # llm_build_bert nomic branch: fused wqkv + NEOX rope + gated
+            # silu FFN, all bias-free (src/llama-model.cpp:5447-5470,5516)
+            extra = dict(rope=True, fused_qkv=True, ffn_gated=True,
+                         act="silu",
+                         rope_theta=float(g("rope.freq_base", 1000.0)))
+        elif arch == "jina_bert_v2":
+            # separate qkv + optional QK norms, ALiBi (f_max_alibi_bias=8,
+            # llama-model.cpp:668), gated gelu FFN with down bias (:5509)
+            extra = dict(ffn_gated=True, act="gelu", alibi_max_bias=8.0)
         return cls(
             n_vocab=int(n_vocab),
             n_embd=int(g("embedding_length")),
             n_layer=int(g("block_count")),
             n_head=int(g("attention.head_count")),
+            n_head_kv=int(g("attention.head_count_kv", 0) or 0),
             n_ff=int(g("feed_forward_length")),
             ln_eps=float(g("attention.layer_norm_epsilon", 1e-12)),
             n_ctx_train=int(g("context_length", 512)),
             arch=arch,
+            **extra,
         )
 
 
@@ -79,24 +104,44 @@ def load_bert_weights(reader, dtype=jnp.float32):
     layers = []
     for i in range(cfg.n_layer):
         p = f"blk.{i}."
-        layers.append({
-            "wq": get(p + "attn_q.weight"), "bq": get(p + "attn_q.bias", True),
-            "wk": get(p + "attn_k.weight"), "bk": get(p + "attn_k.bias", True),
-            "wv": get(p + "attn_v.weight"), "bv": get(p + "attn_v.bias", True),
+        lw = {
             "wo": get(p + "attn_output.weight"),
-            "bo": get(p + "attn_output.bias", True),
             "attn_out_norm": get(p + "attn_output_norm.weight", True),
             "attn_out_norm_b": get(p + "attn_output_norm.bias", True),
             "ffn_up": get(p + "ffn_up.weight"),
-            "ffn_up_b": get(p + "ffn_up.bias", True),
             "ffn_down": get(p + "ffn_down.weight"),
-            "ffn_down_b": get(p + "ffn_down.bias", True),
             "layer_out_norm": get(p + "layer_output_norm.weight", True),
             "layer_out_norm_b": get(p + "layer_output_norm.bias", True),
-        })
+        }
+        if cfg.fused_qkv:
+            lw["wqkv"] = get(p + "attn_qkv.weight")
+        else:
+            lw["wq"] = get(p + "attn_q.weight")
+            lw["bq"] = get(p + "attn_q.bias", True)
+            lw["wk"] = get(p + "attn_k.weight")
+            lw["bk"] = get(p + "attn_k.bias", True)
+            lw["wv"] = get(p + "attn_v.weight")
+            lw["bv"] = get(p + "attn_v.bias", True)
+        for key, name, vec in (
+                ("bo", "attn_output.bias", True),
+                ("ffn_up_b", "ffn_up.bias", True),
+                ("ffn_down_b", "ffn_down.bias", True),
+                ("ffn_gate", "ffn_gate.weight", False),
+                # jina v2: extra post-attention norm + per-proj QK LayerNorms
+                ("attn_norm_2", "attn_norm_2.weight", True),
+                ("attn_norm_2_b", "attn_norm_2.bias", True),
+                ("attn_q_norm", "attn_q_norm.weight", True),
+                ("attn_q_norm_b", "attn_q_norm.bias", True),
+                ("attn_k_norm", "attn_k_norm.weight", True),
+                ("attn_k_norm_b", "attn_k_norm.bias", True),
+        ):
+            a = opt(p + name, vec)
+            if a is not None:
+                lw[key] = a
+        layers.append(lw)
     weights = {
         "tok_embd": get("token_embd.weight"),
-        "pos_embd": get("position_embd.weight"),
+        "pos_embd": opt("position_embd.weight"),
         "type_embd": get("token_types.weight"),
         "tok_norm": get("token_embd_norm.weight", True),
         "tok_norm_b": get("token_embd_norm.bias", True),
@@ -127,7 +172,8 @@ def forward_bert(cfg: BertConfig, weights, tokens, attn_mask=None,
         from .llama import embed
         h = embed(tok, tokens, compute_dtype)
     h = h.astype(jnp.float32)
-    h = h + weights["pos_embd"][:T][None]
+    if weights.get("pos_embd") is not None:  # learned positions (bert only)
+        h = h + weights["pos_embd"][:T][None]
     if token_types is None:
         h = h + weights["type_embd"][0][None, None]
     else:
@@ -141,11 +187,48 @@ def forward_bert(cfg: BertConfig, weights, tokens, attn_mask=None,
         bias = jnp.where(attn_mask[:, None, None, :].astype(bool), 0.0,
                          -jnp.inf).astype(jnp.float32)  # [B,1,1,T]
 
+    if cfg.alibi_max_bias:
+        # jina v2: non-causal ALiBi KQ mask, -slope_h * |t - s|
+        # (llama-graph.cpp:403 non-causal branch with slopes)
+        from ..ops.basic import alibi_slopes
+
+        slopes = jnp.asarray(alibi_slopes(cfg.n_head, cfg.alibi_max_bias))
+        t_idx = jnp.arange(T)[:, None]
+        s_idx = jnp.arange(T)[None, :]
+        alibi = (-slopes[:, None, None]
+                 * jnp.abs(t_idx - s_idx).astype(jnp.float32))[None]
+        bias = alibi if bias is None else bias + alibi
+
+    if cfg.rope:
+        from ..ops.basic import RopeParams, apply_rope
+
+        rope = RopeParams(n_dims=cfg.hd, mode="neox", freq_base=cfg.rope_theta)
+        positions = jnp.arange(T, dtype=jnp.int32)[None]
+
     scale = 1.0 / float(np.sqrt(cfg.hd))
+    nkv = cfg.nhkv
     for lw in weights["layers"]:
-        q = (matmul(h, lw["wq"]) + lw["bq"]).reshape(B, T, cfg.n_head, cfg.hd)
-        k = (matmul(h, lw["wk"]) + lw["bk"]).reshape(B, T, cfg.n_head, cfg.hd)
-        v = (matmul(h, lw["wv"]) + lw["bv"]).reshape(B, T, cfg.n_head, cfg.hd)
+        if "wqkv" in lw:  # nomic fused projection (bias-free)
+            qkv = matmul(h, lw["wqkv"])
+            nq, ng = cfg.n_embd, nkv * cfg.hd
+            q, k, v = qkv[..., :nq], qkv[..., nq:nq + ng], qkv[..., nq + ng:]
+        else:
+            q = matmul(h, lw["wq"]) + lw["bq"]
+            k = matmul(h, lw["wk"]) + lw["bk"]
+            v = matmul(h, lw["wv"]) + lw["bv"]
+        if "attn_q_norm" in lw:  # jina v2 optional flat QK LayerNorms
+            q = _ln(q, lw["attn_q_norm"], lw["attn_q_norm_b"], cfg.ln_eps)
+            k = _ln(k, lw["attn_k_norm"], lw["attn_k_norm_b"], cfg.ln_eps)
+        q = q.reshape(B, T, cfg.n_head, cfg.hd)
+        k = k.reshape(B, T, nkv, cfg.hd)
+        v = v.reshape(B, T, nkv, cfg.hd)
+        if cfg.rope:
+            q = apply_rope(q, positions, rope)
+            k = apply_rope(k, positions, rope)
+        if nkv != cfg.n_head:  # GQA: broadcast kv heads over groups
+            rep = cfg.n_head // nkv
+            k = jnp.repeat(k, rep, axis=2)
+            v = jnp.repeat(v, rep, axis=2)
         scores = jnp.einsum("bthd,bshd->bhts", q, k,
                             preferred_element_type=jnp.float32) * scale
         if bias is not None:
@@ -154,13 +237,29 @@ def forward_bert(cfg: BertConfig, weights, tokens, attn_mask=None,
         ctx = jnp.einsum("bhts,bshd->bthd", probs, v.astype(compute_dtype),
                          preferred_element_type=jnp.float32)
         ctx = ctx.reshape(B, T, cfg.n_embd)
-        attn_out = matmul(ctx.astype(compute_dtype), lw["wo"]) + lw["bo"]
-        h = _ln(h.astype(jnp.float32) + attn_out,
-                lw["attn_out_norm"], lw["attn_out_norm_b"], cfg.ln_eps
-                ).astype(compute_dtype)
-        up = matmul(h, lw["ffn_up"]) + lw["ffn_up_b"]
-        act = jax.nn.gelu(up.astype(jnp.float32), approximate=False)
-        down = matmul(act.astype(compute_dtype), lw["ffn_down"]) + lw["ffn_down_b"]
+        attn_out = matmul(ctx.astype(compute_dtype), lw["wo"])
+        if "bo" in lw:
+            attn_out = attn_out + lw["bo"]
+        inp = h.astype(jnp.float32)
+        h = _ln(inp + attn_out,
+                lw["attn_out_norm"], lw["attn_out_norm_b"], cfg.ln_eps)
+        if "attn_norm_2" in lw:  # jina v2: re-add layer input + second norm
+            h = _ln(h.astype(jnp.float32) + inp,
+                    lw["attn_norm_2"], lw["attn_norm_2_b"], cfg.ln_eps)
+        h = h.astype(compute_dtype)
+        up = matmul(h, lw["ffn_up"])
+        if "ffn_up_b" in lw:
+            up = up + lw["ffn_up_b"]
+        if cfg.ffn_gated and "ffn_gate" in lw:
+            gate = matmul(h, lw["ffn_gate"]).astype(jnp.float32)
+            gact = (jax.nn.silu(gate) if cfg.act == "silu"
+                    else jax.nn.gelu(gate, approximate=False))
+            act = gact * up.astype(jnp.float32)
+        else:
+            act = jax.nn.gelu(up.astype(jnp.float32), approximate=False)
+        down = matmul(act.astype(compute_dtype), lw["ffn_down"])
+        if "ffn_down_b" in lw:
+            down = down + lw["ffn_down_b"]
         h = _ln(h.astype(jnp.float32) + down,
                 lw["layer_out_norm"], lw["layer_out_norm_b"], cfg.ln_eps
                 ).astype(compute_dtype)
