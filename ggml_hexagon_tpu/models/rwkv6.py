@@ -295,3 +295,341 @@ def convert_hf_rwkv6(sd, c, out_path, qtype=GGMLType.F16,
     }
     return _write_gguf(out_path, "rwkv6", md, t, qtype,
                        tokenizer_fields=tokenizer_fields)
+
+
+# =========================================================================
+# rwkv6qwen2 (qrwkv: rwkv6 time-mix inside a qwen2-style RMS/SwiGLU model)
+# and the rwkv7 family.  References: llm_build_rwkv6qwen2
+# (src/llama-model.cpp:10960), llm_build_rwkv7_base/_rwkv7/_arwkv7
+# (:11047-11420), GGML_OP_GATED_LINEAR_ATTN (ggml-cpu.c:11520) and
+# GGML_OP_RWKV_WKV7 (ggml-cpu.c:11711).
+# =========================================================================
+
+
+def gla(k, v, q, g, state0, scale):
+    """GGML_OP_GATED_LINEAR_ATTN: per head, state S[i=k-dim, j=v-dim]:
+    S = S*g_i + k_i*v_j; out_j = sum_i q_i*scale*S[i,j]."""
+    def step(S, inp):
+        k_t, v_t, q_t, g_t = inp  # each [B,H,N]
+        S = S * g_t[..., None] + jnp.einsum("bhi,bhj->bhij", k_t, v_t)
+        out = jnp.einsum("bhi,bhij->bhj", q_t * scale, S)
+        return S, out
+
+    xs = tuple(a.transpose(1, 0, 2, 3) for a in (k, v, q, g))
+    S, outs = jax.lax.scan(step, state0, xs)
+    return outs.transpose(1, 0, 2, 3), S
+
+
+def wkv7(r, w, k, v, a, b, state0):
+    """GGML_OP_RWKV_WKV7: per head, state S[i=v-dim, j=k-dim]:
+    sa_i = sum_j a_j S[i,j];  S = S*w_j + v_i*k_j + sa_i*b_j;
+    out_i = sum_j r_j S[i,j].  All inputs [B,T,H,N]; state0 [B,H,N,N]."""
+    def step(S, inp):
+        r_t, w_t, k_t, v_t, a_t, b_t = inp  # each [B,H,N]
+        sa = jnp.einsum("bhj,bhij->bhi", a_t, S)
+        S = (S * w_t[:, :, None, :]
+             + jnp.einsum("bhi,bhj->bhij", v_t, k_t)
+             + jnp.einsum("bhi,bhj->bhij", sa, b_t))
+        out = jnp.einsum("bhj,bhij->bhi", r_t, S)
+        return S, out
+
+    xs = tuple(x.transpose(1, 0, 2, 3) for x in (r, w, k, v, a, b))
+    S, outs = jax.lax.scan(step, state0, xs)
+    return outs.transpose(1, 0, 2, 3), S
+
+
+def _rms(x, w, eps=1e-5):
+    xf = x.astype(jnp.float32)
+    return xf * jax.lax.rsqrt(jnp.mean(xf * xf, -1, keepdims=True) + eps) * w
+
+
+@dataclass(frozen=True)
+class RWKV7Config:
+    n_vocab: int
+    n_embd: int
+    n_layer: int
+    n_ff: int
+    head_size: int = 64
+    ln_eps: float = 1e-5
+    rms_eps: float = 1e-5
+    arch: str = "rwkv7"  # 'rwkv7' | 'arwkv7' | 'rwkv6qwen2'
+    n_head_kv: int = 0   # rwkv6qwen2 GQA kv heads (0 -> n_head)
+
+    @property
+    def n_head(self) -> int:
+        return self.n_embd // self.head_size
+
+    @classmethod
+    def from_gguf(cls, md: dict) -> "RWKV7Config":
+        arch = md.get("general.architecture", "rwkv7")
+        g = lambda k, d=None: md.get(f"{arch}.{k}", d)
+        n_vocab = g("vocab_size") or len(md.get("tokenizer.ggml.tokens", [])) or 65536
+        return cls(
+            n_vocab=int(n_vocab),
+            n_embd=int(g("embedding_length")),
+            n_layer=int(g("block_count")),
+            n_ff=int(g("feed_forward_length")),
+            head_size=int(g("wkv.head_size", 64)),
+            ln_eps=float(g("attention.layer_norm_epsilon", 1e-5)),
+            rms_eps=float(g("attention.layer_norm_rms_epsilon", 1e-5)),
+            n_head_kv=int(g("attention.head_count_kv", 0) or 0),
+            arch=arch,
+        )
+
+
+def load_rwkv7_weights(reader, dtype=jnp.float32):
+    """Loader for rwkv7 / arwkv7 / rwkv6qwen2 GGUFs (tensor tables
+    llama-arch.cpp:1246-1340)."""
+    cfg = RWKV7Config.from_gguf(reader.metadata)
+
+    def get(name, vec=False):
+        t = reader.tensors[name]
+        if vec or len(t.ne) == 1:
+            return jnp.asarray(reader.tensor_f32(name), jnp.float32)
+        if (t.ggml_type in QCONFIGS and len(t.ne) == 2 and t.ne[0] % 256 == 0):
+            return pack_tensor(reader.tensor_bytes(name), t.ggml_type,
+                               t.shape).astype_device()
+        return jnp.asarray(reader.tensor_f32(name), jnp.float32)
+
+    def opt(name, vec=False):
+        return get(name, vec) if name in reader.tensors else None
+
+    layers = []
+    for i in range(cfg.n_layer):
+        p = f"blk.{i}."
+        lw = {}
+        for nm, vec in (
+                ("attn_norm", True), ("attn_norm_b", True),
+                ("attn_norm_2", True), ("attn_norm_2_b", True),
+                ("time_mix_ln", True), ("time_mix_ln_b", True),
+                ("time_mix_w0", True), ("time_mix_a0", True),
+                ("time_mix_v0", True), ("time_mix_k_k", True),
+                ("time_mix_k_a", True), ("time_mix_r_k", True),
+                ("time_mix_lerp_x", True), ("time_mix_decay", True),
+                ("channel_mix_lerp_k", True),
+                ("time_mix_key_b", True), ("time_mix_value_b", True),
+                ("time_mix_receptance_b", True), ("time_mix_first", True),
+                ("time_mix_w1", False), ("time_mix_w2", False),
+                ("time_mix_a1", False), ("time_mix_a2", False),
+                ("time_mix_v1", False), ("time_mix_v2", False),
+                ("time_mix_g1", False), ("time_mix_g2", False),
+                ("time_mix_decay_w1", False), ("time_mix_decay_w2", False),
+                ("time_mix_key", False), ("time_mix_value", False),
+                ("time_mix_receptance", False), ("time_mix_gate", False),
+                ("time_mix_output", False),
+                ("channel_mix_key", False), ("channel_mix_value", False),
+                ("ffn_gate", False), ("ffn_up", False), ("ffn_down", False),
+                ("ffn_norm", True),
+        ):
+            gname = nm[:-2] + ".bias" if nm.endswith("_b") else nm + ".weight"
+            a = opt(p + gname, vec)
+            if a is not None:
+                lw[nm] = a
+        # fused lerp [n_streams, 1, 1, C] -> [n_streams, C]
+        if p + "time_mix_lerp_fused.weight" in reader.tensors:
+            arr = reader.tensor_f32(p + "time_mix_lerp_fused.weight")
+            lw["time_mix_lerp_fused"] = jnp.asarray(
+                arr.reshape(-1, cfg.n_embd), jnp.float32)
+        layers.append(lw)
+    weights = {
+        "tok_embd": get("token_embd.weight"),
+        "tok_norm": opt("token_embd_norm.weight", True),
+        "tok_norm_b": opt("token_embd_norm.bias", True),
+        "output_norm": get("output_norm.weight", True),
+        "output_norm_b": opt("output_norm.bias", True),
+        "output": get("output.weight"),
+        "layers": layers,
+    }
+    return cfg, weights
+
+
+def init_rwkv7_state(cfg: RWKV7Config, batch: int, dtype=jnp.float32):
+    H, N = cfg.n_head, cfg.head_size
+    st = {
+        "att_shift": jnp.zeros((cfg.n_layer, batch, cfg.n_embd), dtype),
+        "wkv": jnp.zeros((cfg.n_layer, batch, H, N, N), jnp.float32),
+    }
+    if cfg.arch == "rwkv7":  # token_shift_count == 2
+        st["ffn_shift"] = jnp.zeros((cfg.n_layer, batch, cfg.n_embd), dtype)
+    return st
+
+
+def _time_mix7(cfg, lw, cur, x_prev, S0, v_first, compute_dtype):
+    """build_rwkv7_time_mix: returns (att_out, new_state, v_first)."""
+    B, T, C = cur.shape
+    H, N = cfg.n_head, cfg.head_size
+    sx = x_prev - cur
+    fused = lw["time_mix_lerp_fused"]  # [5 or 6, C]; order r,w,k,v,a[,g]
+    has_g = "time_mix_g1" in lw
+    mixed = [cur + sx * fused[i] for i in range(fused.shape[0])]
+    xr, xw, xk, xv, xa = mixed[:5]
+    cd = compute_dtype
+    r = matmul(xr.astype(cd), lw["time_mix_receptance"]).astype(jnp.float32)
+    w = jnp.einsum(
+        "bte,ce->btc",
+        jnp.tanh(matmul(xw.astype(cd), lw["time_mix_w1"]).astype(jnp.float32)),
+        lw["time_mix_w2"].astype(jnp.float32)) + lw["time_mix_w0"]
+    # w = exp(-0.606531 * sigmoid(w))  (soft decay cap, llama-model.cpp:11124)
+    w = jnp.exp(-0.606531 * jax.nn.sigmoid(w))
+    k = matmul(xk.astype(cd), lw["time_mix_key"]).astype(jnp.float32)
+    v = matmul(xv.astype(cd), lw["time_mix_value"]).astype(jnp.float32)
+    if v_first is None:
+        v_first = v
+    else:
+        # first-layer value residual gated by the v0/v1/v2 LoRA
+        mix = jax.nn.sigmoid(
+            jnp.einsum("bte,ce->btc",
+                       matmul(xv.astype(cd), lw["time_mix_v1"]).astype(jnp.float32),
+                       lw["time_mix_v2"].astype(jnp.float32)) + lw["time_mix_v0"])
+        v = v + (v_first - v) * mix
+    a = jax.nn.sigmoid(
+        jnp.einsum("bte,ce->btc",
+                   matmul(xa.astype(cd), lw["time_mix_a1"]).astype(jnp.float32),
+                   lw["time_mix_a2"].astype(jnp.float32)) + lw["time_mix_a0"])
+    g = None
+    if has_g:
+        g = jnp.einsum(
+            "bte,ce->btc",
+            jax.nn.sigmoid(matmul(mixed[5].astype(cd),
+                                  lw["time_mix_g1"]).astype(jnp.float32)),
+            lw["time_mix_g2"].astype(jnp.float32))
+    kk = (k * lw["time_mix_k_k"]).reshape(B, T, H, N)
+    kk = kk / jnp.maximum(
+        jnp.sqrt(jnp.sum(kk * kk, -1, keepdims=True)), 1e-12)  # ggml_l2_norm
+    ka = k * lw["time_mix_k_a"]
+    k = k + a * ka - ka
+    sh = lambda x: x.reshape(B, T, H, N)
+    a_h = sh(a)
+    out, S = wkv7(sh(r), sh(w), sh(k), sh(v), -kk, kk * a_h, S0)
+    out = out.reshape(B, T, C)
+    if "time_mix_ln" in lw:
+        out = _group_norm(out, H, 64e-5)
+        out = out * lw["time_mix_ln"] + lw["time_mix_ln_b"]
+    # rk bonus: out += v * sum_j(k*r*r_k) per head
+    rk = jnp.sum(sh(k) * sh(r) * lw["time_mix_r_k"].reshape(H, N), -1,
+                 keepdims=True)
+    out = out + (sh(v) * rk).reshape(B, T, C)
+    if g is not None:
+        out = out * g
+    att = matmul(out.astype(cd), lw["time_mix_output"]).astype(jnp.float32)
+    return att, S, v_first
+
+
+def forward_rwkv7(cfg: RWKV7Config, weights, tokens, state, logits_all=False,
+                  compute_dtype=jnp.float32):
+    """rwkv7 (LN + channel-mix) / arwkv7 (RMS + SwiGLU) forward."""
+    B, T = tokens.shape
+    h = embed(weights["tok_embd"], tokens, jnp.float32)
+    is_pure = cfg.arch == "rwkv7"
+    if is_pure:
+        h = _ln(h, weights["tok_norm"], weights["tok_norm_b"], cfg.ln_eps)
+
+    v_first = None
+    new_att, new_ffn, new_wkv = [], [], []
+    for il, lw in enumerate(weights["layers"]):
+        if is_pure:
+            cur = _ln(h, lw["attn_norm"], lw["attn_norm_b"], cfg.ln_eps)
+        else:
+            cur = _rms(h, lw["attn_norm"], cfg.rms_eps)
+        x_prev, att_carry = _token_shift(cur, state["att_shift"][il])
+        new_att.append(att_carry)
+        att, S, v_first = _time_mix7(cfg, lw, cur, x_prev, state["wkv"][il],
+                                     v_first, compute_dtype)
+        new_wkv.append(S)
+        h = h + att
+        if is_pure:
+            # rwkv7 channel mix: relu(key x)^2 -> value (no receptance)
+            cur = _ln(h, lw["attn_norm_2"], lw["attn_norm_2_b"], cfg.ln_eps)
+            x_prev, ffn_carry = _token_shift(cur, state["ffn_shift"][il])
+            new_ffn.append(ffn_carry)
+            xk = cur + (x_prev - cur) * lw["channel_mix_lerp_k"]
+            kk = jnp.square(jax.nn.relu(
+                matmul(xk.astype(compute_dtype),
+                       lw["channel_mix_key"]).astype(jnp.float32)))
+            h = h + matmul(kk.astype(compute_dtype),
+                           lw["channel_mix_value"]).astype(jnp.float32)
+        else:
+            f = _rms(h, lw["ffn_norm"], cfg.rms_eps)
+            gate = jax.nn.silu(matmul(f.astype(compute_dtype),
+                                      lw["ffn_gate"]).astype(jnp.float32))
+            up = matmul(f.astype(compute_dtype), lw["ffn_up"]).astype(jnp.float32)
+            h = h + matmul((gate * up).astype(compute_dtype),
+                           lw["ffn_down"]).astype(jnp.float32)
+
+    state = {"att_shift": jnp.stack(new_att), "wkv": jnp.stack(new_wkv)}
+    if is_pure:
+        state["ffn_shift"] = jnp.stack(new_ffn)
+        h = _ln(h, weights["output_norm"], weights["output_norm_b"], cfg.ln_eps)
+    else:
+        h = _rms(h, weights["output_norm"], cfg.rms_eps)
+    if not logits_all:
+        h = h[:, -1, :]
+    logits = matmul(h.astype(compute_dtype), weights["output"])
+    return logits.astype(jnp.float32), state
+
+
+def forward_rwkv6qwen2(cfg: RWKV7Config, weights, tokens, state,
+                       logits_all=False, compute_dtype=jnp.float32):
+    """rwkv6qwen2 (qrwkv): rwkv6 time-mix with r/k/v biases + GQA repeat +
+    sigmoid gate + k*(1-w) inside a qwen2-style RMS/SwiGLU stack, using
+    GATED_LINEAR_ATTN with scale head_size^-0.5 (llm_build_rwkv6qwen2)."""
+    B, T = tokens.shape
+    H, N = cfg.n_head, cfg.head_size
+    n_kv = cfg.n_head_kv or H
+    h = embed(weights["tok_embd"], tokens, jnp.float32)
+    cd = compute_dtype
+
+    new_att, new_wkv = [], []
+    for il, lw in enumerate(weights["layers"]):
+        cur = _rms(h, lw["attn_norm"], cfg.rms_eps)
+        x_prev, att_carry = _token_shift(cur, state["att_shift"][il])
+        new_att.append(att_carry)
+        sx = x_prev - cur
+        xxx = cur + sx * lw["time_mix_lerp_x"]
+        lora = jnp.tanh(matmul(xxx.astype(cd), lw["time_mix_w1"]))
+        lora = lora.reshape(B, T, 5, -1)
+        xxx5 = jnp.einsum("btfe,fce->btfc", lora.astype(jnp.float32),
+                          lw["time_mix_w2"].astype(jnp.float32))
+        mix = xxx5 + lw["time_mix_lerp_fused"][None, None]
+        xw, xk, xv, xr, xg = [cur + mix[:, :, i] * sx for i in range(5)]
+        r = matmul(xr.astype(cd), lw["time_mix_receptance"]).astype(jnp.float32)
+        k = matmul(xk.astype(cd), lw["time_mix_key"]).astype(jnp.float32)
+        v = matmul(xv.astype(cd), lw["time_mix_value"]).astype(jnp.float32)
+        if "time_mix_receptance_b" in lw:
+            r = r + lw["time_mix_receptance_b"]
+        if "time_mix_key_b" in lw:
+            k = k + lw["time_mix_key_b"]
+        if "time_mix_value_b" in lw:
+            v = v + lw["time_mix_value_b"]
+        g = matmul(xg.astype(cd), lw["time_mix_gate"]).astype(jnp.float32)
+        g = jax.nn.sigmoid(g)  # is_qrwkv: sigmoid not silu
+        if n_kv != H:  # GQA: repeat kv heads over groups
+            rep = H // n_kv
+            k = jnp.repeat(k.reshape(B, T, n_kv, N), rep, 2).reshape(B, T, H * N)
+            v = jnp.repeat(v.reshape(B, T, n_kv, N), rep, 2).reshape(B, T, H * N)
+        w = jnp.einsum(
+            "btd,cd->btc",
+            jnp.tanh(matmul(xw.astype(cd),
+                            lw["time_mix_decay_w1"]).astype(jnp.float32)),
+            lw["time_mix_decay_w2"].astype(jnp.float32))
+        w = w + lw["time_mix_decay"]
+        w = jnp.exp(-jnp.exp(w))
+        k = k * (1.0 - w)  # is_qrwkv pre-scale
+        sh = lambda x: x.reshape(B, T, H, N)
+        out, S = gla(sh(k), sh(v), sh(r), sh(w), state["wkv"][il],
+                     float(N) ** -0.5)
+        new_wkv.append(S)
+        out = out.reshape(B, T, cfg.n_embd) * g  # no group norm for qrwkv
+        att = matmul(out.astype(cd), lw["time_mix_output"]).astype(jnp.float32)
+        h = h + att
+        f = _rms(h, lw["ffn_norm"], cfg.rms_eps)
+        gate = jax.nn.silu(matmul(f.astype(cd), lw["ffn_gate"]).astype(jnp.float32))
+        up = matmul(f.astype(cd), lw["ffn_up"]).astype(jnp.float32)
+        h = h + matmul((gate * up).astype(cd), lw["ffn_down"]).astype(jnp.float32)
+
+    state = {"att_shift": jnp.stack(new_att), "wkv": jnp.stack(new_wkv)}
+    h = _rms(h, weights["output_norm"], cfg.rms_eps)
+    if not logits_all:
+        h = h[:, -1, :]
+    logits = matmul(h.astype(cd), weights["output"])
+    return logits.astype(jnp.float32), state
