@@ -95,6 +95,39 @@ def cmd_llava(args):
     return 0
 
 
+def cmd_tts(args):
+    """llama-tts analog: OuteTTS LM + WavTokenizer vocoder -> WAV.
+
+    --codes skips the LM and feeds raw vocoder codes (space/comma separated),
+    mirroring the reference's embd-file debug path (tts.cpp:1046-1066)."""
+    import numpy as np
+
+    from .models.wavtokenizer import (SAMPLE_RATE, codes_to_audio,
+                                      load_wavtok_weights, save_wav16)
+    from .gguf import GGUFReader
+
+    if args.codes:
+        codes = np.asarray(
+            [int(t) for t in args.codes.replace(",", " ").split()], np.int32)
+        with GGUFReader.open(args.vocoder) as r:
+            cfg, w = load_wavtok_weights(r)
+        audio = codes_to_audio(cfg, w, codes)
+    else:
+        from .runtime.tts import synthesize
+
+        if not args.model or args.prompt is None:
+            print("error: --model and --prompt required (or use --codes)",
+                  file=sys.stderr)
+            return 1
+        audio = synthesize(args.model, args.vocoder, args.prompt,
+                           speaker_file=args.speaker,
+                           n_predict=args.n_predict, max_seq=args.ctx_size)
+    save_wav16(args.output, audio)
+    print(f"wrote {args.output}: {audio.shape[0]} samples "
+          f"({audio.shape[0]/SAMPLE_RATE:.2f}s @ {SAMPLE_RATE} Hz)")
+    return 0
+
+
 def cmd_quantize(args):
     from .gguf import GGUFReader
     from .quant.policy import FTYPES, quantize_model
@@ -261,6 +294,18 @@ def main(argv=None):
     lv.add_argument("--temp", type=float, default=0.0)
     lv.add_argument("--seed", type=int, default=42)
     lv.set_defaults(fn=cmd_llava)
+
+    ts = sub.add_parser("tts", help="text-to-speech (OuteTTS + WavTokenizer)")
+    ts.add_argument("-m", "--model", help="TTC language model GGUF")
+    ts.add_argument("-mv", "--vocoder", required=True,
+                    help="WavTokenizer-dec GGUF")
+    ts.add_argument("-p", "--prompt", help="text to speak")
+    ts.add_argument("--codes", help="raw vocoder codes (skip the LM)")
+    ts.add_argument("--speaker", help="speaker json file")
+    ts.add_argument("-o", "--output", default="output.wav")
+    ts.add_argument("-n", "--n-predict", type=int, default=768)
+    ts.add_argument("-c", "--ctx-size", type=int, default=4096)
+    ts.set_defaults(fn=cmd_tts)
 
     q = sub.add_parser("quantize", help="quantize a GGUF model")
     q.add_argument("input")
