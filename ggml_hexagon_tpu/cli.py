@@ -128,6 +128,248 @@ def cmd_tts(args):
     return 0
 
 
+def cmd_embedding(args):
+    """llama-embedding analog: pooled embeddings for one or more prompts."""
+    from .gguf import GGUFReader
+    from .models.llama import load_llama_weights
+    from .runtime.embedding import extract_embeddings
+    from .tokenizer import Vocab, build_tokenizer
+
+    with GGUFReader.open(args.model) as r:
+        cfg, weights = load_llama_weights(r)
+        vocab = Vocab.from_gguf(r.metadata)
+    tok = build_tokenizer(vocab)
+    prompts = args.prompt if args.prompt else [sys.stdin.read()]
+    ids = [tok.encode(p) for p in prompts]
+    emb = extract_embeddings(cfg, weights, ids, pooling=args.pooling,
+                             normalize=not args.no_normalize)
+    for row in emb:
+        print(" ".join(f"{v:.6f}" for v in row[: args.n_print]) +
+              (" ..." if len(row) > args.n_print else ""))
+    return 0
+
+
+def cmd_retrieval(args):
+    """llama-retrieval analog: chunk files, embed, rank vs a query."""
+    import numpy as np
+
+    from .gguf import GGUFReader
+    from .models.llama import load_llama_weights
+    from .runtime.embedding import extract_embeddings
+    from .tokenizer import Vocab, build_tokenizer
+
+    chunks = []
+    for path in args.files:
+        text = open(path).read()
+        for seg in text.split(args.separator):
+            seg = seg.strip()
+            if len(seg) >= args.chunk_size:
+                chunks.append((path, seg))
+            elif seg and chunks and chunks[-1][0] == path:
+                chunks[-1] = (path, chunks[-1][1] + args.separator + seg)
+            elif seg:
+                chunks.append((path, seg))
+    with GGUFReader.open(args.model) as r:
+        cfg, weights = load_llama_weights(r)
+        vocab = Vocab.from_gguf(r.metadata)
+    tok = build_tokenizer(vocab)
+    emb = extract_embeddings(cfg, weights, [tok.encode(c) for _, c in chunks],
+                             pooling=args.pooling)
+    q = extract_embeddings(cfg, weights, [tok.encode(args.query)],
+                           pooling=args.pooling)[0]
+    sims = emb @ q
+    for i in np.argsort(-sims)[: args.top_k]:
+        src, text = chunks[i]
+        print(f"{sims[i]:.4f}  {src}: {text[:120]!r}")
+    return 0
+
+
+def cmd_passkey(args):
+    """llama-passkey analog: long-context retrieval smoke test."""
+    from .runtime import Engine, make_chain
+
+    eng = Engine.from_gguf(args.model, max_seq=args.ctx_size)
+    junk = ("The grass is green. The sky is blue. The sun is yellow. "
+            "Here we go. There and back again. ")
+    key = str(args.passkey)
+    pos = args.pos if args.pos >= 0 else args.n_junk // 2
+    parts = [junk] * args.n_junk
+    parts.insert(pos, f" The pass key is {key}. Remember it. {key} is the "
+                      "pass key. ")
+    prompt = ("There is an important info hidden inside a lot of irrelevant "
+              "text. Find it and memorize it. " + "".join(parts) +
+              " What is the pass key? The pass key is")
+    ids = eng.tokenizer.encode(prompt)
+    print(f"prompt: {len(ids)} tokens, key at junk index {pos}",
+          file=sys.stderr)
+    toks = list(eng.generate(ids, n_predict=args.n_predict,
+                             sampler=make_chain(temp=0.0)))
+    out = eng.tokenizer.decode(toks)
+    ok = key in out
+    print(f"response: {out.strip()!r}\npasskey {'FOUND' if ok else 'MISSING'}")
+    return 0 if ok else 1
+
+
+def cmd_save_load_state(args):
+    """save-load-state analog: prove state round-trip determinism."""
+    import numpy as np
+
+    from .runtime import Engine, make_chain
+
+    def greedy_continue(e, last_tok, n):
+        out = []
+        logits = e.decode_one(np.asarray([last_tok], np.int32))
+        for _ in range(n):
+            tok = int(np.argmax(logits[0]))
+            out.append(tok)
+            logits = e.decode_one(np.asarray([tok], np.int32))
+        return out
+
+    eng = Engine.from_gguf(args.model, max_seq=args.ctx_size)
+    ids = eng.tokenizer.encode(args.prompt)
+    state = args.output or "state.bin"
+    eng.prefill(np.asarray(ids[:-1], np.int32)[None, :])
+    eng.save_state(state)  # state holds the prompt prefix only
+    first = greedy_continue(eng, ids[-1], args.n_predict)
+    eng2 = Engine.from_gguf(args.model, max_seq=args.ctx_size)
+    eng2.load_state(state)  # resumes without re-running the prompt
+    second = greedy_continue(eng2, ids[-1], args.n_predict)
+    same = first == second
+    print(f"first : {first}\nsecond: {second}\n"
+          f"state round-trip {'OK' if same else 'MISMATCH'}")
+    return 0 if same else 1
+
+
+def cmd_infill(args):
+    """llama-infill analog: fill-in-middle completion via FIM tokens."""
+    from .gguf import GGUFReader
+    from .runtime import Engine, make_chain
+
+    with GGUFReader.open(args.model) as r:
+        md = r.metadata
+    def tokid(*keys):
+        for k in keys:
+            v = md.get(k)
+            if v is not None:
+                return int(v)
+        return None
+    pre = tokid("tokenizer.ggml.fim_pre_token_id",
+                "tokenizer.ggml.prefix_token_id")
+    suf = tokid("tokenizer.ggml.fim_suf_token_id",
+                "tokenizer.ggml.suffix_token_id")
+    mid = tokid("tokenizer.ggml.fim_mid_token_id",
+                "tokenizer.ggml.middle_token_id")
+    if None in (pre, suf, mid):
+        print("error: model lacks FIM special tokens", file=sys.stderr)
+        return 1
+    eng = Engine.from_gguf(args.model, max_seq=args.ctx_size)
+    ids = ([pre] + eng.tokenizer.encode(args.in_prefix, add_bos=False)
+           + [suf] + eng.tokenizer.encode(args.in_suffix, add_bos=False)
+           + [mid])
+    chain = make_chain(temp=args.temp, seed=args.seed)
+    toks = list(eng.generate(ids, n_predict=args.n_predict, sampler=chain))
+    print(args.in_prefix + eng.tokenizer.decode(toks) + args.in_suffix)
+    return 0
+
+
+def cmd_gguf_split(args):
+    from .gguf.split import merge_gguf, split_gguf
+
+    if args.merge:
+        out = merge_gguf(args.input, args.output)
+        print(f"merged -> {out}")
+    else:
+        paths = split_gguf(args.input, args.output,
+                           max_tensors=args.split_max_tensors)
+        print("\n".join(paths))
+    return 0
+
+
+def cmd_gguf_hash(args):
+    from .gguf.ghash import hash_gguf
+
+    algos = [a for a, on in (("sha256", args.sha256 or not (args.sha1 or args.uuid)),
+                             ("sha1", args.sha1), ("uuid", args.uuid)) if on]
+    res = hash_gguf(args.model, algos)
+    for algo in algos:
+        if algo == "uuid":
+            print(f"UUIDv5  {res['uuid']}  {args.model}")
+            continue
+        table = res[algo]
+        for name in table:
+            if name != "__model__":
+                print(f"{algo}  {table[name]}  {args.model}:{name}")
+        print(f"{algo}  {table['__model__']}  {args.model}")
+    return 0
+
+
+def cmd_export_lora(args):
+    from .models.lora import merge_lora_gguf
+
+    out = merge_lora_gguf(args.model, args.lora, args.output,
+                          scales=args.lora_scaled or None)
+    print(f"wrote {out}")
+    return 0
+
+
+def cmd_cvector_generator(args):
+    """cvector-generator analog: steering vectors from prompt pairs."""
+    from .gguf import GGUFReader
+    from .models.llama import load_llama_weights
+    from .models.lora import write_cvector_gguf
+    from .runtime.cvector import generate_control_vector
+    from .tokenizer import Vocab, build_tokenizer
+
+    with GGUFReader.open(args.model) as r:
+        cfg, weights = load_llama_weights(r)
+        vocab = Vocab.from_gguf(r.metadata)
+    tok = build_tokenizer(vocab)
+    pos = [l for l in open(args.positive_file).read().splitlines() if l.strip()]
+    neg = [l for l in open(args.negative_file).read().splitlines() if l.strip()]
+    n = min(len(pos), len(neg))
+    dirs = generate_control_vector(
+        cfg, weights, [tok.encode(p) for p in pos[:n]],
+        [tok.encode(p) for p in neg[:n]], method=args.method)
+    write_cvector_gguf(args.output, dirs)
+    print(f"wrote {args.output}: {len(dirs)} directions")
+    return 0
+
+
+def cmd_quantize_stats(args):
+    from .gguf import GGUFReader
+    from .quant.stats import quantize_stats
+
+    with GGUFReader.open(args.model) as r:
+        rows = quantize_stats(r, args.type, include=args.include_layers,
+                              exclude=args.exclude_layers,
+                              per_layer=args.per_layer)
+    for s in rows:
+        print(f"{s.qtype:8s} {s.name:40s} rmse {s.rmse:.6f} "
+              f"max {s.max_err:.6f} mean|e| {s.mean_abs:.6f}")
+    return 0
+
+
+def cmd_gbnf_validator(args):
+    """gbnf-validator analog: parse a grammar, check an input string."""
+    from .runtime.grammar import GBNFParser
+
+    try:
+        g = GBNFParser(open(args.grammar).read()).parse()
+    except Exception as e:
+        print(f"grammar parse error: {e}", file=sys.stderr)
+        return 1
+    text = open(args.input).read() if args.input else sys.stdin.read()
+    for i, ch in enumerate(text):
+        if not g.accept_char(ord(ch)):
+            print(f"input invalid at offset {i} (char {ch!r})")
+            return 1
+    if not g.can_end:
+        print("input is a valid prefix but incomplete")
+        return 1
+    print("input valid")
+    return 0
+
+
 def cmd_quantize(args):
     from .gguf import GGUFReader
     from .quant.policy import FTYPES, quantize_model
@@ -294,6 +536,96 @@ def main(argv=None):
     lv.add_argument("--temp", type=float, default=0.0)
     lv.add_argument("--seed", type=int, default=42)
     lv.set_defaults(fn=cmd_llava)
+
+    em = sub.add_parser("embedding", help="pooled prompt embeddings")
+    em.add_argument("-m", "--model", required=True)
+    em.add_argument("-p", "--prompt", action="append")
+    em.add_argument("--pooling", default="mean",
+                    choices=["mean", "cls", "last", "none"])
+    em.add_argument("--no-normalize", action="store_true")
+    em.add_argument("--n-print", type=int, default=8)
+    em.set_defaults(fn=cmd_embedding)
+
+    rt = sub.add_parser("retrieval", help="embed file chunks, rank vs query")
+    rt.add_argument("-m", "--model", required=True)
+    rt.add_argument("--files", nargs="+", required=True)
+    rt.add_argument("--query", required=True)
+    rt.add_argument("--chunk-size", type=int, default=64)
+    rt.add_argument("--separator", default="\n")
+    rt.add_argument("--top-k", type=int, default=3)
+    rt.add_argument("--pooling", default="mean")
+    rt.set_defaults(fn=cmd_retrieval)
+
+    pk = sub.add_parser("passkey", help="long-context retrieval smoke test")
+    pk.add_argument("-m", "--model", required=True)
+    pk.add_argument("--n-junk", type=int, default=250)
+    pk.add_argument("--passkey", type=int, default=42)
+    pk.add_argument("--pos", type=int, default=-1)
+    pk.add_argument("-n", "--n-predict", type=int, default=16)
+    pk.add_argument("-c", "--ctx-size", type=int, default=8192)
+    pk.set_defaults(fn=cmd_passkey)
+
+    sl = sub.add_parser("save-load-state", help="state round-trip check")
+    sl.add_argument("-m", "--model", required=True)
+    sl.add_argument("-p", "--prompt", default="The quick brown fox")
+    sl.add_argument("-n", "--n-predict", type=int, default=8)
+    sl.add_argument("-c", "--ctx-size", type=int, default=512)
+    sl.add_argument("-o", "--output")
+    sl.set_defaults(fn=cmd_save_load_state)
+
+    inf = sub.add_parser("infill", help="fill-in-middle completion")
+    inf.add_argument("-m", "--model", required=True)
+    inf.add_argument("--in-prefix", required=True)
+    inf.add_argument("--in-suffix", required=True)
+    inf.add_argument("-n", "--n-predict", type=int, default=32)
+    inf.add_argument("-c", "--ctx-size", type=int, default=2048)
+    inf.add_argument("--temp", type=float, default=0.0)
+    inf.add_argument("--seed", type=int, default=0)
+    inf.set_defaults(fn=cmd_infill)
+
+    gs = sub.add_parser("gguf-split", help="shard or merge GGUF files")
+    gs.add_argument("input")
+    gs.add_argument("output")
+    gs.add_argument("--merge", action="store_true")
+    gs.add_argument("--split-max-tensors", type=int, default=128)
+    gs.set_defaults(fn=cmd_gguf_split)
+
+    gh = sub.add_parser("gguf-hash", help="per-tensor + model digests")
+    gh.add_argument("model")
+    gh.add_argument("--sha256", action="store_true")
+    gh.add_argument("--sha1", action="store_true")
+    gh.add_argument("--uuid", action="store_true")
+    gh.set_defaults(fn=cmd_gguf_hash)
+
+    el = sub.add_parser("export-lora", help="merge LoRA adapters into base")
+    el.add_argument("-m", "--model", required=True)
+    el.add_argument("--lora", action="append", required=True)
+    el.add_argument("--lora-scaled", action="append", type=float)
+    el.add_argument("-o", "--output", required=True)
+    el.set_defaults(fn=cmd_export_lora)
+
+    cv = sub.add_parser("cvector-generator", help="steering vectors from "
+                        "positive/negative prompt pairs")
+    cv.add_argument("-m", "--model", required=True)
+    cv.add_argument("--positive-file", required=True)
+    cv.add_argument("--negative-file", required=True)
+    cv.add_argument("--method", default="pca", choices=["pca", "mean"])
+    cv.add_argument("-o", "--output", default="control_vector.gguf")
+    cv.set_defaults(fn=cmd_cvector_generator)
+
+    qs = sub.add_parser("quantize-stats", help="round-trip error per qtype")
+    qs.add_argument("-m", "--model", required=True)
+    qs.add_argument("--type", action="append", required=True,
+                    help="quant type name (repeatable), e.g. Q4_K")
+    qs.add_argument("-l", "--include-layers")
+    qs.add_argument("-L", "--exclude-layers")
+    qs.add_argument("--per-layer", action="store_true")
+    qs.set_defaults(fn=cmd_quantize_stats)
+
+    gv = sub.add_parser("gbnf-validator", help="validate input vs a grammar")
+    gv.add_argument("grammar")
+    gv.add_argument("input", nargs="?")
+    gv.set_defaults(fn=cmd_gbnf_validator)
 
     ts = sub.add_parser("tts", help="text-to-speech (OuteTTS + WavTokenizer)")
     ts.add_argument("-m", "--model", help="TTC language model GGUF")

@@ -105,3 +105,24 @@ class SplitReader:
 
     def __exit__(self, *e):
         self.close()
+
+
+def merge_gguf(first_path: str, out_path: str) -> str:
+    """Merge `-%05d-of-%05d.gguf` shards back into one file
+    (gguf-split --merge analog; split bookkeeping keys are dropped)."""
+    import numpy as np
+
+    sr = SplitReader.open(first_path)
+    try:
+        w = GGUFWriter()
+        for k, v in sr.readers[0].metadata.items():
+            if not k.startswith("split."):
+                w.add(k, v)
+        for r in sr.readers:
+            for t in r.tensors.values():
+                w.add_tensor(t.name, np.asarray(r.tensor_bytes(t.name)),
+                             t.ggml_type, raw_ne=t.ne)
+        w.write_file(out_path)
+    finally:
+        sr.close()
+    return out_path

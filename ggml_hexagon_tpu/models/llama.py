@@ -856,6 +856,8 @@ def forward(
         h = (h + attn_out + ffn_out) if cfg.parallel_residual else (h + ffn_out * cfg.residual_scale)
         if "cvec" in lw:  # control-vector steering (llama-adapter cvec)
             h = h + lw["cvec"].astype(h.dtype)
+        if tap is not None:  # per-layer hidden state (cb_eval "l_out" analog)
+            tap(f"blk.{il}.l_out", h)
 
     if new_k and isinstance(new_k[0], tuple):
         kv_cache = {

@@ -145,3 +145,44 @@ def write_lora_gguf(path: str, ab_map: dict, alpha: float = 16.0):
         w.add_tensor(f"{base}.lora_b", np.asarray(b, np.float32))
     w.write_file(path)
     return path
+
+
+def merge_lora_gguf(base_path: str, lora_paths, out_path: str,
+                    scales=None, out_type=None):
+    """Merge LoRA adapter(s) into base weights -> new GGUF
+    (examples/export-lora analog: W' = W + scale*(alpha/r)*B@A per tensor;
+    quantized bases are dequantized first, output written as F16 by default
+    like the reference's --outtype default)."""
+    from ..gguf.reader import GGUFReader
+    from ..gguf.writer import GGUFWriter
+    from ..quant.formats import GGMLType
+
+    if isinstance(lora_paths, str):
+        lora_paths = [lora_paths]
+    scales = scales or [1.0] * len(lora_paths)
+    adapters = [LoraAdapter.from_gguf(p, scale=s)
+                for p, s in zip(lora_paths, scales)]
+    out_type = out_type or GGMLType.F16
+    with GGUFReader.open(base_path) as r:
+        w = GGUFWriter()
+        for k, v in r.metadata.items():
+            w.add(k, v)
+        n_merged = 0
+        for name, t in r.tensors.items():
+            touched = [ad for ad in adapters if name in ad.ab_map]
+            if not touched:
+                w.add_tensor(name, np.asarray(r.tensor_bytes(name)),
+                             t.ggml_type, raw_ne=t.ne)
+                continue
+            x = r.tensor_f32(name)
+            for ad in touched:
+                a, b = ad.ab_map[name]
+                x = x + ad.effective_scale(name) * np.asarray(
+                    np.asarray(b, np.float32) @ np.asarray(a, np.float32))
+            ot = out_type if t.ggml_type not in (GGMLType.F32,) else t.ggml_type
+            w.add_tensor(name, np.asarray(x, np.float32), ot)
+            n_merged += 1
+        if n_merged == 0:
+            raise ValueError("no adapter tensors matched the base model")
+        w.write_file(out_path)
+    return out_path

@@ -132,6 +132,8 @@ class IMatrixCollector:
             taps = {}
 
             def tap(name, x):
+                if name.endswith(".l_out"):  # layer states are for cvector, not imatrix
+                    return
                 x2 = (x.astype(jnp.float32) ** 2).reshape(-1, x.shape[-1]).sum(axis=0)
                 taps[name] = taps.get(name, 0) + x2
 
