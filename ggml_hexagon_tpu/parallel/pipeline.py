@@ -1,0 +1,180 @@
+"""Pipeline (stage) parallelism — layer ranges sharded over a 'pp' mesh axis.
+
+Reference counterparts:
+  - LLAMA_SPLIT_MODE_LAYER: contiguous layer ranges per device
+    (src/llama-model.cpp:1386-1419 buft assignment).
+  - Micro-batch pipeline parallelism: the scheduler's n_copies>1 event
+    double-buffering (ggml/src/ggml-backend.cpp:663-667, enabled in
+    src/llama-context.cpp:253-283 when a model is layer-split over >=2
+    devices).
+
+TPU-native design: instead of per-split tensor copies + events, the layer
+stack is a stacked pytree sharded over the 'pp' mesh axis and the whole
+GPipe schedule is ONE jitted shard_map program — each rank scans its local
+layers (lax.scan), activations hop stage-to-stage with lax.ppermute, and
+micro-batches fill the bubble exactly like the reference's n_copies
+round-robin.  XLA overlaps the ppermute sends with the next micro-batch's
+compute (async collectives on ICI).
+
+Scope: the standard LLaMA-family layer (RMS pre-norms, GQA + RoPE, SwiGLU)
+— the flagship decode path.  Full-feature archs keep tp/dp GSPMD sharding
+(parallel/sharding.py); pp composes for > HBM models.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.llama import (_attention, _kv_write, apply_rope, embed, matmul)
+from ..ops.basic import rms_norm, silu
+
+
+def make_pp_mesh(pp: int, devices=None) -> Mesh:
+    devs = np.array(devices if devices is not None else jax.devices()[:pp])
+    return Mesh(devs.reshape(pp), axis_names=("pp",))
+
+
+def stack_layers(weights: dict):
+    """Per-layer dicts -> one stacked pytree with leading n_layer axis.
+
+    Requires homogeneous layers (same tensor set / shapes), which holds for
+    the standard-llama families this path serves."""
+    layers = weights["layers"]
+    keys = set(layers[0])
+    for lw in layers[1:]:
+        assert set(lw) == keys, "pipeline needs homogeneous layers"
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def shard_pipeline(weights: dict, kv: dict, mesh: Mesh):
+    """Place the stacked layer pytree + KV over 'pp' (layer axis 0);
+    embedding/head replicated (they run outside the pipeline body)."""
+    def put_layer(x):
+        return jax.device_put(x, NamedSharding(
+            mesh, P("pp", *([None] * (x.ndim - 1)))))
+
+    def put_rep(x):
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    stacked = jax.tree.map(put_layer, stack_layers(weights))
+    pw = {
+        "tok_embd": put_rep(weights["tok_embd"]),
+        "output_norm": put_rep(weights["output_norm"]),
+        "output": jax.tree.map(put_rep, weights["output"]),
+        "layers_stacked": stacked,
+    }
+    kv = {k: jax.device_put(v, NamedSharding(
+        mesh, P("pp", *([None] * (v.ndim - 1))))) for k, v in kv.items()}
+    return pw, kv
+
+
+def _layer(cfg, lw, h, kv_k, kv_v, positions, pos_start, T, scale,
+           compute_dtype):
+    """One standard llama layer on a micro-batch slice [b, T, D]."""
+    b = h.shape[0]
+    a = rms_norm(h, lw["attn_norm"], cfg.rms_eps)
+    q = matmul(a, lw["wq"]).reshape(b, T, cfg.n_head, cfg.hd)
+    k = matmul(a, lw["wk"]).reshape(b, T, cfg.n_head_kv, cfg.hd)
+    v = matmul(a, lw["wv"]).reshape(b, T, cfg.n_head_kv, cfg.hd)
+    q = apply_rope(q, positions, cfg.rope_params)
+    k = apply_rope(k, positions, cfg.rope_params)
+    k_l = _kv_write(kv_k, k, pos_start)
+    v_l = _kv_write(kv_v, v, pos_start)
+    attn = _attention(cfg, q, k_l, v_l, pos_start, T,
+                      scale=scale).astype(compute_dtype)
+    h = h + matmul(attn, lw["wo"]).astype(compute_dtype)
+    f = rms_norm(h, lw["ffn_norm"], cfg.rms_eps)
+    gu = silu(matmul(f, lw["ffn_gate"])) * matmul(f, lw["ffn_up"])
+    h = h + matmul(gu.astype(compute_dtype), lw["ffn_down"]).astype(
+        compute_dtype)
+    return h, k_l, v_l
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh", "n_micro", "compute_dtype"))
+def pipeline_forward(cfg, pweights, tokens, kv, pos_start, mesh: Mesh,
+                     n_micro: int = 2, compute_dtype=jnp.bfloat16):
+    """GPipe decode step: [B, T] tokens -> ([B, n_vocab] logits, new kv).
+
+    B is cut into n_micro micro-batches; with S pipeline stages the schedule
+    runs n_micro + S - 1 ticks.  Per tick each stage: receives its
+    predecessor's activations (ppermute), runs its local layer scan, and
+    hands off — the TPU rendering of compute_splits' async copy + event wait
+    (ggml-backend.cpp:1355-1500)."""
+    S = mesh.shape["pp"]
+    B, T = tokens.shape
+    assert B % n_micro == 0 and cfg.n_layer % S == 0
+    b_mb = B // n_micro
+    scale = 1.0 / float(np.sqrt(cfg.hd))
+    pos_vec = jnp.reshape(jnp.asarray(pos_start, jnp.int32), (-1, 1))
+    positions = pos_vec + jnp.arange(T, dtype=jnp.int32)[None, :]
+
+    h_all = embed(pweights["tok_embd"], tokens, compute_dtype)
+    h_mb = h_all.reshape(n_micro, b_mb, T, cfg.n_embd)
+
+    def stage_prog(stacked, h_mb, kv_k, kv_v):
+        # per-rank views: stacked/kv have local leading dim L_loc = n_layer/S
+        rank = jax.lax.axis_index("pp")
+        n_steps = n_micro + S - 1
+        carry0 = jnp.zeros((b_mb, T, cfg.n_embd), compute_dtype)
+        out0 = jnp.zeros((n_micro, b_mb, T, cfg.n_embd), compute_dtype)
+
+        def tick(step, state):
+            carry, outputs, kv_k, kv_v = state
+            # hand last tick's result downstream; rank 0 receives zeros
+            recv = jax.lax.ppermute(
+                carry, "pp", [(i, i + 1) for i in range(S - 1)])
+            mb_idx = step - rank
+            valid = (mb_idx >= 0) & (mb_idx < n_micro)
+            safe_mb = jnp.clip(mb_idx, 0, n_micro - 1)
+            inp = jnp.where(rank == 0, h_mb[jnp.clip(step, 0, n_micro - 1)],
+                            recv)
+            boff = safe_mb * b_mb
+
+            def layer_scan(h, xs):
+                lw, kk, vv = xs
+                kk_b = jax.lax.dynamic_slice_in_dim(kk, boff, b_mb, 0)
+                vv_b = jax.lax.dynamic_slice_in_dim(vv, boff, b_mb, 0)
+                h, k_l, v_l = _layer(cfg, lw, h, kk_b, vv_b, positions,
+                                     pos_start, T, scale, compute_dtype)
+                kk = jnp.where(
+                    valid, jax.lax.dynamic_update_slice_in_dim(kk, k_l, boff, 0),
+                    kk)
+                vv = jnp.where(
+                    valid, jax.lax.dynamic_update_slice_in_dim(vv, v_l, boff, 0),
+                    vv)
+                return h, (kk, vv)
+
+            h, (kv_k, kv_v) = jax.lax.scan(layer_scan, inp,
+                                           (stacked, kv_k, kv_v))
+            outputs = jnp.where(
+                valid & (rank == S - 1),
+                jax.lax.dynamic_update_slice(
+                    outputs, h[None], (safe_mb, 0, 0, 0)),
+                outputs)
+            return h, outputs, kv_k, kv_v
+
+        _, outputs, kv_k, kv_v = jax.lax.fori_loop(
+            0, n_steps, tick, (carry0, out0, kv_k, kv_v))
+        # replicate the last stage's outputs to every rank
+        outputs = jax.lax.psum(
+            jnp.where(rank == S - 1, outputs, jnp.zeros_like(outputs)), "pp")
+        return outputs, kv_k, kv_v
+
+    layer_spec = P("pp")
+    outputs, kv_k, kv_v = jax.shard_map(
+        stage_prog, mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: layer_spec,
+                               pweights["layers_stacked"]),
+                  P(), layer_spec, layer_spec),
+        out_specs=(P(), layer_spec, layer_spec),
+        check_vma=False,
+    )(pweights["layers_stacked"], h_mb, kv["k"], kv["v"])
+
+    h = outputs.reshape(B, T, cfg.n_embd)[:, -1, :]
+    h = rms_norm(h, pweights["output_norm"], cfg.rms_eps)
+    logits = matmul(h, pweights["output"]).astype(jnp.float32)
+    return logits, {"k": kv_k, "v": kv_v}
