@@ -45,6 +45,27 @@ def cmd_generate(args):
             seed=args.seed,
         )
         toks = list(out)
+    elif args.lookahead or args.lookup or args.draft_model:
+        if args.draft_model:  # examples/speculative analog
+            from .runtime.speculative import SpeculativeDecoder
+
+            dec = SpeculativeDecoder(
+                eng, Engine.from_gguf(args.draft_model, max_seq=args.ctx_size))
+            kind = "speculative"
+        elif args.lookup:  # examples/lookup analog
+            from .runtime.lookup import LookupDecoder
+
+            dec = LookupDecoder(eng)
+            kind = "lookup"
+        else:  # examples/lookahead analog
+            from .runtime.lookahead import LookaheadDecoder
+
+            dec = LookaheadDecoder(eng)
+            kind = "lookahead"
+        toks = dec.generate(ids, n_predict=args.n_predict,
+                            sampler=make_chain(temp=args.temp, seed=args.seed))
+        print(f"[{kind}: {dec.stats.n_accepted}/{dec.stats.n_drafted} "
+              f"drafted tokens accepted]", file=sys.stderr)
     else:
         chain = make_chain(temp=args.temp, top_k=args.top_k, top_p=args.top_p,
                            min_p=args.min_p, seed=args.seed,
@@ -522,6 +543,12 @@ def main(argv=None):
     g.add_argument("--repeat-last-n", type=int, default=64)
     g.add_argument("-s", "--seed", type=int, default=42)
     g.add_argument("--stream", action="store_true")
+    g.add_argument("--lookahead", action="store_true",
+                   help="Jacobi lookahead decoding (no draft model)")
+    g.add_argument("--lookup", action="store_true",
+                   help="n-gram lookup decoding (no draft model)")
+    g.add_argument("-md", "--draft-model",
+                   help="draft model GGUF for speculative decoding")
     g.add_argument("--on-device", action="store_true",
                    help="device-side decode loop (no per-token host sync)")
     g.set_defaults(fn=cmd_generate)

@@ -186,3 +186,47 @@ def merge_lora_gguf(base_path: str, lora_paths, out_path: str,
             raise ValueError("no adapter tensors matched the base model")
         w.write_file(out_path)
     return out_path
+
+
+# HF PEFT module path -> GGUF tensor stem (convert_lora_to_gguf.py analog)
+_PEFT_TO_GGUF = {
+    "self_attn.q_proj": "attn_q", "self_attn.k_proj": "attn_k",
+    "self_attn.v_proj": "attn_v", "self_attn.o_proj": "attn_output",
+    "mlp.gate_proj": "ffn_gate", "mlp.up_proj": "ffn_up",
+    "mlp.down_proj": "ffn_down",
+}
+
+
+def convert_peft_lora(sd: dict, out_path: str, alpha: float | None = None,
+                      r: int | None = None):
+    """HF PEFT LoRA state dict -> adapter GGUF (convert_lora_to_gguf.py).
+
+    Accepts keys like
+    `base_model.model.model.layers.3.self_attn.q_proj.lora_A.weight`
+    (PEFT stores lora_A [r, K] / lora_B [N, r], matching our ab_map)."""
+    pat = re.compile(
+        r"(?:base_model\.model\.)?model\.layers\.(\d+)\.([a-z_.]+)"
+        r"\.lora_([AB])\.weight$")
+    pairs: dict[str, dict] = {}
+    for key, val in sd.items():
+        m = pat.search(key)
+        if not m:
+            if key.endswith("lora_A.weight") or key.endswith("lora_B.weight"):
+                raise ValueError(f"unmapped PEFT tensor {key!r}")
+            continue
+        il, module, which = m.groups()
+        if module not in _PEFT_TO_GGUF:
+            raise ValueError(f"unsupported PEFT module {module!r}")
+        stem = f"blk.{il}.{_PEFT_TO_GGUF[module]}.weight"
+        pairs.setdefault(stem, {})[which.lower()] = np.asarray(val, np.float32)
+    ab = {}
+    for stem, d in pairs.items():
+        if "a" not in d or "b" not in d:
+            raise ValueError(f"incomplete LoRA pair for {stem}")
+        ab[stem] = (d["a"], d["b"])
+    if not ab:
+        raise ValueError("no LoRA tensors found in state dict")
+    if alpha is None:
+        r_found = next(iter(ab.values()))[0].shape[0]
+        alpha = float(r if r is not None else r_found)
+    return write_lora_gguf(out_path, ab, alpha=alpha)

@@ -116,7 +116,19 @@ class InferenceServer:
         return gen()
 
     def chat_completion(self, body: dict):
-        msgs = body["messages"]
+        msgs = list(body["messages"])
+        if body.get("tools"):
+            # inject the tool list as a leading system block (chat.cpp's
+            # per-format prompt additions) so any template carries it
+            from ..runtime.toolcall import detect_format, render_tools_prompt
+
+            fmt = detect_format(self.template_src or self.template)
+            block = render_tools_prompt(body["tools"], fmt)
+            if msgs and msgs[0].get("role") == "system":
+                msgs[0] = dict(msgs[0],
+                               content=block + (msgs[0].get("content") or ""))
+            else:
+                msgs.insert(0, {"role": "system", "content": block})
         prompt = apply_chat_template(
             msgs, self.template, add_assistant=True, jinja_source=self.template_src
         )
@@ -124,6 +136,11 @@ class InferenceServer:
         sub["prompt"] = prompt
         sub.setdefault("n_predict", body.get("max_tokens", 128))
         return self.completion(sub)
+
+    def chat_format(self) -> str:
+        from ..runtime.toolcall import detect_format
+
+        return detect_format(self.template_src or self.template)
 
     # -- metrics -------------------------------------------------------------
 
@@ -294,12 +311,25 @@ def make_handler(server: InferenceServer):
                     text += p
                 else:
                     final = d
+            msg = {"role": "assistant", "content": text}
+            finish = final.get("stop_type")
+            if body.get("tools"):
+                from ..runtime.toolcall import (parse_chat_output,
+                                                tool_calls_json)
+
+                parsed = parse_chat_output(text, server.chat_format())
+                msg["content"] = parsed.content or None
+                if parsed.reasoning:
+                    msg["reasoning_content"] = parsed.reasoning
+                if parsed.tool_calls:
+                    msg["tool_calls"] = tool_calls_json(parsed)
+                    finish = "tool_calls"
             self._json(200, {
                 "object": "chat.completion",
                 "choices": [{
                     "index": 0,
-                    "message": {"role": "assistant", "content": text},
-                    "finish_reason": final.get("stop_type"),
+                    "message": msg,
+                    "finish_reason": finish,
                 }],
                 "usage": {
                     "prompt_tokens": final.get("tokens_evaluated", 0),

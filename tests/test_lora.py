@@ -125,3 +125,26 @@ def test_control_vector(setup):
     b, _ = forward(cfg, w2, jnp.asarray(ids), init_kv_cache(cfg, 1, 4, jnp.float32),
                    0, logits_all=True, compute_dtype=jnp.float32)
     assert not np.allclose(np.asarray(a), np.asarray(b))  # steering changes output
+
+
+def test_convert_peft_lora(tmp_path):
+    """HF PEFT naming -> adapter GGUF round trip (convert_lora_to_gguf)."""
+    import numpy as np
+    from ggml_hexagon_tpu.models.lora import LoraAdapter, convert_peft_lora
+
+    rng = np.random.default_rng(0)
+    r = 4
+    sd = {}
+    for il, mod in ((0, "self_attn.q_proj"), (1, "mlp.down_proj")):
+        pre = f"base_model.model.model.layers.{il}.{mod}"
+        n_in = 16 if mod.startswith("self_attn") else 32
+        n_out = 16
+        sd[pre + ".lora_A.weight"] = rng.standard_normal((r, n_in)).astype("f4")
+        sd[pre + ".lora_B.weight"] = rng.standard_normal((n_out, r)).astype("f4")
+    p = str(tmp_path / "peft.gguf")
+    convert_peft_lora(sd, p, alpha=8.0)
+    ad = LoraAdapter.from_gguf(p)
+    assert set(ad.names) == {"blk.0.attn_q.weight", "blk.1.ffn_down.weight"}
+    a, b = ad.ab_map["blk.0.attn_q.weight"]
+    assert a.shape == (r, 16) and b.shape == (16, r)
+    assert ad.effective_scale("blk.0.attn_q.weight") == 8.0 / r

@@ -88,7 +88,7 @@ def test_generate_codes_extracts_window_and_guides():
 def test_cli_tts_codes_path(tmp_path):
     from ggml_hexagon_tpu.models.wavtokenizer import (WavTokenizerConfig,
                                                       convert_tensors_gguf)
-    from tests.test_wavtokenizer import _rand_model, F, P, NFF, OUT, V, GROUPS
+    from test_wavtokenizer import _rand_model, F, P, NFF, OUT, V, GROUPS
 
     t = _rand_model(np.random.default_rng(0))
     cfg = WavTokenizerConfig(
