@@ -71,13 +71,26 @@ def cmd_generate(args):
                            min_p=args.min_p, seed=args.seed,
                            penalty_repeat=args.repeat_penalty,
                            penalty_last_n=args.repeat_last_n)
+        import os as _os
+
+        reuse = False
+        if args.prompt_cache and _os.path.exists(args.prompt_cache):
+            # llama-cli --prompt-cache: restore the saved session and reuse
+            # the longest matching prompt prefix (main.cpp:238-368)
+            eng.load_state(args.prompt_cache)
+            reuse = True
+            print(f"restored prompt cache ({eng.n_past} tokens)",
+                  file=sys.stderr)
         toks = []
-        for t in eng.generate(ids, n_predict=args.n_predict, sampler=chain):
+        for t in eng.generate(ids, n_predict=args.n_predict, sampler=chain,
+                              reuse_cache=reuse):
             toks.append(t)
             if args.stream:
                 sys.stdout.write(eng.tokenizer.decode([t], skip_special=False)
                                  if eng.tokenizer else f"{t} ")
                 sys.stdout.flush()
+        if args.prompt_cache:
+            eng.save_state(args.prompt_cache)
     if not args.stream:
         print(eng.tokenizer.decode(toks) if eng.tokenizer else
               " ".join(str(t) for t in toks))
@@ -146,6 +159,42 @@ def cmd_tts(args):
     save_wav16(args.output, audio)
     print(f"wrote {args.output}: {audio.shape[0]} samples "
           f"({audio.shape[0]/SAMPLE_RATE:.2f}s @ {SAMPLE_RATE} Hz)")
+    return 0
+
+
+def cmd_eval_callback(args):
+    """eval-callback analog: run one eval, print every tapped tensor
+    (the reference's per-node sched eval-callback dump,
+    examples/eval-callback/eval-callback.cpp)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .gguf import GGUFReader
+    from .models.llama import forward, init_kv_cache, load_llama_weights
+    from .tokenizer import Vocab, build_tokenizer
+
+    with GGUFReader.open(args.model) as r:
+        cfg, weights = load_llama_weights(r)
+        vocab = Vocab.from_gguf(r.metadata)
+    ids = build_tokenizer(vocab).encode(args.prompt)
+    taps = []
+
+    def tap(name, x):
+        taps.append((name, x))
+
+    kv = init_kv_cache(cfg, 1, max(len(ids), 8))
+    forward(cfg, weights, jnp.asarray(np.asarray(ids, np.int32)[None]), kv,
+            jnp.int32(0), logits_all=True, tap=tap)
+    seen = set()
+    for name, x in taps:
+        if name in seen:  # fused taps can fire twice per weight
+            continue
+        seen.add(name)
+        a = np.asarray(x, np.float32).reshape(-1)
+        head = " ".join(f"{v:9.4f}" for v in a[: args.n_values])
+        print(f"{name:36s} shape={tuple(x.shape)} "
+              f"sum={a.sum():12.4f}  [{head} ...]")
+    print(f"{len(seen)} tensors dumped")
     return 0
 
 
@@ -547,6 +596,8 @@ def main(argv=None):
                    help="Jacobi lookahead decoding (no draft model)")
     g.add_argument("--lookup", action="store_true",
                    help="n-gram lookup decoding (no draft model)")
+    g.add_argument("--prompt-cache",
+                   help="session file: save/restore KV across runs")
     g.add_argument("-md", "--draft-model",
                    help="draft model GGUF for speculative decoding")
     g.add_argument("--on-device", action="store_true",
@@ -563,6 +614,13 @@ def main(argv=None):
     lv.add_argument("--temp", type=float, default=0.0)
     lv.add_argument("--seed", type=int, default=42)
     lv.set_defaults(fn=cmd_llava)
+
+    ec = sub.add_parser("eval-callback",
+                        help="dump every tapped tensor for one eval")
+    ec.add_argument("-m", "--model", required=True)
+    ec.add_argument("-p", "--prompt", default="hello world")
+    ec.add_argument("--n-values", type=int, default=4)
+    ec.set_defaults(fn=cmd_eval_callback)
 
     em = sub.add_parser("embedding", help="pooled prompt embeddings")
     em.add_argument("-m", "--model", required=True)

@@ -267,14 +267,17 @@ class Engine:
         n_predict: int = 64,
         sampler: Optional[SamplerChain] = None,
         stop_ids: Optional[set] = None,
+        reuse_cache: bool = False,
     ) -> Iterator[int]:
-        """Greedy/sampled generation for batch=1."""
+        """Greedy/sampled generation for batch=1.  reuse_cache enables
+        longest-prefix KV reuse (llama-cli --prompt-cache semantics)."""
         assert self.batch == 1
         sampler = sampler or greedy_chain()
         stop_ids = stop_ids if stop_ids is not None else (
             {self.vocab.eos_id} if self.vocab else set()
         )
-        logits = self.prefill(np.asarray(prompt_ids, dtype=np.int32)[None, :])
+        logits = self.prefill(np.asarray(prompt_ids, dtype=np.int32)[None, :],
+                              reuse_cache=reuse_cache)
         for _ in range(n_predict):
             tok = sampler.sample(logits[0])
             if tok in stop_ids:

@@ -170,3 +170,23 @@ def test_cli_passkey_smoke(model_path, capsys):
                "-c", "512", "--passkey", "7"])
     out = capsys.readouterr().out
     assert rc in (0, 1) and "passkey" in out
+
+
+def test_cli_eval_callback(model_path, capsys):
+    assert main(["eval-callback", "-m", model_path, "-p", "hello"]) == 0
+    out = capsys.readouterr().out
+    assert "blk.0.attn_q.weight" in out and "blk.1.l_out" in out
+    assert "tensors dumped" in out
+
+
+def test_cli_prompt_cache(model_path, tmp_path, capsys):
+    cache = str(tmp_path / "session.bin")
+    args = ["generate", "-m", model_path, "--prompt-tokens", "1 10 20 30 40",
+            "-n", "6", "--temp", "0", "-c", "64", "--prompt-cache", cache]
+    assert main(args) == 0
+    first = capsys.readouterr().out.strip()
+    import os
+    assert os.path.exists(cache)
+    assert main(args) == 0  # second run restores the session
+    cap = capsys.readouterr()
+    assert cap.out.strip() == first  # deterministic across restore
