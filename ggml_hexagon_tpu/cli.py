@@ -23,7 +23,14 @@ def cmd_generate(args):
     from .runtime import Engine, make_chain
     from .runtime.device_sampling import DeviceSamplerParams
 
-    eng = Engine.from_gguf(args.model, max_seq=args.ctx_size)
+    kv_dtype = {"f32": "float32", "f16": "bfloat16", "bf16": "bfloat16",
+                "q8_0": "q8_0", "q4_0": "q4_0"}[args.cache_type]
+    if kv_dtype not in ("q8_0", "q4_0"):
+        import jax.numpy as jnp
+
+        kv_dtype = getattr(jnp, kv_dtype)
+    eng = Engine.from_gguf(args.model, max_seq=args.ctx_size,
+                           kv_dtype=kv_dtype)
     if args.prompt_tokens:
         ids = [int(t) for t in args.prompt_tokens.replace(",", " ").split()]
     elif args.prompt is None:
@@ -598,6 +605,9 @@ def main(argv=None):
                    help="n-gram lookup decoding (no draft model)")
     g.add_argument("--prompt-cache",
                    help="session file: save/restore KV across runs")
+    g.add_argument("-ct", "--cache-type", default="bf16",
+                   choices=["f32", "f16", "bf16", "q8_0", "q4_0"],
+                   help="KV cache dtype (type_k/type_v analog)")
     g.add_argument("-md", "--draft-model",
                    help="draft model GGUF for speculative decoding")
     g.add_argument("--on-device", action="store_true",

@@ -374,25 +374,41 @@ KV_GROUP = 32  # Q8_0 quantized-KV group size along head_dim
 
 
 def init_kv_cache(cfg: LlamaConfig, batch: int, max_seq: int, dtype=jnp.bfloat16):
-    """KV cache.  dtype may be a jnp dtype or the string "q8_0" for a
-    quantized cache (int8 values + f32 per-32-group scales along head_dim —
-    the analog of llama.cpp's type_k/type_v=Q8_0 cache, llama-kv-cache.h:188).
+    """KV cache.  dtype may be a jnp dtype or the strings "q8_0" / "q4_0"
+    for a quantized cache (int8 or packed-int4 values + f32 per-32-group
+    scales along head_dim — the analog of llama.cpp's type_k/type_v
+    cache-quantization, llama-kv-cache.h:188; int4 halves KV HBM again,
+    doubling servable context).
     """
     shape = (cfg.n_layer, batch, max_seq, max(cfg.n_head_kv_max, 1), cfg.hd)
-    if dtype == "q8_0":
+    if dtype in ("q8_0", "q4_0"):
         assert cfg.hd % KV_GROUP == 0, f"head_dim {cfg.hd} % {KV_GROUP}"
         sshape = shape[:-1] + (cfg.hd // KV_GROUP,)
+        it = jnp.int8 if dtype == "q8_0" else jnp.int4
         return {
-            "k": jnp.zeros(shape, jnp.int8), "k_d": jnp.zeros(sshape, jnp.float32),
-            "v": jnp.zeros(shape, jnp.int8), "v_d": jnp.zeros(sshape, jnp.float32),
+            "k": jnp.zeros(shape, it), "k_d": jnp.zeros(sshape, jnp.float32),
+            "v": jnp.zeros(shape, it), "v_d": jnp.zeros(sshape, jnp.float32),
         }
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
-def _kv_quantize(x):
-    """[..., D] f32 -> (int8 values, f32 scales [... , D/32]), Q8_0 style."""
+def _kv_quantize(x, bits: int = 8):
+    """[..., D] f32 -> (int values, f32 scales [..., D/32]).
+
+    bits=8: Q8_0 style (d = absmax/127, int8).  bits=4: Q4_0 style
+    (quantize_row_q4_0 semantics — d = signed_max/-8, nibbles biased by 8;
+    stored UNbiased in an int4 plane so dequant is a plain q*d... i.e.
+    stored value = quantized nibble - 8, range [-8, 7])."""
     xf = x.astype(jnp.float32)
     g = xf.reshape(*xf.shape[:-1], xf.shape[-1] // KV_GROUP, KV_GROUP)
+    if bits == 4:
+        amax = jnp.max(jnp.abs(g), axis=-1)
+        smax = jnp.take_along_axis(
+            g, jnp.argmax(jnp.abs(g), axis=-1)[..., None], axis=-1)[..., 0]
+        d = smax / -8.0
+        inv = jnp.where(amax > 0, 1.0 / jnp.where(d == 0, 1.0, d), 0.0)
+        q = jnp.clip(jnp.floor(g * inv[..., None] + 8.5), 0, 15) - 8
+        return q.astype(jnp.int4).reshape(x.shape), d
     amax = jnp.max(jnp.abs(g), axis=-1)
     d = amax / 127.0
     inv = jnp.where(d > 0, 1.0 / jnp.where(d == 0, 1.0, d), 0.0)
@@ -804,8 +820,9 @@ def forward(
             k = jnp.pad(k, padw)
             v = jnp.pad(v, padw)
         if quant_kv:
-            kq, kd = _kv_quantize(k)
-            vq, vd = _kv_quantize(v)
+            kv_bits = 4 if kv_cache["k"].dtype == jnp.int4 else 8
+            kq, kd = _kv_quantize(k, kv_bits)
+            vq, vd = _kv_quantize(v, kv_bits)
             k_l = _kv_write(kv_cache["k"][il], kq, pos_start)
             v_l = _kv_write(kv_cache["v"][il], vq, pos_start)
             kd_l = _kv_write(kv_cache["k_d"][il], kd, pos_start)

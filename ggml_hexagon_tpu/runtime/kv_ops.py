@@ -35,8 +35,14 @@ def kv_shift(cfg: LlamaConfig, kv: dict, n_keep: int, n_discard: int, n_past):
     k, v = kv["k"], kv["v"]  # [L, B, S, H, D]
     S = k.shape[2]
     src = n_keep + n_discard
+    quant = "k_d" in kv
 
     moved_k = k[:, :, src:, :, :]
+    if quant:  # dequantize the moved K rows before re-rotating
+        from ..models.llama import _kv_dequant, _kv_quantize
+
+        bits = 4 if k.dtype == jnp.int4 else 8
+        moved_k = _kv_dequant(moved_k, kv["k_d"][:, :, src:], jnp.float32)
     # re-rotate: moved K gets position delta -n_discard applied on top
     L, B, M, H, D = moved_k.shape
     delta = jnp.full((1, M), -n_discard, dtype=jnp.int32)
@@ -45,6 +51,18 @@ def kv_shift(cfg: LlamaConfig, kv: dict, n_keep: int, n_discard: int, n_past):
     moved_k = mk.reshape(L, B, M, H, D)
     moved_v = v[:, :, src:, :, :]
 
+    if quant:
+        moved_k, moved_kd = _kv_quantize(moved_k, bits)
+        out = {
+            "k": jax.lax.dynamic_update_slice(
+                k, moved_k.astype(k.dtype), (0, 0, n_keep, 0, 0)),
+            "v": jax.lax.dynamic_update_slice(v, moved_v, (0, 0, n_keep, 0, 0)),
+            "k_d": jax.lax.dynamic_update_slice(
+                kv["k_d"], moved_kd, (0, 0, n_keep, 0, 0)),
+            "v_d": jax.lax.dynamic_update_slice(
+                kv["v_d"], kv["v_d"][:, :, src:], (0, 0, n_keep, 0, 0)),
+        }
+        return out
     k = jax.lax.dynamic_update_slice(k, moved_k.astype(k.dtype), (0, 0, n_keep, 0, 0))
     v = jax.lax.dynamic_update_slice(v, moved_v, (0, 0, n_keep, 0, 0))
     return {"k": k, "v": v}
@@ -72,11 +90,18 @@ def save_state(engine, f) -> None:
             },
             "cached_tokens": getattr(engine, "cached_tokens", []),
         }
+        planes = {}
+        for name, arr in engine.kv.items():
+            a = np.asarray(arr.astype(jnp.float32) if arr.dtype == jnp.int4
+                           else arr)
+            planes[name] = a
+        meta["plane_dtypes"] = {n: str(a.dtype) for n, a in planes.items()}
+        meta["kv_quant"] = "k_d" in engine.kv
+        meta["kv_int4"] = bool(engine.kv["k"].dtype == jnp.int4)
         np.savez(
             f,
             __meta__=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
-            k=np.asarray(engine.kv["k"]).astype(np.float32),
-            v=np.asarray(engine.kv["v"]).astype(np.float32),
+            **planes,
         )
     finally:
         if close:
@@ -95,9 +120,18 @@ def load_state(engine, f) -> None:
             raise ValueError(f"state/model mismatch: {key} {val} vs {getattr(engine.cfg, key)}")
     if meta["max_seq"] != engine.max_seq or meta["batch"] != engine.batch:
         raise ValueError("state shape mismatch (batch/max_seq)")
-    engine.kv = {
-        "k": jnp.asarray(z["k"], dtype=engine.kv_dtype),
-        "v": jnp.asarray(z["v"], dtype=engine.kv_dtype),
-    }
+    if meta.get("kv_quant"):
+        it = jnp.int4 if meta.get("kv_int4") else jnp.int8
+        engine.kv = {
+            "k": jnp.asarray(z["k"], dtype=it),
+            "v": jnp.asarray(z["v"], dtype=it),
+            "k_d": jnp.asarray(z["k_d"], dtype=jnp.float32),
+            "v_d": jnp.asarray(z["v_d"], dtype=jnp.float32),
+        }
+    else:
+        engine.kv = {
+            "k": jnp.asarray(z["k"], dtype=engine.kv_dtype),
+            "v": jnp.asarray(z["v"], dtype=engine.kv_dtype),
+        }
     engine.n_past = int(meta["n_past"])
     engine.cached_tokens = list(meta.get("cached_tokens", []))

@@ -142,3 +142,39 @@ def test_prompt_cache_reuse(model):
     eng2 = fresh(model)
     ref = eng2.prefill(np.asarray(full, np.int32)[None])
     np.testing.assert_allclose(logits, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_quantized_cache_shift_and_state(model_1layer, tmp_path):
+    """q8_0/q4_0 caches: context shift (dequant -> re-rotate -> requant) and
+    state save/load must preserve all planes (k_d/v_d) and dtypes."""
+    rng = np.random.default_rng(3)
+    toks = rng.integers(3, 255, size=20).tolist()
+    n_keep, n_discard = 4, 8
+    for ctype in ("q8_0", "q4_0"):
+        eng = Engine.from_gguf(model_1layer, max_seq=64,
+                               compute_dtype=jnp.float32, kv_dtype=ctype)
+        eng.prefill(np.asarray(toks, np.int32)[None])
+        eng.shift_context(n_keep, n_discard)
+        shifted = eng.decode_one(np.array([7]))
+
+        kept = toks[:n_keep] + toks[n_keep + n_discard:]
+        eng2 = Engine.from_gguf(model_1layer, max_seq=64,
+                                compute_dtype=jnp.float32, kv_dtype=ctype)
+        eng2.prefill(np.asarray(kept, np.int32)[None])
+        fresh_l = eng2.decode_one(np.array([7]))
+        # quantized caches requantize the shifted rows: small extra error
+        tol = 5e-3 if ctype == "q8_0" else 5e-2
+        np.testing.assert_allclose(shifted, fresh_l, rtol=tol, atol=tol)
+
+        # state round-trip keeps the integer + scale planes intact
+        p = str(tmp_path / f"s_{ctype}.bin")
+        eng2.save_state(p)
+        eng3 = Engine.from_gguf(model_1layer, max_seq=64,
+                                compute_dtype=jnp.float32, kv_dtype=ctype)
+        eng3.load_state(p)
+        assert set(eng3.kv) == {"k", "v", "k_d", "v_d"}
+        assert eng3.kv["k"].dtype == (jnp.int8 if ctype == "q8_0"
+                                      else jnp.int4)
+        a = eng2.decode_one(np.array([9]))
+        b = eng3.decode_one(np.array([9]))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)

@@ -177,3 +177,49 @@ def test_fused_projections_identical(tiny_hf_model, our_model):
     kv2 = init_kv_cache(cfg, 1, 8)
     b, _ = forward(cfg, fused, jnp.asarray(ids, jnp.int32), kv2, 0, logits_all=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
+def test_q4_kv_cache(our_model):
+    """int4 KV cache (q4_0 semantics): half the KV HBM of q8_0, logits stay
+    highly correlated with the f32 cache; dequant is exact q*d (values are
+    stored bias-removed).  Reference analog: type_k/type_v=Q4_0 with FA."""
+    import jax.numpy as jnp
+    from ggml_hexagon_tpu.models.llama import (_kv_dequant, _kv_quantize,
+                                               forward, init_kv_cache)
+
+    cfg, weights = our_model
+    rng = np.random.default_rng(6)
+
+    # unit check: matches ggml quantize_row_q4_0/dequantize_row_q4_0
+    x = rng.standard_normal((2, 64)).astype(np.float32)
+    q, d = _kv_quantize(jnp.asarray(x), bits=4)
+    assert q.dtype == jnp.int4
+    back = np.asarray(_kv_dequant(q, d, jnp.float32))
+    from ggml_hexagon_tpu.quant import ref_numpy
+    from ggml_hexagon_tpu.quant.formats import GGMLType
+    want = ref_numpy.dequantize(
+        np.frombuffer(bytes(ref_numpy.quantize(x.reshape(-1), GGMLType.Q4_0)),
+                      np.uint8), GGMLType.Q4_0, x.size).reshape(x.shape)
+    # wire Q4_0 rounds d to f16; the in-cache plane keeps f32 scales
+    # (strictly more accurate), so allow the f16-rounding gap only
+    np.testing.assert_allclose(back, want, rtol=5e-4, atol=5e-4)
+
+    ids = rng.integers(0, 512, size=(1, 12))
+    ref, _ = forward(cfg, weights, jnp.asarray(ids, jnp.int32),
+                     init_kv_cache(cfg, 1, 16, jnp.float32), 0,
+                     logits_all=True, compute_dtype=jnp.float32)
+    out, new_kv = forward(cfg, weights, jnp.asarray(ids, jnp.int32),
+                          init_kv_cache(cfg, 1, 16, "q4_0"), 0,
+                          logits_all=True, compute_dtype=jnp.float32)
+    assert new_kv["k"].dtype == jnp.int4
+    a, b = np.asarray(out), np.asarray(ref)
+    # 4-bit cache on an untrained random model: looser than q8_0's 0.9999
+    assert np.corrcoef(a.reshape(-1), b.reshape(-1))[0, 1] > 0.99
+    # prefill+decode equivalence with the int4 cache
+    _, kv = forward(cfg, weights, jnp.asarray(ids[:, :8], jnp.int32),
+                    init_kv_cache(cfg, 1, 16, "q4_0"), 0,
+                    compute_dtype=jnp.float32)
+    step, _ = forward(cfg, weights, jnp.asarray(ids[:, 8:9], jnp.int32), kv,
+                      8, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(step), a[:, 8], rtol=5e-2,
+                               atol=5e-2)
