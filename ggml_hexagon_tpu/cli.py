@@ -571,6 +571,30 @@ def cmd_bench(args):
             eng.generate_ondevice([1, 2, 3], n_predict=tg, stop_at_eos=False)
             dt = time.perf_counter() - t0
             rows.append({"model": m, "test": f"tg{tg}", "t/s": round(tg / dt, 2)})
+        # batched-bench analog: parallel-sequence throughput sweep
+        # (examples/batched-bench: PP/TG/PL matrix, total t/s)
+        for pl in args.batch or []:
+            if pl == 1:
+                continue
+            pp, tg = min(args.n_prompt), min(args.n_gen)
+            beng = Engine.from_gguf(m, max_seq=pp + tg + 8, batch=pl)
+            prompts = rng.integers(3, beng.cfg.n_vocab - 1, size=(pl, pp))
+
+            def run_batched():
+                beng.reset()
+                logits = beng.prefill(prompts)
+                toks = np.argmax(logits, axis=-1).astype(np.int32)
+                for _ in range(tg):
+                    logits = beng.decode_one(toks)
+                    toks = np.argmax(logits, axis=-1).astype(np.int32)
+
+            run_batched()  # warm/compile
+            t0 = time.perf_counter()
+            run_batched()
+            dt = time.perf_counter() - t0
+            total = pl * (pp + tg)
+            rows.append({"model": m, "test": f"pp{pp}+tg{tg}@pl{pl}",
+                         "t/s": round(total / dt, 2)})
     if args.output == "json":
         print(json.dumps(rows, indent=2))
     else:  # markdown
@@ -581,7 +605,32 @@ def cmd_bench(args):
     return 0
 
 
-def main(argv=None):
+def cmd_gen_docs(args):
+    """gen-docs analog: emit markdown docs for every subcommand."""
+    p = build_parser()
+    sub_actions = [a for a in p._actions
+                   if isinstance(a, argparse._SubParsersAction)]
+    lines = ["# CLI reference", "",
+             "Generated by `gen-docs` (the reference's examples/gen-docs "
+             "analog).", ""]
+    for name, sp in sorted(sub_actions[0].choices.items()):
+        lines.append(f"## {name}")
+        lines.append("")
+        lines.append("```")
+        lines.append(sp.format_help().rstrip())
+        lines.append("```")
+        lines.append("")
+    text = "\n".join(lines)
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(text)
+        print(f"wrote {args.output}")
+    else:
+        print(text)
+    return 0
+
+
+def build_parser():
     p = argparse.ArgumentParser(prog="ggml_hexagon_tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -767,10 +816,20 @@ def main(argv=None):
     b.add_argument("-m", "--model", action="append", required=True)
     b.add_argument("-p", "--n-prompt", type=int, nargs="+", default=[512])
     b.add_argument("-n", "--n-gen", type=int, nargs="+", default=[128])
+    b.add_argument("-b", "--batch", type=int, nargs="+", default=[],
+                   help="parallel-sequence counts (batched-bench analog)")
     b.add_argument("-o", "--output", choices=["json", "md"], default="md")
     b.set_defaults(fn=cmd_bench)
 
-    args = p.parse_args(argv)
+    gd = sub.add_parser("gen-docs", help="emit markdown CLI docs")
+    gd.add_argument("-o", "--output")
+    gd.set_defaults(fn=cmd_gen_docs)
+
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
     return args.fn(args)
 
 

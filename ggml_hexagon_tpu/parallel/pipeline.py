@@ -1,4 +1,5 @@
-"""Pipeline (stage) parallelism — layer ranges sharded over a 'pp' mesh axis.
+"""Pipeline (stage) parallelism — layer ranges sharded over a 'pp' mesh axis,
+optionally composed with tensor parallelism over 'tp'.
 
 Reference counterparts:
   - LLAMA_SPLIT_MODE_LAYER: contiguous layer ranges per device
@@ -7,18 +8,21 @@ Reference counterparts:
     double-buffering (ggml/src/ggml-backend.cpp:663-667, enabled in
     src/llama-context.cpp:253-283 when a model is layer-split over >=2
     devices).
+  - LLAMA_SPLIT_MODE_ROW tensor parallel (llama.h:218) — composed here as
+    the inner 'tp' mesh axis (the reference can only pick ONE split mode).
 
 TPU-native design: instead of per-split tensor copies + events, the layer
 stack is a stacked pytree sharded over the 'pp' mesh axis and the whole
 GPipe schedule is ONE jitted shard_map program — each rank scans its local
 layers (lax.scan), activations hop stage-to-stage with lax.ppermute, and
 micro-batches fill the bubble exactly like the reference's n_copies
-round-robin.  XLA overlaps the ppermute sends with the next micro-batch's
-compute (async collectives on ICI).
+round-robin.  With tp > 1 each stage additionally shards heads/FFN columns
+over 'tp', reducing partial outputs with lax.psum — collectives ride ICI
+and overlap the quantized matmuls.
 
 Scope: the standard LLaMA-family layer (RMS pre-norms, GQA + RoPE, SwiGLU)
 — the flagship decode path.  Full-feature archs keep tp/dp GSPMD sharding
-(parallel/sharding.py); pp composes for > HBM models.
+(parallel/sharding.py); pp(+tp) composes for > HBM models.
 """
 from __future__ import annotations
 
@@ -31,11 +35,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.llama import (_attention, _kv_write, apply_rope, embed, matmul)
 from ..ops.basic import rms_norm, silu
+from ..quant.pack import QTensor
 
 
-def make_pp_mesh(pp: int, devices=None) -> Mesh:
-    devs = np.array(devices if devices is not None else jax.devices()[:pp])
-    return Mesh(devs.reshape(pp), axis_names=("pp",))
+def make_pp_mesh(pp: int, tp: int = 1, devices=None) -> Mesh:
+    devs = np.array(devices if devices is not None
+                    else jax.devices()[: pp * tp])
+    return Mesh(devs.reshape(pp, tp), axis_names=("pp", "tp"))
 
 
 def stack_layers(weights: dict):
@@ -50,47 +56,91 @@ def stack_layers(weights: dict):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
 
 
+# after layer-stacking, plane axis 1 = output features (col) and the
+# trailing axes derive from K (row).  col-parallel shards axis 1, row-
+# parallel shards the K-derived axis (last axis for every QTensor plane).
+_COL_KEYS = ("wq", "wk", "wv", "ffn_gate", "ffn_up")
+_ROW_KEYS = ("wo", "ffn_down")
+
+
+def _weight_spec(key: str, x) -> P:
+    if key in _COL_KEYS:
+        return P("pp", "tp", *([None] * (x.ndim - 2)))
+    if key in _ROW_KEYS:
+        return P("pp", *([None] * (x.ndim - 2)), "tp")
+    return P("pp", *([None] * (x.ndim - 1)))
+
+
 def shard_pipeline(weights: dict, kv: dict, mesh: Mesh):
-    """Place the stacked layer pytree + KV over 'pp' (layer axis 0);
+    """Place the stacked layer pytree + KV over ('pp'[, 'tp']);
     embedding/head replicated (they run outside the pipeline body)."""
-    def put_layer(x):
-        return jax.device_put(x, NamedSharding(
-            mesh, P("pp", *([None] * (x.ndim - 1)))))
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
 
-    def put_rep(x):
-        return jax.device_put(x, NamedSharding(mesh, P()))
-
-    stacked = jax.tree.map(put_layer, stack_layers(weights))
+    tp = mesh.shape.get("tp", 1)
+    stacked_raw = stack_layers(weights)
+    stacked = {}
+    for key, val in stacked_raw.items():
+        if tp > 1 and key in _COL_KEYS + _ROW_KEYS:
+            stacked[key] = jax.tree.map(
+                lambda x, k=key: put(x, _weight_spec(k, x)), val)
+        else:
+            stacked[key] = jax.tree.map(
+                lambda x: put(x, P("pp", *([None] * (x.ndim - 1)))), val)
     pw = {
-        "tok_embd": put_rep(weights["tok_embd"]),
-        "output_norm": put_rep(weights["output_norm"]),
-        "output": jax.tree.map(put_rep, weights["output"]),
+        "tok_embd": put(weights["tok_embd"], P()),
+        "output_norm": put(weights["output_norm"], P()),
+        "output": jax.tree.map(lambda x: put(x, P()), weights["output"]),
         "layers_stacked": stacked,
     }
-    kv = {k: jax.device_put(v, NamedSharding(
-        mesh, P("pp", *([None] * (v.ndim - 1))))) for k, v in kv.items()}
+    kv_spec = (P("pp", None, None, "tp", None) if tp > 1 else
+               P("pp", None, None, None, None))
+    kv = {k: put(v, kv_spec) for k, v in kv.items()}
     return pw, kv
 
 
+def _localize(w):
+    """Rebuild a QTensor's (n, k) aux from its LOCAL plane shapes — inside
+    shard_map the planes are this rank's block but the aux still carries the
+    global sizes (qmatmul asserts on k and trims on n)."""
+    if not isinstance(w, QTensor):
+        return w
+    local_k = w.q.shape[-1] * 8 // w.cfg.bits_lo
+    return QTensor(w.cfg, w.q.shape[0], local_k, w.q, w.d, w.qh, w.sc,
+                   w.dmin, w.m)
+
+
 def _layer(cfg, lw, h, kv_k, kv_v, positions, pos_start, T, scale,
-           compute_dtype):
-    """One standard llama layer on a micro-batch slice [b, T, D]."""
+           compute_dtype, tp: int = 1):
+    """One standard llama layer on a micro-batch slice [b, T, D].
+
+    With tp > 1, lw holds this rank's head/column shard; wo and ffn_down
+    produce partial sums reduced with psum over 'tp' (the GSPMD all-reduce
+    the reference's row-split TP does via its split-buffer gather)."""
     b = h.shape[0]
+    nh_loc = cfg.n_head // tp
+    nhkv_loc = cfg.n_head_kv // tp
     a = rms_norm(h, lw["attn_norm"], cfg.rms_eps)
-    q = matmul(a, lw["wq"]).reshape(b, T, cfg.n_head, cfg.hd)
-    k = matmul(a, lw["wk"]).reshape(b, T, cfg.n_head_kv, cfg.hd)
-    v = matmul(a, lw["wv"]).reshape(b, T, cfg.n_head_kv, cfg.hd)
+    q = matmul(a, _localize(lw["wq"])).reshape(b, T, nh_loc, cfg.hd)
+    k = matmul(a, _localize(lw["wk"])).reshape(b, T, nhkv_loc, cfg.hd)
+    v = matmul(a, _localize(lw["wv"])).reshape(b, T, nhkv_loc, cfg.hd)
     q = apply_rope(q, positions, cfg.rope_params)
     k = apply_rope(k, positions, cfg.rope_params)
     k_l = _kv_write(kv_k, k, pos_start)
     v_l = _kv_write(kv_v, v, pos_start)
     attn = _attention(cfg, q, k_l, v_l, pos_start, T,
                       scale=scale).astype(compute_dtype)
-    h = h + matmul(attn, lw["wo"]).astype(compute_dtype)
+    attn_out = matmul(attn, _localize(lw["wo"]))
+    if tp > 1:
+        attn_out = jax.lax.psum(attn_out, "tp")
+    h = h + attn_out.astype(compute_dtype)
     f = rms_norm(h, lw["ffn_norm"], cfg.rms_eps)
-    gu = silu(matmul(f, lw["ffn_gate"])) * matmul(f, lw["ffn_up"])
-    h = h + matmul(gu.astype(compute_dtype), lw["ffn_down"]).astype(
-        compute_dtype)
+    gu = (silu(matmul(f, _localize(lw["ffn_gate"])))
+          * matmul(f, _localize(lw["ffn_up"])))
+    ffn_out = matmul(gu.astype(compute_dtype), _localize(lw["ffn_down"]))
+    if tp > 1:
+        ffn_out = jax.lax.psum(ffn_out, "tp")
+    h = h + ffn_out.astype(compute_dtype)
     return h, k_l, v_l
 
 
@@ -103,10 +153,14 @@ def pipeline_forward(cfg, pweights, tokens, kv, pos_start, mesh: Mesh,
     runs n_micro + S - 1 ticks.  Per tick each stage: receives its
     predecessor's activations (ppermute), runs its local layer scan, and
     hands off — the TPU rendering of compute_splits' async copy + event wait
-    (ggml-backend.cpp:1355-1500)."""
+    (ggml-backend.cpp:1355-1500).  With a 'tp' mesh axis each stage runs
+    tensor-parallel internally (psum-reduced row splits)."""
     S = mesh.shape["pp"]
+    tp = mesh.shape.get("tp", 1)
     B, T = tokens.shape
     assert B % n_micro == 0 and cfg.n_layer % S == 0
+    if tp > 1:
+        assert cfg.n_head % tp == 0 and cfg.n_head_kv % tp == 0
     b_mb = B // n_micro
     scale = 1.0 / float(np.sqrt(cfg.hd))
     pos_vec = jnp.reshape(jnp.asarray(pos_start, jnp.int32), (-1, 1))
@@ -139,7 +193,8 @@ def pipeline_forward(cfg, pweights, tokens, kv, pos_start, mesh: Mesh,
                 kk_b = jax.lax.dynamic_slice_in_dim(kk, boff, b_mb, 0)
                 vv_b = jax.lax.dynamic_slice_in_dim(vv, boff, b_mb, 0)
                 h, k_l, v_l = _layer(cfg, lw, h, kk_b, vv_b, positions,
-                                     pos_start, T, scale, compute_dtype)
+                                     pos_start, T, scale, compute_dtype,
+                                     tp=tp)
                 kk = jnp.where(
                     valid, jax.lax.dynamic_update_slice_in_dim(kk, k_l, boff, 0),
                     kk)
@@ -164,13 +219,24 @@ def pipeline_forward(cfg, pweights, tokens, kv, pos_start, mesh: Mesh,
             jnp.where(rank == S - 1, outputs, jnp.zeros_like(outputs)), "pp")
         return outputs, kv_k, kv_v
 
-    layer_spec = P("pp")
+    def wspec(key, leaf):
+        # leaf specs inside shard_map: local blocks of the global arrays
+        if tp > 1 and key in _COL_KEYS:
+            return P("pp", "tp")
+        if tp > 1 and key in _ROW_KEYS:
+            return P("pp", *([None] * (leaf.ndim - 2)), "tp")
+        return P("pp")
+
+    in_layer_specs = {
+        key: jax.tree.map(lambda x, k=key: wspec(k, x), val)
+        for key, val in pweights["layers_stacked"].items()
+    }
+    kv_spec = (P("pp", None, None, "tp", None) if tp > 1
+               else P("pp", None, None, None, None))
     outputs, kv_k, kv_v = jax.shard_map(
         stage_prog, mesh=mesh,
-        in_specs=(jax.tree.map(lambda _: layer_spec,
-                               pweights["layers_stacked"]),
-                  P(), layer_spec, layer_spec),
-        out_specs=(P(), layer_spec, layer_spec),
+        in_specs=(in_layer_specs, P(), kv_spec, kv_spec),
+        out_specs=(P(), kv_spec, kv_spec),
         check_vma=False,
     )(pweights["layers_stacked"], h_mb, kv["k"], kv["v"])
 

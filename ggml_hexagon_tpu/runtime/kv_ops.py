@@ -92,9 +92,10 @@ def save_state(engine, f) -> None:
         }
         planes = {}
         for name, arr in engine.kv.items():
-            a = np.asarray(arr.astype(jnp.float32) if arr.dtype == jnp.int4
-                           else arr)
-            planes[name] = a
+            # npz can't hold int4/bf16: widen those; int8/f32 pass through
+            if arr.dtype in (jnp.int4, jnp.bfloat16, jnp.float16):
+                arr = arr.astype(jnp.float32)
+            planes[name] = np.asarray(arr)
         meta["plane_dtypes"] = {n: str(a.dtype) for n, a in planes.items()}
         meta["kv_quant"] = "k_d" in engine.kv
         meta["kv_int4"] = bool(engine.kv["k"].dtype == jnp.int4)

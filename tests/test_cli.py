@@ -71,3 +71,20 @@ def test_cli_imatrix(model_path, tmp_path, capsys):
     import numpy as np
     z = np.load(out)
     assert any(k.startswith("blk.") for k in z.files)
+
+
+def test_cli_gen_docs(tmp_path, capsys):
+    out = str(tmp_path / "cli.md")
+    assert main(["gen-docs", "-o", out]) == 0
+    text = open(out).read()
+    assert "# CLI reference" in text
+    for cmd in ("generate", "quantize", "tts", "gguf-hash", "bench"):
+        assert f"## {cmd}" in text
+
+
+def test_cli_bench_batched(model_path, capsys):
+    assert main(["bench", "-m", model_path, "-p", "8", "-n", "4",
+                 "-b", "2", "-o", "json"]) == 0
+    rows = json.loads(capsys.readouterr().out)
+    tests = {r["test"] for r in rows}
+    assert "pp8" in tests and "tg4" in tests and "pp8+tg4@pl2" in tests

@@ -103,3 +103,30 @@ def test_stack_layers_shapes():
     stacked = stack_layers(weights)
     assert stacked["attn_norm"].shape == (cfg.n_layer, cfg.n_embd)
     assert stacked["wq"].q.shape[0] == cfg.n_layer
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_pipeline_with_tensor_parallel():
+    """pp=2 x tp=2: stages pipeline over 'pp' while each stage row/col
+    shards its weights over 'tp' (psum-reduced) — must match plain forward."""
+    cfg, weights = _tiny(n_layer=4, n_embd=512, n_head=8, n_head_kv=2,
+                         n_ff=512)
+    B, T, S = 4, 5, 16
+    tokens = jnp.asarray(
+        np.random.default_rng(3).integers(0, cfg.n_vocab, (B, T)), jnp.int32)
+    ref_logits, _ = forward(cfg, weights, tokens, init_kv_cache(cfg, B, S),
+                            jnp.int32(0))
+
+    mesh = make_pp_mesh(2, tp=2)
+    pw, kv = shard_pipeline(weights, init_kv_cache(cfg, B, S), mesh)
+    logits, new_kv = pipeline_forward(cfg, pw, tokens, kv, jnp.int32(0),
+                                      mesh, n_micro=2)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               rtol=5e-2, atol=5e-2)
+    np.testing.assert_array_equal(np.argmax(np.asarray(logits), -1),
+                                  np.argmax(np.asarray(ref_logits), -1))
+    # decode continues through the composed mesh
+    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
+    logits2, _ = pipeline_forward(cfg, pw, nxt, new_kv, jnp.int32(T), mesh,
+                                  n_micro=2)
+    assert np.isfinite(np.asarray(logits2)).all()
