@@ -426,7 +426,8 @@ FLASH_THRESHOLD = 2048  # cache sizes past this use the memory-linear path
 
 
 def _attention(cfg: LlamaConfig, q, k_all, v_all, pos_start, T, swa: int = 0,
-               scale: float = 0.0, logit_softcap: float = 0.0):
+               scale: float = 0.0, logit_softcap: float = 0.0,
+               causal: bool = True):
     from ..ops.basic import alibi_slopes
 
     """GQA attention over the cache prefix.
@@ -458,7 +459,12 @@ def _attention(cfg: LlamaConfig, q, k_all, v_all, pos_start, T, swa: int = 0,
     s_idx = jax.lax.broadcasted_iota(jnp.int32, (T, S), 1)[None]
     t_idx = jax.lax.broadcasted_iota(jnp.int32, (T, S), 0)[None]
     pos_b = jnp.reshape(jnp.asarray(pos_start, jnp.int32), (-1, 1, 1))  # [B|1,1,1]
-    allowed = s_idx <= (pos_b + t_idx)
+    if causal:
+        allowed = s_idx <= (pos_b + t_idx)
+    else:
+        # llama_set_causal_attn(false) (llama.h): every token sees the whole
+        # live prefix (gritlm/embedding mode); padding beyond it stays masked
+        allowed = s_idx < (pos_b + T)
     if swa:
         allowed = allowed & ((pos_b + t_idx) - s_idx < swa)
     mask = jnp.where(allowed, 0.0, -jnp.inf)[:, None, None]  # [B|1,1,1,T,S]
@@ -691,6 +697,7 @@ def forward(
     tap=None,  # optional fn(weight_name, activation) for imatrix collection
     logits_idx=None,  # [B] per-row position whose logits to return
     input_embeds=None,  # [B, T, n_embd]: raw embeddings (llava image splice)
+    causal: bool = True,  # llama_set_causal_attn analog (gritlm embedding)
 ):
     """One decoder step over T new tokens.  Returns (logits, new_kv_cache).
 
@@ -843,7 +850,7 @@ def forward(
         swa = cfg.swa_window if is_swa_layer else 0
         attn = _attention(
             cfg, q, k_full, v_full, pos_start, T, swa=swa, scale=scale,
-            logit_softcap=cfg.attn_logit_softcap,
+            logit_softcap=cfg.attn_logit_softcap, causal=causal,
         ).astype(compute_dtype)
         if tap is not None:
             tap(f"blk.{il}.attn_output.weight", attn)
