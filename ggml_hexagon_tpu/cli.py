@@ -605,6 +605,14 @@ def cmd_bench(args):
     return 0
 
 
+def cmd_convert_legacy(args):
+    """convert_llama_ggml_to_gguf analog: pre-GGUF llama files -> GGUF."""
+    from .gguf.legacy import convert_ggml_to_gguf
+
+    print(convert_ggml_to_gguf(args.input, args.output))
+    return 0
+
+
 def cmd_gen_docs(args):
     """gen-docs analog: emit markdown docs for every subcommand."""
     p = build_parser()
@@ -824,6 +832,12 @@ def build_parser():
     gd = sub.add_parser("gen-docs", help="emit markdown CLI docs")
     gd.add_argument("-o", "--output")
     gd.set_defaults(fn=cmd_gen_docs)
+
+    cl = sub.add_parser("convert-legacy",
+                        help="legacy GGML/GGMF/GGJT file -> GGUF")
+    cl.add_argument("input")
+    cl.add_argument("output")
+    cl.set_defaults(fn=cmd_convert_legacy)
 
     return p
 
