@@ -605,6 +605,45 @@ def cmd_bench(args):
     return 0
 
 
+def cmd_chat(args):
+    """simple-chat / llama-cli conversation-mode analog: a stdin REPL that
+    applies the model's chat template per turn and reuses the KV prefix."""
+    from .gguf import GGUFReader
+    from .runtime import Engine, make_chain
+    from .runtime.chat import apply_chat_template, template_from_gguf
+
+    with GGUFReader.open(args.model) as r:
+        tmpl, tmpl_src = template_from_gguf(r.metadata)
+    eng = Engine.from_gguf(args.model, max_seq=args.ctx_size)
+    messages = []
+    if args.system:
+        messages.append({"role": "system", "content": args.system})
+    print("chat started; empty line or EOF exits", file=sys.stderr)
+    while True:
+        try:
+            line = input("> ")
+        except EOFError:
+            break
+        if not line.strip():
+            break
+        messages.append({"role": "user", "content": line})
+        prompt = apply_chat_template(messages, tmpl, add_assistant=True,
+                                     jinja_source=tmpl_src)
+        ids = eng.tokenizer.encode(prompt)
+        chain = make_chain(temp=args.temp, seed=args.seed)
+        toks = []
+        # longest-prefix KV reuse across turns (server prompt-cache style)
+        for t in eng.generate(ids, n_predict=args.n_predict, sampler=chain,
+                              reuse_cache=True):
+            toks.append(t)
+            sys.stdout.write(eng.tokenizer.decode([t], skip_special=False))
+            sys.stdout.flush()
+        print()
+        messages.append({"role": "assistant",
+                         "content": eng.tokenizer.decode(toks)})
+    return 0
+
+
 def cmd_convert_legacy(args):
     """convert_llama_ggml_to_gguf analog: pre-GGUF llama files -> GGUF."""
     from .gguf.legacy import convert_ggml_to_gguf
@@ -832,6 +871,15 @@ def build_parser():
     gd = sub.add_parser("gen-docs", help="emit markdown CLI docs")
     gd.add_argument("-o", "--output")
     gd.set_defaults(fn=cmd_gen_docs)
+
+    ch = sub.add_parser("chat", help="interactive chat REPL")
+    ch.add_argument("-m", "--model", required=True)
+    ch.add_argument("--system", help="system prompt")
+    ch.add_argument("-n", "--n-predict", type=int, default=256)
+    ch.add_argument("-c", "--ctx-size", type=int, default=4096)
+    ch.add_argument("--temp", type=float, default=0.8)
+    ch.add_argument("-s", "--seed", type=int, default=42)
+    ch.set_defaults(fn=cmd_chat)
 
     cl = sub.add_parser("convert-legacy",
                         help="legacy GGML/GGMF/GGJT file -> GGUF")

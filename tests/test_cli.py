@@ -88,3 +88,14 @@ def test_cli_bench_batched(model_path, capsys):
     rows = json.loads(capsys.readouterr().out)
     tests = {r["test"] for r in rows}
     assert "pp8" in tests and "tg4" in tests and "pp8+tg4@pl2" in tests
+
+
+def test_cli_chat_repl(model_path, capsys, monkeypatch):
+    """simple-chat analog: two stdin turns through the templated REPL."""
+    import io
+    inputs = iter(["hello there", "and again", ""])
+    monkeypatch.setattr("builtins.input", lambda *a: next(inputs))
+    assert main(["chat", "-m", model_path, "-n", "3", "--temp", "0",
+                 "-c", "256"]) == 0
+    out = capsys.readouterr().out
+    assert len(out.strip()) > 0  # streamed some tokens across both turns
