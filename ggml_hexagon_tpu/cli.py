@@ -1,13 +1,20 @@
 """Command-line interface — the reference's tool suite as subcommands.
 
-Mapping to /root/reference/examples/:
-  generate    <- llama-cli (main): prompt -> tokens, sampling flags
-  quantize    <- llama-quantize: f16/f32 GGUF -> quantized GGUF (+imatrix)
-  perplexity  <- llama-perplexity: WikiText-style PPL protocol
-  imatrix     <- llama-imatrix: importance-matrix collection
-  bench       <- llama-bench: pp/tg sweep matrix with JSON/MD output
-  tokenize    <- llama-tokenize
-  gguf-info   <- gguf-hash/inspect: header, metadata, tensor table
+Mapping to /root/reference/examples/ (run `gen-docs` for full flag docs):
+  generate        <- llama-cli (main): sampling flags, --prompt-cache,
+                     --cache-type, --lookahead/--lookup/--draft-model
+  chat            <- simple-chat / llama-cli conversation mode
+  llava / tts     <- llava-cli / tts (multimodal, OuteTTS+WavTokenizer)
+  quantize        <- llama-quantize (+imatrix); quantize-stats
+  perplexity      <- llama-perplexity: PPL/KL-div protocol
+  imatrix         <- llama-imatrix; eval-callback <- eval-callback
+  bench           <- llama-bench + batched-bench (-b parallel sweep)
+  embedding / retrieval / passkey / infill / save-load-state <- same-named
+  export-lora / cvector-generator <- same-named
+  gguf-info / gguf-hash / gguf-split / convert-legacy <- gguf tools +
+                     convert_llama_ggml_to_gguf
+  gbnf-validator  <- gbnf-validator; tokenize <- llama-tokenize
+  gen-docs        <- gen-docs
 """
 from __future__ import annotations
 
