@@ -1,1 +1,3 @@
 from .sharding import make_mesh, shard_llama_weights, shard_kv_cache, shard_tokens
+from .pipeline import (make_pp_mesh, pipeline_forward, shard_pipeline,
+                       stack_layers)

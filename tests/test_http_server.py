@@ -144,3 +144,44 @@ def test_slot_save_restore_endpoint(http_server, tmp_path):
     assert r["filename"] == p
     r2 = post(http_server, "/slots/0?action=restore", {"filename": p})
     assert r2["id_slot"] == 0
+
+
+def test_chat_completion_tool_calls_wire():
+    """HTTP response assembly for tool calls: scripted generation containing
+    a hermes-style <tool_call> block must come back as OpenAI tool_calls
+    with finish_reason=tool_calls (server.cpp oaicompat parity)."""
+
+    class StubServer:
+        template = "chatml"
+        template_src = "{% if tools %}<tool_call>{% endif %}"
+
+        def chat_format(self):
+            from ggml_hexagon_tpu.runtime.toolcall import detect_format
+
+            return detect_format(self.template_src)
+
+        def chat_completion(self, body):
+            text = ('Checking.<tool_call>{"name": "get_weather", '
+                    '"arguments": {"city": "Paris"}}</tool_call>')
+            yield text, None
+            yield None, {"stop_type": "eos", "tokens_evaluated": 5,
+                         "tokens_predicted": 9}
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(StubServer()))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        res = post(f"http://127.0.0.1:{port}", "/v1/chat/completions", {
+            "messages": [{"role": "user", "content": "weather in Paris?"}],
+            "tools": [{"type": "function",
+                       "function": {"name": "get_weather"}}]})
+        msg = res["choices"][0]["message"]
+        assert res["choices"][0]["finish_reason"] == "tool_calls"
+        assert msg["content"] == "Checking."
+        tc = msg["tool_calls"][0]
+        assert tc["type"] == "function"
+        assert tc["function"]["name"] == "get_weather"
+        assert json.loads(tc["function"]["arguments"]) == {"city": "Paris"}
+    finally:
+        httpd.shutdown()
