@@ -122,3 +122,72 @@ def test_server_chat_tools_integration():
     assert "get_weather" in captured["prompt"]
     assert "<tools>" in captured["prompt"]
     assert srv.chat_format() == "hermes_2_pro"
+
+
+# --- functionary v3.1/v3.2 + llama-3.x builtin tools (common/chat.cpp) ---
+
+def test_functionary_v3_2_sections():
+    from ggml_hexagon_tpu.runtime.toolcall import parse_chat_output
+    text = 'all\nLet me check.>>>get_weather\n{"city": "Oslo"}>>>get_time\n{"tz": "CET"}'
+    p = parse_chat_output(text, "functionary_v3_2")
+    assert p.content == "Let me check."
+    assert [(t.name, t.arguments) for t in p.tool_calls] == [
+        ("get_weather", '{"city": "Oslo"}'), ("get_time", '{"tz": "CET"}')]
+
+
+def test_functionary_v3_2_plain_content():
+    from ggml_hexagon_tpu.runtime.toolcall import parse_chat_output
+    p = parse_chat_output("all\nJust text, no calls.", "functionary_v3_2")
+    assert p.content == "Just text, no calls." and not p.tool_calls
+
+
+def test_functionary_v3_1_function_tags():
+    from ggml_hexagon_tpu.runtime.toolcall import parse_chat_output
+    text = 'ok <function=add>{"a": 1, "b": 2}</function>'
+    p = parse_chat_output(text, "functionary_v3_1")
+    assert p.tool_calls[0].name == "add"
+    assert p.tool_calls[0].arguments == '{"a": 1, "b": 2}'
+    assert p.content == "ok"
+
+
+def test_functionary_v3_1_python_tag():
+    from ggml_hexagon_tpu.runtime.toolcall import parse_chat_output
+    import json
+    p = parse_chat_output("<|python_tag|>print(1+1)", "functionary_v3_1")
+    assert p.tool_calls[0].name == "python"
+    assert json.loads(p.tool_calls[0].arguments) == {"code": "print(1+1)"}
+
+
+def test_llama3x_builtin_call():
+    from ggml_hexagon_tpu.runtime.toolcall import parse_chat_output
+    import json
+    p = parse_chat_output(
+        '<|python_tag|>brave_search.call(query="llama 3")', "llama_3x_builtin")
+    assert p.tool_calls[0].name == "brave_search"
+    assert json.loads(p.tool_calls[0].arguments) == {"query": "llama 3"}
+    assert p.content == ""
+
+
+def test_llama3x_builtin_falls_back_to_json():
+    from ggml_hexagon_tpu.runtime.toolcall import parse_chat_output
+    p = parse_chat_output(
+        '{"name": "f", "parameters": {"x": 1}}', "llama_3x_builtin")
+    assert p.tool_calls[0].name == "f"
+
+
+def test_detect_new_formats():
+    from ggml_hexagon_tpu.runtime.toolcall import detect_format
+    assert detect_format("blah >>>all more") == "functionary_v3_2"
+    assert detect_format("<|start_header_id|> <function=") == "functionary_v3_1"
+    assert detect_format(
+        "<|start_header_id|>ipython<|end_header_id|> <|python_tag|>"
+    ) == "llama_3x_builtin"
+    assert detect_format(
+        "<|start_header_id|>ipython<|end_header_id|>") == "llama_3x"
+
+
+def test_render_tools_prompt_new_formats():
+    from ggml_hexagon_tpu.runtime.toolcall import render_tools_prompt
+    tools = [{"type": "function", "function": {"name": "f", "parameters": {}}}]
+    assert ">>>function_name" in render_tools_prompt(tools, "functionary_v3_2")
+    assert "<function=" in render_tools_prompt(tools, "functionary_v3_1")
