@@ -329,27 +329,17 @@ def cmd_infill(args):
     from .gguf import GGUFReader
     from .runtime import Engine, make_chain
 
+    from .runtime.infill import format_infill
+
     with GGUFReader.open(args.model) as r:
-        md = r.metadata
-    def tokid(*keys):
-        for k in keys:
-            v = md.get(k)
-            if v is not None:
-                return int(v)
-        return None
-    pre = tokid("tokenizer.ggml.fim_pre_token_id",
-                "tokenizer.ggml.prefix_token_id")
-    suf = tokid("tokenizer.ggml.fim_suf_token_id",
-                "tokenizer.ggml.suffix_token_id")
-    mid = tokid("tokenizer.ggml.fim_mid_token_id",
-                "tokenizer.ggml.middle_token_id")
-    if None in (pre, suf, mid):
-        print("error: model lacks FIM special tokens", file=sys.stderr)
-        return 1
+        md = dict(r.metadata)
     eng = Engine.from_gguf(args.model, max_seq=args.ctx_size)
-    ids = ([pre] + eng.tokenizer.encode(args.in_prefix, add_bos=False)
-           + [suf] + eng.tokenizer.encode(args.in_suffix, add_bos=False)
-           + [mid])
+    try:
+        ids = format_infill(md, eng.tokenizer, args.in_prefix, args.in_suffix,
+                            n_predict=args.n_predict, n_ctx=args.ctx_size)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
     chain = make_chain(temp=args.temp, seed=args.seed)
     toks = list(eng.generate(ids, n_predict=args.n_predict, sampler=chain))
     print(args.in_prefix + eng.tokenizer.decode(toks) + args.in_suffix)

@@ -147,6 +147,9 @@ def load_bert_weights(reader, dtype=jnp.float32):
         "tok_norm_b": get("token_embd_norm.bias", True),
         "layers": layers,
         "cls": opt("cls.weight"), "cls_b": opt("cls.bias", True),
+        # reranker classification head (reference CLS_OUT, llama-model.cpp:1972)
+        "cls_out": opt("cls.output.weight"),
+        "cls_out_b": opt("cls.output.bias", True),
     }
     return cfg, weights
 
@@ -286,7 +289,29 @@ def pool_bert(cfg, weights, hidden, attn_mask=None, pooling: str = "cls"):
             return hf.mean(axis=1)
         m = np.asarray(attn_mask, np.float32)[..., None]
         return (hf * m).sum(axis=1) / np.clip(m.sum(axis=1), 1e-9, None)
+    if pooling == "rank":
+        # reranker head (build_pooling LLAMA_POOLING_TYPE_RANK,
+        # src/llama-graph.cpp:1596): CLS state -> tanh(cls . h + b)
+        # -> optional cls.output projection -> [B, 1] relevance scores
+        e = hf[:, 0]
+        if weights.get("cls") is None:
+            raise ValueError("rank pooling requires the cls head tensors")
+        e = np.tanh(e @ _to_f32(weights["cls"]).T
+                    + np.asarray(weights["cls_b"], np.float32))
+        if weights.get("cls_out") is not None:
+            e = (e @ _to_f32(weights["cls_out"]).T
+                 + np.asarray(weights["cls_out_b"], np.float32))
+        return e
     raise ValueError(f"unknown pooling {pooling!r}")
+
+
+def _to_f32(w):
+    """Dense f32 view of a (possibly packed-quantized) weight matrix."""
+    if hasattr(w, "cfg"):
+        from ..quant.pack import dequantize_planes_numpy
+
+        return dequantize_planes_numpy(w).astype(np.float32)
+    return np.asarray(w, np.float32)
 
 
 def convert_hf_bert(sd, c, out_path, qtype=GGMLType.F16, tokenizer_fields=None):
@@ -319,6 +344,15 @@ def convert_hf_bert(sd, c, out_path, qtype=GGMLType.F16, tokenizer_fields=None):
     if pre + "pooler.dense.weight" in sd:
         t["cls.weight"] = sd[pre + "pooler.dense.weight"]
         t["cls.bias"] = sd[pre + "pooler.dense.bias"]
+    # sequence-classification (reranker) heads — reference tensor_mapping.py:791
+    if "classifier.dense.weight" in sd:  # roberta-style two-layer head
+        t["cls.weight"] = sd["classifier.dense.weight"]
+        t["cls.bias"] = sd["classifier.dense.bias"]
+        t["cls.output.weight"] = sd["classifier.out_proj.weight"]
+        t["cls.output.bias"] = sd["classifier.out_proj.bias"]
+    elif "classifier.weight" in sd:  # jina-style single linear
+        t["cls.weight"] = sd["classifier.weight"]
+        t["cls.bias"] = sd["classifier.bias"]
     md = {
         "bert.block_count": int(c.num_hidden_layers),
         "bert.context_length": int(c.max_position_embeddings),

@@ -262,6 +262,16 @@ class BatchEngine:
             prompt=np.asarray(s.prompt + s.generated, np.int64),
         )
 
+    def erase_slot(self, slot_id: int) -> int:
+        """Drop a slot's cached tokens (server /slots/{id}?action=erase).
+        Returns the number of erased cache tokens."""
+        s = self.slots[slot_id]
+        if s.state != SlotState.IDLE:
+            raise RuntimeError(f"slot {slot_id} busy")
+        n = s.n_past
+        s.reset()
+        return n
+
     def restore_slot(self, slot_id: int, path: str):
         import jax.numpy as jnp
         import numpy as np

@@ -154,6 +154,8 @@ def test_chat_completion_tool_calls_wire():
     class StubServer:
         template = "chatml"
         template_src = "{% if tools %}<tool_call>{% endif %}"
+        api_key = None
+        engine = object()  # non-None: completion endpoints enabled
 
         def chat_format(self):
             from ggml_hexagon_tpu.runtime.toolcall import detect_format
