@@ -35,12 +35,22 @@ class LlavaEngine:
         return cls(eng, ccfg, cw)
 
     def image_embed(self, image: np.ndarray) -> np.ndarray:
-        """uint8 HxWx3 (or pre-normalized [3,S,S]) -> [n_patches, d_model]."""
+        """uint8 HxWx3 (or pre-normalized [3,S,S]) -> [n_tokens, d_model].
+        GLM-Edge adapters splice boi/eoi embeddings around the image tokens
+        (clip.cpp:2790)."""
         if image.dtype == np.uint8:
             image = preprocess_image(image, self.clip_cfg)
         pixels = jnp.asarray(image, jnp.float32)[None]
-        out = encode_image(self.clip_cfg, self.clip_weights, pixels)
-        return np.asarray(out[0])
+        out = np.asarray(
+            encode_image(self.clip_cfg, self.clip_weights, pixels)[0])
+        if self.clip_cfg.proj_type == "adapter":
+            from ..models.clip import glm_boi_eoi
+
+            boi, eoi = glm_boi_eoi(self.clip_weights)
+            if boi is not None:
+                out = np.concatenate(
+                    [np.asarray(boi), out, np.asarray(eoi)], axis=0)
+        return out
 
     def prefill_multimodal(self, segments) -> np.ndarray:
         """segments: list of (('tokens', [ids]) | ('image', HxWx3 array)).
