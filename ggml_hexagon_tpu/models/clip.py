@@ -57,6 +57,7 @@ class ClipVisionConfig:
     proj_type: str = "mlp"
     minicpmv_version: int = 0
     mm_tokens_per_image: int = 256  # gemma3 pooled token budget
+    image_grid_pinpoints: tuple = ()  # llava-1.6 multi-crop resolutions
 
     @property
     def n_patches(self) -> int:
@@ -82,6 +83,8 @@ class ClipVisionConfig:
             minicpmv_version=int(md.get("clip.minicpmv_version", 0)),
             mm_tokens_per_image=int(md.get("clip.vision.mm_tokens_per_image",
                                            256)),
+            image_grid_pinpoints=tuple(
+                int(x) for x in g("image_grid_pinpoints", ())),
         )
 
 

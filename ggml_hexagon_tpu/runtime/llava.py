@@ -36,14 +36,29 @@ class LlavaEngine:
 
     def image_embed(self, image: np.ndarray) -> np.ndarray:
         """uint8 HxWx3 (or pre-normalized [3,S,S]) -> [n_tokens, d_model].
-        GLM-Edge adapters splice boi/eoi embeddings around the image tokens
+
+        Raw images dispatch to the model's preprocessing strategy like
+        clip_image_preprocess (clip.cpp:2365): minicpmv -> LLaVA-UHD
+        slicing, qwen2vl -> native resolution, llava-1.6 pinpoints ->
+        multi-crop grid with image_newline, else square resize.  GLM-Edge
+        adapters splice boi/eoi embeddings around the image tokens
         (clip.cpp:2790)."""
+        cfg = self.clip_cfg
         if image.dtype == np.uint8:
-            image = preprocess_image(image, self.clip_cfg)
-        pixels = jnp.asarray(image, jnp.float32)[None]
-        out = np.asarray(
-            encode_image(self.clip_cfg, self.clip_weights, pixels)[0])
-        if self.clip_cfg.proj_type == "adapter":
+            if cfg.proj_type == "resampler":
+                return self._embed_uhd(image)
+            if cfg.proj_type == "qwen2vl_merger":
+                from ..models.mm_preprocess import normalize, qwen2vl_resize
+
+                px = normalize(qwen2vl_resize(image, cfg.patch_size),
+                               cfg.image_mean, cfg.image_std)
+                return self._encode(px[None])[0]
+            if cfg.image_grid_pinpoints and cfg.proj_type in (
+                    "mlp", "mlp_norm"):
+                return self._embed_llava16(image)
+            image = preprocess_image(image, cfg)
+        out = self._encode(np.asarray(image, np.float32)[None])[0]
+        if cfg.proj_type == "adapter":
             from ..models.clip import glm_boi_eoi
 
             boi, eoi = glm_boi_eoi(self.clip_weights)
@@ -51,6 +66,45 @@ class LlavaEngine:
                 out = np.concatenate(
                     [np.asarray(boi), out, np.asarray(eoi)], axis=0)
         return out
+
+    def _encode(self, pixels: np.ndarray) -> np.ndarray:
+        return np.asarray(encode_image(
+            self.clip_cfg, self.clip_weights, jnp.asarray(pixels)))
+
+    def _embed_llava16(self, image: np.ndarray) -> np.ndarray:
+        """llava-1.6 multi-crop: base + grid crops in ONE batched forward
+        (all crops share the square shape -> one MXU-shaped program),
+        merged with image_newline columns (clip_llava_handle_patches)."""
+        from ..models.mm_preprocess import (llava16_merge_embeds,
+                                            llava16_preprocess)
+
+        cfg = self.clip_cfg
+        batch, grid = llava16_preprocess(image, cfg.image_size,
+                                         cfg.image_grid_pinpoints,
+                                         cfg.image_mean, cfg.image_std)
+        embeds = self._encode(batch)
+        newline = self.clip_weights["mm"].get("model.image_newline")
+        return llava16_merge_embeds(
+            embeds, grid, cfg.image_size // cfg.patch_size,
+            None if newline is None else np.asarray(newline))
+
+    def _embed_uhd(self, image: np.ndarray) -> np.ndarray:
+        """MiniCPM-V: source resize + refined slices (uhd_slice_image),
+        each through the resampler; source first, slices row-major."""
+        from ..models.mm_preprocess import normalize, uhd_slice_image
+
+        cfg = self.clip_cfg
+        source, rows, _grid = uhd_slice_image(
+            image, patch_size=cfg.patch_size)
+        parts = [self._encode(normalize(
+            source, cfg.image_mean, cfg.image_std)[None])[0]]
+        flat = [s for row in rows for s in row]
+        if flat:
+            # slices share one shape -> batch them
+            batch = np.stack([normalize(s, cfg.image_mean, cfg.image_std)
+                              for s in flat])
+            parts.extend(self._encode(batch))
+        return np.concatenate(parts, axis=0)
 
     def prefill_multimodal(self, segments) -> np.ndarray:
         """segments: list of (('tokens', [ids]) | ('image', HxWx3 array)).
