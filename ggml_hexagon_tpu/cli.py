@@ -346,6 +346,72 @@ def cmd_infill(args):
     return 0
 
 
+def cmd_parallel(args):
+    """llama-parallel analog (examples/parallel/parallel.cpp): simulate N
+    clients answering M sequences with continuous batching; report
+    per-client and aggregate throughput."""
+    import numpy as np
+
+    from .runtime.sampling import make_chain
+    from .server import BatchEngine
+
+    pool = [
+        "What is the meaning of life?",
+        "Tell me an interesting fact about llamas.",
+        "What is the best way to cook a steak?",
+        "Are you familiar with the Special Theory of Relativity?",
+        "Recommend some interesting books to read.",
+        "What is the best way to learn a new language?",
+    ]
+    if args.file:
+        with open(args.file) as fh:
+            pool = [ln.strip() for ln in fh if ln.strip()]
+    system = ("A chat between a curious user and an artificial intelligence "
+              "assistant.\n\n")
+
+    from .tokenizer import build_tokenizer
+
+    eng = BatchEngine.from_gguf(args.model, n_slots=args.parallel,
+                                max_seq=args.ctx_size)
+    tok = build_tokenizer(eng.vocab)
+    rng = np.random.default_rng(args.seed)
+    t0 = time.perf_counter()
+    queues = []
+    for i in range(args.sequences):
+        q = pool[int(rng.integers(len(pool)))]
+        ids = tok.encode(system + f"User: {q}\nAssistant:")
+        queues.append((i, q, eng.submit(
+            ids, n_predict=args.n_predict,
+            sampler=make_chain(temp=args.temp, seed=args.seed + i))))
+    eng.run_until_idle()
+    n_gen = 0
+    for i, q, outq in queues:
+        n = 0
+        while True:
+            tokid, fin = outq.get(timeout=600)
+            if tokid is None:
+                break
+            n += 1
+        n_gen += n
+        print(f"seq {i:3d} | prompt: {q[:40]:40s} | generated {n} tokens")
+    dt = time.perf_counter() - t0
+    m = eng.metrics
+    print(f"\nn_parallel = {args.parallel}, n_sequences = {args.sequences}")
+    print(f"prompt tokens: {m['n_prompt_tokens']}, "
+          f"generated: {m['n_tokens_generated']}")
+    print(f"total time: {dt:.2f} s, "
+          f"throughput: {(m['n_prompt_tokens'] + n_gen) / dt:.2f} t/s")
+    return 0
+
+
+def cmd_convert_llama2c(args):
+    from .gguf.llama2c import convert_llama2c
+
+    out = convert_llama2c(args.model, args.vocab, args.output)
+    print(f"wrote {out}")
+    return 0
+
+
 def cmd_gguf_split(args):
     from .gguf.split import merge_gguf, split_gguf
 
@@ -883,6 +949,28 @@ def build_parser():
     cl.add_argument("input")
     cl.add_argument("output")
     cl.set_defaults(fn=cmd_convert_legacy)
+
+    pa = sub.add_parser("parallel",
+                        help="multi-client continuous-batching simulation")
+    pa.add_argument("-m", "--model", required=True)
+    pa.add_argument("-np", "--parallel", type=int, default=4,
+                    help="number of slots (clients)")
+    pa.add_argument("-ns", "--sequences", type=int, default=8,
+                    help="total sequences to process")
+    pa.add_argument("-n", "--n-predict", type=int, default=32)
+    pa.add_argument("-c", "--ctx-size", type=int, default=1024)
+    pa.add_argument("-f", "--file", help="newline-separated prompt pool")
+    pa.add_argument("--temp", type=float, default=0.8)
+    pa.add_argument("-s", "--seed", type=int, default=42)
+    pa.set_defaults(fn=cmd_parallel)
+
+    c2c = sub.add_parser("convert-llama2c",
+                         help="llama2.c checkpoint + vocab -> GGUF")
+    c2c.add_argument("--model", required=True, help="llama2.c model.bin")
+    c2c.add_argument("--vocab", required=True,
+                     help="tokenizer.bin or GGUF vocab file")
+    c2c.add_argument("-o", "--output", required=True)
+    c2c.set_defaults(fn=cmd_convert_llama2c)
 
     return p
 
