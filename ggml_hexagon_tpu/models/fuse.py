@@ -21,8 +21,9 @@ def _concat_qtensors(parts: list[QTensor]) -> QTensor | None:
     cfg = parts[0].cfg
     k = parts[0].k
     for p in parts:
-        if not isinstance(p, QTensor) or p.cfg != cfg or p.k != k or p.n != p.n_pad:
-            return None
+        if (not isinstance(p, QTensor) or p.cfg != cfg or p.k != k
+                or p.q is None or p.n != p.n_pad):
+            return None  # wire-less tensors can't be re-fused
 
     def cat(field):
         arrs = [getattr(p, field) for p in parts]
@@ -30,10 +31,15 @@ def _concat_qtensors(parts: list[QTensor]) -> QTensor | None:
             return None
         return jnp.concatenate([jnp.asarray(a) for a in arrs], axis=0)
 
-    return QTensor(
+    fused = QTensor(
         cfg, sum(p.n for p in parts), k,
         cat("q"), cat("d"), cat("qh"), cat("sc"), cat("dmin"), cat("m"),
     )
+    if any(p.fq is not None for p in parts):
+        # rebuild (not concat) the qmm_fast planes: per-part row padding
+        # would otherwise leave zero rows in the middle of the fused tensor
+        fused = fused.with_fast_planes()
+    return fused
 
 
 def fuse_weights(weights: dict, cfg) -> dict:

@@ -7,17 +7,16 @@ MXU; a dequantized copy of the weights never exists in HBM (the reference's
 QNN host-side-dequant anti-pattern, ggml-hexagon.cpp:1322, is structurally
 impossible here).
 
-Production path: *XLA fusion*.  The row-planar layout (quant/pack.py) was
-chosen so the dequant expression is shift/mask -> lane-concat -> scale
-multiply — a form XLA's TPU backend fuses entirely into the consuming
-dot_general.  Measured on v5e: ~30us for a 4096x4096 Q4_K matmul at B=8,
-i.e. HBM speed-of-light (~1 TB/s effective); a hand-written Mosaic kernel
-with u8->i32 casts measured 15-40x slower on this toolchain, so per the
-"let XLA fuse" rule the compiler wins the hot loop and Pallas is reserved
-for ops XLA cannot fuse (attention over quantized KV, collectives).
+Production path: *the qmm_fast Pallas kernels* (ops/qmm_fast.py) — honest
+data-closed timings on the v5e showed XLA materializes dequantized
+intermediates in HBM for wide shapes (29-136 GB/s effective), while the
+interleaved-layout Mosaic kernels stream the packed planes at 400+ GB/s.
+`qmatmul(backend="auto")` routes QTensors carrying fast planes through
+them; the XLA fusion expression below remains the fallback (unsupported
+types, non-TPU backends) and the differential oracle.
 
-`qmatmul_pallas` keeps a correct Mosaic implementation of the same math as
-an alternative backend (kernel-registry entry + conformance target).
+`qmatmul_pallas` keeps the original whole-K Mosaic implementation as a
+second conformance target.
 """
 from __future__ import annotations
 
@@ -79,14 +78,20 @@ def _dequant_expr(qt: QTensor, dtype):
 
 
 def dequantize_jax(qt: QTensor, dtype=jnp.float32):
-    """Whole-tensor dequantize (embeddings / tests)."""
+    """Whole-tensor dequantize (embeddings / tests).  Wire-less tensors
+    (without_wire) reconstruct from the qmm_fast planes."""
+    if qt.q is None:
+        from .qmm_fast import dequantize_fast
+
+        return dequantize_fast(qt, dtype)
     return _dequant_expr(qt, dtype)
 
 
 def qmatmul_xla(x, qt: QTensor, out_dtype=jnp.float32, compute_dtype=jnp.bfloat16):
     """y = x @ dequant(qt).T, dequant fused into the dot by XLA."""
     assert x.shape[-1] == qt.k, f"x K={x.shape[-1]} vs weight K={qt.k}"
-    w = _dequant_expr(qt, compute_dtype)
+    w = dequantize_jax(qt, compute_dtype) if qt.q is None else \
+        _dequant_expr(qt, compute_dtype)
     y = jax.lax.dot_general(
         x.astype(compute_dtype),
         w,
@@ -223,8 +228,27 @@ def qmatmul_pallas(
 
 
 def qmatmul(x, qt: QTensor, out_dtype=jnp.float32, compute_dtype=jnp.bfloat16,
-            backend: str = "xla", **kw):
-    """Quantized matmul for x [..., K] -> [..., n].  backend: 'xla' | 'pallas'."""
+            backend: str = "auto", **kw):
+    """Quantized matmul for x [..., K] -> [..., n].
+
+    backend 'auto' routes small-batch (decode) calls through the qmm_fast
+    Pallas kernels when the tensor carries fast planes — measured 4-6x
+    faster than the XLA fusion on the target chip — and falls back to XLA
+    for prefill-sized batches (where XLA amortizes dequant across rows)
+    and for unsupported types.
+    """
+    if backend == "auto":
+        from .qmm_fast import MAX_FAST_BATCH, qmatmul_fast
+
+        B = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+        if qt.fq is not None and jax.default_backend() == "tpu" and (
+                B <= MAX_FAST_BATCH or qt.q is None):
+            return qmatmul_fast(x, qt, out_dtype=out_dtype, **kw)
+        return qmatmul_xla(x, qt, out_dtype, compute_dtype)
+    if backend == "fast":
+        from .qmm_fast import qmatmul_fast
+
+        return qmatmul_fast(x, qt, out_dtype=out_dtype, **kw)
     if backend == "pallas":
         return qmatmul_pallas(x, qt, out_dtype, compute_dtype, **kw)
     return qmatmul_xla(x, qt, out_dtype, compute_dtype)

@@ -102,32 +102,103 @@ class QTensor:
     sc: Any = None
     dmin: Any = None
     m: Any = None
+    # fast-matmul planes (ops/qmm_fast.py): interleaved values + per-group
+    # affine decomposition, built once at load by with_fast_planes()
+    fq: Any = None
+    fs: Any = None
+    fb: Any = None
 
     @property
     def n_pad(self) -> int:
-        return self.q.shape[0]
+        return self.q.shape[0] if self.q is not None else self.fq.shape[0]
 
     def tree_flatten(self):
-        leaves = (self.q, self.d, self.qh, self.sc, self.dmin, self.m)
+        leaves = (self.q, self.d, self.qh, self.sc, self.dmin, self.m,
+                  self.fq, self.fs, self.fb)
         return leaves, (self.cfg, self.n, self.k)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         cfg, n, k = aux
-        q, d, qh, sc, dmin, m = leaves
-        return cls(cfg, n, k, q, d, qh, sc, dmin, m)
+        return cls(cfg, n, k, *leaves)
 
-    def astype_device(self):
-        """Move planes to the default device as jax arrays."""
+    def astype_device(self, fast: bool | None = None):
+        """Move planes to the default device as jax arrays.
+
+        fast=None consults the module default (FAST_MATMUL); True builds
+        the qmm_fast interleaved planes for supported types.
+        """
         import jax.numpy as jnp
 
         def put(x):
             return None if x is None else jnp.asarray(x)
 
+        if fast is None:
+            fast = FAST_MATMUL
+        fq = fs = fb = None
+        if fast and self.fq is None:
+            # build on the HOST from the numpy wire planes: no eager
+            # device ops (each would remote-compile), no HBM transient
+            from ..ops.qmm_fast import build_fast_planes
+
+            fq, fs, fb = build_fast_planes(self)
         return QTensor(
             self.cfg, self.n, self.k, put(self.q), put(self.d), put(self.qh),
             put(self.sc), put(self.dmin), put(self.m),
+            put(fq if fq is not None else self.fq),
+            put(fs if fs is not None else self.fs),
+            put(fb if fb is not None else self.fb),
         )
+
+    def with_fast_planes(self) -> "QTensor":
+        """Return a copy carrying qmm_fast planes (no-op if unsupported)."""
+        if self.fq is not None:
+            return self
+        from ..ops.qmm_fast import build_fast_planes
+
+        fq, fs, fb = build_fast_planes(self)
+        if fq is None:
+            return self
+        return QTensor(self.cfg, self.n, self.k, self.q, self.d, self.qh,
+                       self.sc, self.dmin, self.m, fq, fs, fb)
+
+    def without_wire(self) -> "QTensor":
+        """Drop the wire planes from HBM (keeps the qmm_fast planes).
+        Halves device memory for matmul weights; dequantize_jax then
+        reconstructs from the fast planes when asked."""
+        if self.fq is None:
+            return self
+        return QTensor(self.cfg, self.n, self.k, None, None, None,
+                       None, None, None, self.fq, self.fs, self.fb)
+
+
+#: per-layer dense matmul keys whose wire planes are dead weight once the
+#: qmm_fast planes exist (MoE "_exps" stacks keep wire: qtensor_rows slices
+#: it; embeddings keep wire: the token gather dequantizes rows)
+_DROPPABLE_KEYS = {"wq", "wk", "wv", "wo", "wqkv", "ffn_gate", "ffn_up",
+                   "ffn_down", "w_gateup", "ffn_gate_shexp", "ffn_up_shexp",
+                   "ffn_down_shexp"}
+
+
+def drop_wire_planes(weights: dict) -> dict:
+    """Strip redundant wire planes from a loaded model's matmul weights."""
+    out = dict(weights)
+    if isinstance(out.get("output"), QTensor):
+        out["output"] = out["output"].without_wire()
+    layers = []
+    for lw in weights.get("layers", []):
+        new = dict(lw)
+        for key in _DROPPABLE_KEYS:
+            v = new.get(key)
+            if isinstance(v, QTensor):
+                new[key] = v.without_wire()
+        layers.append(new)
+    out["layers"] = layers
+    return out
+
+
+#: default for astype_device: build fast-matmul planes at load
+FAST_MATMUL = True
 
 
 def _pack_bits(q: np.ndarray, bits: int) -> np.ndarray:

@@ -89,6 +89,9 @@ class Engine:
         with GGUFReader.open(path) as r:
             cfg, weights = load_llama_weights(r)
             vocab = Vocab.from_gguf(r.metadata)
+        from ..quant.pack import drop_wire_planes
+
+        weights = drop_wire_planes(weights)
         eng = cls(cfg, weights, vocab, **kw)
         eng.perf.t_load = time.perf_counter() - t0
         return eng

@@ -105,6 +105,9 @@ class BatchEngine:
             cfg, weights = load_llama_weights(r)
             vocab = Vocab.from_gguf(r.metadata)
             md = dict(r.metadata)
+        from ..quant.pack import drop_wire_planes
+
+        weights = drop_wire_planes(weights)
         eng = cls(cfg, weights, vocab, **kw)
         eng.metadata = md
         return eng

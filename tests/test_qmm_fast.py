@@ -1,0 +1,180 @@
+"""Conformance for the qmm_fast Pallas kernels (interleaved fast planes)
+against the proven XLA-fusion oracle — same strategy/thresholds as
+test_qmatmul.py (reference test-backend-ops.cpp mul_mat NMSE 5e-4)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ggml_hexagon_tpu.ops.qmatmul import qmatmul, qmatmul_xla
+from ggml_hexagon_tpu.ops.qmm_fast import (MAX_FAST_BATCH, qmatmul_fast,
+                                           supports_fast)
+from ggml_hexagon_tpu.quant import pack as P
+from ggml_hexagon_tpu.quant import ref_numpy as R
+from ggml_hexagon_tpu.quant.formats import GGMLType
+
+MUL_MAT_NMSE = 5e-4
+FAST_QTYPES = [t for t in sorted(P.QCONFIGS, key=lambda t: t.value)
+               if t in R.QUANTIZE and supports_fast(P.QCONFIGS[t], 512)]
+
+
+def nmse(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return float(np.mean((a - b) ** 2) / np.mean(b * b))
+
+
+@pytest.fixture(scope="module")
+def fixtures():
+    rng = np.random.default_rng(1)
+    N, K = 320, 512  # N deliberately not a multiple of the kernel block
+    w = rng.normal(size=(N, K)).astype(np.float32)
+    x = rng.normal(size=(4, K)).astype(np.float32)
+    return w, x
+
+
+def test_fast_types_cover_the_majors():
+    names = {t.name for t in FAST_QTYPES}
+    assert {"Q4_0", "Q4_1", "Q4_K", "Q5_0", "Q5_1", "Q5_K", "Q8_0",
+            "Q6_K", "Q2_K", "Q3_K", "IQ4_NL"} <= names
+    # IQ4_XS lives in quant/iquants (separate encoder) but the kernel
+    # supports it too
+    from ggml_hexagon_tpu.quant.formats import GGMLType as T
+    assert supports_fast(P.QCONFIGS[T.IQ4_XS], 512)
+
+
+@pytest.mark.parametrize("qtype", FAST_QTYPES)
+def test_fast_planes_reconstruct_exact(qtype, fixtures):
+    """The (values, group scale, group bias) decomposition must reproduce
+    the oracle dequantization exactly up to the affine re-association."""
+    from ggml_hexagon_tpu.ops.qmm_fast import (_group_scale_bias,
+                                               _int_values,
+                                               _interleave_perm, _is_nibble)
+
+    w, _ = fixtures
+    qt = P.quantize_tensor(w, qtype).astype_device(fast=False)
+    v = np.asarray(_int_values(qt))
+    s, b = _group_scale_bias(qt)
+    gs = qt.cfg.gs
+    rec = v * np.repeat(np.asarray(s), gs, axis=1)
+    if b is not None:
+        rec = rec + np.repeat(np.asarray(b), gs, axis=1)
+    ref = P.dequantize_planes_numpy(qt)
+    # re-association of (q+off)*s as q*s + off*s costs at most 1 ulp-ish
+    assert nmse(rec, ref) < 1e-12
+    # and the interleave permutation is a bijection
+    perm = _interleave_perm(qt.k, gs)
+    assert sorted(perm.tolist()) == list(range(qt.k))
+
+
+@pytest.mark.parametrize("qtype", FAST_QTYPES)
+def test_qmatmul_fast_matches_oracle(qtype, fixtures):
+    w, x = fixtures
+    qt = P.quantize_tensor(w, qtype).astype_device(fast=True)
+    assert qt.fq is not None
+    ref = np.asarray(qmatmul_xla(jnp.asarray(x), qt))
+    out = np.asarray(qmatmul_fast(jnp.asarray(x), qt, interpret=True))
+    assert out.shape == ref.shape
+    assert nmse(out, ref) < MUL_MAT_NMSE, (qtype.name, nmse(out, ref))
+
+
+def test_qmatmul_fast_batch1_and_3d(fixtures):
+    w, x = fixtures
+    qt = P.quantize_tensor(w, GGMLType.Q4_K).astype_device(fast=True)
+    ref = np.asarray(qmatmul_xla(jnp.asarray(x[:1]), qt))
+    out = np.asarray(qmatmul_fast(jnp.asarray(x[:1]), qt, interpret=True))
+    assert nmse(out, ref) < MUL_MAT_NMSE
+    x3 = jnp.asarray(x.reshape(2, 2, -1))
+    out3 = np.asarray(qmatmul_fast(x3, qt, interpret=True))
+    assert out3.shape == (2, 2, qt.n)
+    assert nmse(out3.reshape(4, -1), np.asarray(qmatmul_xla(jnp.asarray(x), qt))) < MUL_MAT_NMSE
+
+
+def test_qmatmul_fast_kblocked_prefill():
+    """Large-batch + wide-K path: K-blocked accumulation with the nibble
+    re-pairing (exercises nkj > 1)."""
+    from ggml_hexagon_tpu.ops.qmm_fast import _pick_blocks
+
+    rng = np.random.default_rng(3)
+    N, K, B = 256, 8192, 512
+    assert _pick_blocks(B, K, True, 32)[1] > 1  # the split engages
+    w = rng.normal(size=(N, K)).astype(np.float32)
+    x = rng.normal(size=(B, K)).astype(np.float32)
+    for qtype in (GGMLType.Q4_K, GGMLType.Q6_K):
+        qt = P.quantize_tensor(w, qtype).astype_device(fast=True)
+        ref = np.asarray(qmatmul_xla(jnp.asarray(x), qt))
+        out = np.asarray(qmatmul_fast(jnp.asarray(x), qt, interpret=True))
+        assert nmse(out, ref) < MUL_MAT_NMSE, (qtype.name, nmse(out, ref))
+
+
+def test_fast_grad_matches_oracle(fixtures):
+    """custom_vjp: dx through the fast path == dx through the XLA path."""
+    w, x = fixtures
+    qt = P.quantize_tensor(w, GGMLType.Q4_K).astype_device(fast=True)
+    xj = jnp.asarray(x)
+
+    g_fast = jax.grad(lambda a: jnp.sum(
+        qmatmul_fast(a, qt, interpret=True) ** 2))(xj)
+    g_ref = jax.grad(lambda a: jnp.sum(
+        qmatmul_xla(a, qt, compute_dtype=jnp.float32) ** 2))(xj)
+    assert nmse(np.asarray(g_fast), np.asarray(g_ref)) < 1e-3
+
+
+def test_without_wire_roundtrip(fixtures):
+    """Dropping wire planes keeps matmul + dequantize working (fast-plane
+    reconstruction), and dequantize_fast matches the oracle."""
+    from ggml_hexagon_tpu.ops.qmatmul import dequantize_jax
+
+    w, x = fixtures
+    for qtype in (GGMLType.Q4_K, GGMLType.Q8_0, GGMLType.Q6_K):
+        qt = P.quantize_tensor(w, qtype).astype_device(fast=True)
+        ref_w = np.asarray(dequantize_jax(qt))
+        ref_y = np.asarray(qmatmul_xla(jnp.asarray(x), qt))
+        bare = qt.without_wire()
+        assert bare.q is None and bare.fq is not None
+        rec = np.asarray(dequantize_jax(bare))[: ref_w.shape[0]]
+        # group planes are stored bf16 (~0.4% rel), far below quant error
+        assert nmse(rec, ref_w) < 1e-4, qtype.name
+        y = np.asarray(qmatmul(jnp.asarray(x), bare, backend="auto"))
+        assert nmse(y, ref_y) < MUL_MAT_NMSE
+        y2 = np.asarray(qmatmul_fast(jnp.asarray(x), bare, interpret=True))
+        assert nmse(y2, ref_y) < MUL_MAT_NMSE
+
+
+def test_drop_wire_planes_tree(fixtures):
+    w, _ = fixtures
+    qt = P.quantize_tensor(w, GGMLType.Q4_K).astype_device(fast=True)
+    weights = {"output": qt, "tok_embd": qt,
+               "layers": [{"wq": qt, "ffn_gate_exps": qt, "attn_norm": 1.0}]}
+    out = P.drop_wire_planes(weights)
+    assert out["output"].q is None
+    assert out["tok_embd"].q is not None          # embeddings keep wire
+    assert out["layers"][0]["wq"].q is None
+    assert out["layers"][0]["ffn_gate_exps"].q is not None  # MoE slices wire
+
+
+def test_auto_dispatch_safe_on_cpu(fixtures):
+    """backend='auto' on a non-TPU backend must silently use XLA even when
+    fast planes exist (Mosaic kernels only compile for TPU)."""
+    w, x = fixtures
+    qt = P.quantize_tensor(w, GGMLType.Q4_K).astype_device(fast=True)
+    out = np.asarray(qmatmul(jnp.asarray(x), qt, backend="auto"))
+    ref = np.asarray(qmatmul_xla(jnp.asarray(x), qt))
+    assert np.allclose(out, ref)
+
+
+def test_fast_planes_survive_fusion(fixtures):
+    """fuse_weights row-concat keeps fast planes when both parts carry them."""
+    from ggml_hexagon_tpu.models.fuse import _concat_qtensors
+
+    w, x = fixtures
+    a = P.quantize_tensor(w, GGMLType.Q4_K).astype_device(fast=True)
+    b = P.quantize_tensor(w * 0.5, GGMLType.Q4_K).astype_device(fast=True)
+    fused = _concat_qtensors([a, b])
+    if fused is None:
+        pytest.skip("fusion rejected the pair")
+    if fused.fq is not None:
+        out = np.asarray(qmatmul_fast(jnp.asarray(x), fused, interpret=True))
+        ra = np.asarray(qmatmul_xla(jnp.asarray(x), a))
+        rb = np.asarray(qmatmul_xla(jnp.asarray(x), b))
+        assert nmse(out, np.concatenate([ra, rb], axis=1)) < MUL_MAT_NMSE

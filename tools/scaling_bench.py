@@ -97,11 +97,13 @@ def main():
             )
             tok = shard_tokens(np.full((B, 1), 3, np.int32), mesh)
             logits, kv = step(sw, tok, kv, jnp.int32(0))
-            jax.block_until_ready(logits)
+            # fetch DATA, not just readiness: through the tunneled TPU
+            # backend block_until_ready can return before execution ends
+            float(np.asarray(logits).reshape(-1)[0])
             t0 = time.perf_counter()
             for i in range(args.steps):
                 logits, kv = step(sw, tok, kv, jnp.int32(i + 1))
-            jax.block_until_ready(logits)
+            float(np.asarray(logits).reshape(-1)[0])
             dt = (time.perf_counter() - t0) / args.steps
         results.append({"tp": tp, "dp": args.dp, "ms_per_token": round(dt * 1e3, 3),
                         "tokens_per_sec": round(B / dt, 2)})
