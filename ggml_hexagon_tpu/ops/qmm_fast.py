@@ -210,7 +210,7 @@ def _group_scale_bias_np(qt: QTensor):
 def _nibble_kernel(reps: int, nkj: int, x_ref, q_ref, s_ref, o_ref):
     p = q_ref[:].astype(jnp.int32)
     lo = (p & 15).astype(jnp.bfloat16)
-    hi = ((p >> 4) & 15).astype(jnp.bfloat16)
+    hi = (p >> 4).astype(jnp.bfloat16)  # p in [0,255]: no mask needed
     sc = pltpu.repeat(s_ref[:], reps, axis=1).astype(jnp.bfloat16)
     half = x_ref.shape[1] // 2
     xl = x_ref[:, :half]

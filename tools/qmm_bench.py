@@ -76,6 +76,18 @@ def main():
                     qmatmul(x, qt, out_dtype=jnp.bfloat16,
                             backend="pallas")[:, :k] * 1e-3 + x))
                 timed_chain(f, x0, f"B={B} {name} 4096x4096 pallas", nbytes, flops)
+            if args.backend in ("fast", "both"):
+                qtf = qt.with_fast_planes()
+                if qtf.fq is not None:
+                    fb = jax.jit(lambda x, qt=qtf: (
+                        qmatmul(x, qt, out_dtype=jnp.bfloat16,
+                                backend="fast")[:, :k] * 1e-3 + x))
+                    nb2 = (int(np.prod(qtf.fq.shape)) * qtf.fq.dtype.itemsize
+                           + int(np.prod(qtf.fs.shape)) * 2
+                           + (0 if qtf.fb is None else
+                              int(np.prod(qtf.fb.shape)) * 2))
+                    timed_chain(fb, x0, f"B={B} {name} 4096x4096 fast",
+                                nb2, flops)
         # dense bf16 roofline, same shape
         w = jnp.asarray(rng.normal(size=(4096, 4096)).astype(np.float32),
                         jnp.bfloat16)
