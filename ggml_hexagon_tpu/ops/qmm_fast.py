@@ -208,9 +208,11 @@ def _group_scale_bias_np(qt: QTensor):
 # ---------------------------------------------------------------------------
 
 def _nibble_kernel(reps: int, nkj: int, x_ref, q_ref, s_ref, o_ref):
-    p = q_ref[:].astype(jnp.int32)
-    lo = (p & 15).astype(jnp.bfloat16)
-    hi = (p >> 4).astype(jnp.bfloat16)  # p in [0,255]: no mask needed
+    pu = q_ref[:]
+    # lo nibble stays in the 8-bit domain (u8 & mask is the one sub-32-bit
+    # op Mosaic lowers): measured ~25% faster than the i32 route
+    lo = (pu & 15).astype(jnp.int8).astype(jnp.bfloat16)
+    hi = (pu.astype(jnp.int32) >> 4).astype(jnp.bfloat16)  # p<256: no mask
     sc = pltpu.repeat(s_ref[:], reps, axis=1).astype(jnp.bfloat16)
     half = x_ref.shape[1] // 2
     xl = x_ref[:, :half]
@@ -260,6 +262,13 @@ def _pick_blocks(B: int, K: int, nibble: bool, gs: int):
     G = K // gs
     pmax = gs // 2 if nibble else gs
     valid = [p for p in range(1, pmax + 1) if pmax % p == 0]
+    if nibble and B <= 8 and G <= 128:
+        # decode GEMV sweet spot measured on-chip (K=4096-class shapes):
+        # bn=2048 with block columns capped at 2048; larger G blows the
+        # kernel's scoped-VMEM stack (scale tile scales with bcols+G)
+        for p in valid:
+            if (K // 2) // p <= 2048:
+                return 2048, p
     for bn in (512, 256, 128):
         fixed = bn * G * 2 * 2 + B * bn * 4
         for p in valid:
@@ -278,6 +287,7 @@ def _fast_call(x_blk, fq, fs, *, nibble: bool, G: int, nkj: int,
                bn: int = _BN, interpret: bool = False):
     B, K = x_blk.shape
     n2 = fq.shape[0]
+    bn = min(bn, n2)  # rows are padded to _BN multiples; small tensors
     cols = fq.shape[1]
     bk = K // nkj
     bcols = cols // nkj
