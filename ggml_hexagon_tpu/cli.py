@@ -37,7 +37,7 @@ def cmd_generate(args):
 
         kv_dtype = getattr(jnp, kv_dtype)
     eng = Engine.from_gguf(args.model, max_seq=args.ctx_size,
-                           kv_dtype=kv_dtype)
+                           kv_dtype=kv_dtype, fuse=True)
     if args.prompt_tokens:
         ids = [int(t) for t in args.prompt_tokens.replace(",", " ").split()]
     elif args.prompt is None:
@@ -615,7 +615,8 @@ def cmd_bench(args):
 
     rows = []
     for m in args.model:
-        eng = Engine.from_gguf(m, max_seq=max(args.n_prompt) + max(args.n_gen) + 8)
+        eng = Engine.from_gguf(m, fuse=True,
+                               max_seq=max(args.n_prompt) + max(args.n_gen) + 8)
         rng = np.random.default_rng(0)
         for pp in args.n_prompt:
             eng.reset()

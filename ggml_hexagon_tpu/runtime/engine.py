@@ -84,13 +84,20 @@ class Engine:
     # -- construction --------------------------------------------------------
 
     @classmethod
-    def from_gguf(cls, path: str, **kw) -> "Engine":
+    def from_gguf(cls, path: str, fuse: bool = False, **kw) -> "Engine":
+        """fuse=True row-concatenates QKV and gate/up projections (fewer
+        kernels per decode step, ~5% tg); leave off when LoRA adapters will
+        be attached at runtime (adapters target the unfused names)."""
         t0 = time.perf_counter()
         with GGUFReader.open(path) as r:
             cfg, weights = load_llama_weights(r)
             vocab = Vocab.from_gguf(r.metadata)
         from ..quant.pack import drop_wire_planes
 
+        if fuse:
+            from ..models.fuse import fuse_weights
+
+            weights = fuse_weights(weights, cfg)
         weights = drop_wire_planes(weights)
         eng = cls(cfg, weights, vocab, **kw)
         eng.perf.t_load = time.perf_counter() - t0
