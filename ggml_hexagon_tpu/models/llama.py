@@ -442,6 +442,11 @@ def _attention(cfg: LlamaConfig, q, k_all, v_all, pos_start, T, swa: int = 0,
     n_kv = k_all.shape[2]  # per-layer KV head count (deci/openelm vary it)
     group = n_head // n_kv
     qg = q.transpose(0, 2, 1, 3).reshape(B, n_kv, group, T, hd)
+    # NB: a fused single-token Mosaic kernel exists
+    # (ops/attention.decode_attention_pallas, conformance-tested) but
+    # measured neutral on the chip (81.6 vs 81.7 t/s on the 8B bench) —
+    # XLA already fuses the T=1 scores/mask/softmax chain well, so the
+    # einsum path stays the single production path.
     k = k_all.transpose(0, 2, 1, 3)  # [B, n_kv, S, hd]
     v = v_all.transpose(0, 2, 1, 3)
     if S >= FLASH_THRESHOLD and S % 512 == 0 and not cfg.alibi_max_bias:

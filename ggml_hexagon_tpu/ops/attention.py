@@ -179,3 +179,72 @@ def flash_attention_cache(qg, k, v, pos_b, T: int, scale: float,
     acc0 = jnp.zeros((B, Hkv, G, T, D), jnp.float32)
     (m, l, acc, _), _ = jax.lax.scan(step, (m0, l0, acc0, jnp.int32(0)), (kc, vc))
     return acc / jnp.maximum(l, 1e-30)[..., None]
+
+
+# ---------------------------------------------------------------------------
+# single-token decode attention (Mosaic) — the T=1 hot path
+# ---------------------------------------------------------------------------
+
+def _decode_attn_kernel(scale: float, swa: int, logit_cap: float,
+                        Hkv: int, pos_ref, q_ref, k_ref, v_ref, o_ref):
+    """One batch row: q [Hkv, G, D], k/v [S, Hkv, D] -> out [Hkv, G, D].
+
+    Fuses scores + causal/SWA mask + softmax + weighted sum into one kernel
+    (the XLA path is ~6 small kernels per layer; at ~10us fixed cost each
+    that tail dominates decode past the weight streaming).  KV heads are
+    unrolled in-kernel so the cache blocks keep their natural layout
+    (Mosaic requires the trailing block dims to be full or 8/128-aligned).
+    """
+    pos = pos_ref[0]
+    for h in range(Hkv):
+        q = q_ref[0, h].astype(jnp.float32) * scale      # [G, D]
+        k = k_ref[0, :, h, :].astype(jnp.float32)        # [S, D]
+        v = v_ref[0, :, h, :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # [G, S]
+        if logit_cap:
+            s = jnp.tanh(s / logit_cap) * logit_cap
+        idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        ok = idx <= pos
+        if swa:
+            ok = jnp.logical_and(ok, pos - idx < swa)
+        s = jnp.where(ok, s, NEG_INF)
+        p = jax.nn.softmax(s, axis=-1)
+        o_ref[0, h] = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
+def decode_attention_pallas(qg, k, v, pos_b, scale: float, swa: int = 0,
+                            logit_cap: float = 0.0, interpret: bool = False):
+    """Fused single-token GQA cache attention.
+
+    qg [B, Hkv, G, 1, D]; k/v [B, S, Hkv, D] (cache layout); pos_b scalar or
+    [B].  Returns [B, Hkv, G, 1, D] f32.  Whole-(S, Hkv) blocks: use only
+    when S*Hkv*D fits VMEM (gated by the caller).
+    """
+    B, Hkv, G, T, D = qg.shape
+    assert T == 1
+    S = k.shape[1]
+    q2 = qg.reshape(B, Hkv, G, D)
+    pos = jnp.broadcast_to(jnp.reshape(jnp.asarray(pos_b, jnp.int32), (-1,)),
+                           (B,))
+    kern = functools.partial(_decode_attn_kernel, scale, swa, logit_cap, Hkv)
+    out = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1,), lambda b: (b,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Hkv, G, D), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, Hkv, D), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, Hkv, D), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Hkv, G, D), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), jnp.float32),
+        interpret=interpret,
+    )(pos, q2, k, v)
+    return out.reshape(B, Hkv, G, 1, D)

@@ -81,3 +81,36 @@ def test_model_flash_path_matches_dense():
     finally:
         L.FLASH_THRESHOLD = old
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_decode_attention_pallas_matches_dense():
+    """Fused single-token GQA kernel vs the einsum/softmax_ext chain."""
+    import jax.numpy as jnp
+    from ggml_hexagon_tpu.ops.attention import decode_attention_pallas
+    from ggml_hexagon_tpu.ops.basic import softmax_ext
+
+    rng = np.random.default_rng(0)
+    B, Hkv, G, S, D = 2, 4, 2, 256, 128
+    qg = jnp.asarray(rng.normal(size=(B, Hkv, G, 1, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, S, Hkv, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, S, Hkv, D)).astype(np.float32))
+    pos = np.array([37, 200], np.int32)
+    scale = 1.0 / np.sqrt(D)
+    for swa, cap in ((0, 0.0), (64, 0.0), (0, 30.0)):
+        out = np.asarray(decode_attention_pallas(
+            qg, k, v, jnp.asarray(pos), scale, swa=swa, logit_cap=cap,
+            interpret=True))
+        # dense reference: scores -> softmax_ext with causal(+swa) mask
+        kt = np.asarray(k).transpose(0, 2, 1, 3)
+        vt = np.asarray(v).transpose(0, 2, 1, 3)
+        sc = np.einsum("bhgtd,bhsd->bhgts", np.asarray(qg), kt)
+        idx = np.arange(S)[None, None, None, None, :]
+        ok = idx <= pos[:, None, None, None, None]
+        if swa:
+            ok &= (pos[:, None, None, None, None] - idx) < swa
+        mask = np.where(ok, 0.0, -np.inf)
+        p = np.asarray(softmax_ext(jnp.asarray(sc), jnp.asarray(mask),
+                                   scale=scale, logit_cap=cap))
+        ref = np.einsum("bhgts,bhsd->bhgtd", p, vt)
+        err = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+        assert err < 2e-5, (swa, cap, err)
