@@ -42,8 +42,50 @@ def _concat_qtensors(parts: list[QTensor]) -> QTensor | None:
     return fused
 
 
+def _norm_il(wn, qt: QTensor, plus_one: bool):
+    """Pre-interleave a [K] RMS-norm weight to qt's qmm_fast column layout
+    (new column j <- original (j % G)*gs + j//G), so the fused norm+matmul
+    kernel needs no in-graph transform (ops/qmm_fast.qmatmul_fast_normed)."""
+    K = qt.k
+    gs = qt.cfg.gs
+    G = K // gs
+    w = jnp.asarray(wn, jnp.float32)
+    if plus_one:  # gemma-class rmsnorm stores w-1
+        w = 1.0 + w
+    return w.reshape(G, gs).swapaxes(0, 1).reshape(K)
+
+
+def attach_norm_planes(weights: dict, cfg) -> dict:
+    """Attach attn_norm_il / ffn_norm_il per layer where the forward can
+    fuse the pre-matmul RMSNorm into the qmm kernel (inference only; the
+    original norm tensors stay for every fallback path)."""
+    if (getattr(cfg, "norm_type", "rms") != "rms"
+            or getattr(cfg, "swin_norm", False)
+            or not getattr(cfg, "pre_norms", True)
+            or getattr(cfg, "parallel_residual", False)):
+        return weights
+    plus_one = getattr(cfg, "norm_plus_one", False)
+    out = dict(weights)
+    out["layers"] = []
+    for lw in weights["layers"]:
+        new = dict(lw)
+        wq = lw.get("wqkv")
+        if (isinstance(wq, QTensor) and wq.fq is not None
+                and lw.get("attn_norm") is not None
+                and "attn_norm_b" not in lw and "bqkv" not in lw):
+            new["attn_norm_il"] = _norm_il(lw["attn_norm"], wq, plus_one)
+        gu = lw.get("w_gateup")
+        if (isinstance(gu, QTensor) and gu.fq is not None
+                and lw.get("ffn_norm") is not None
+                and "ffn_norm_b" not in lw and "ffn_gate_inp" not in lw):
+            new["ffn_norm_il"] = _norm_il(lw["ffn_norm"], gu, plus_one)
+        out["layers"].append(new)
+    return out
+
+
 def fuse_weights(weights: dict, cfg) -> dict:
-    """Return weights with wqkv / w_gateup fused where possible."""
+    """Return weights with wqkv / w_gateup fused where possible, plus
+    pre-interleaved norm planes for in-kernel norm+matmul fusion."""
     out = dict(weights)
     out["layers"] = []
     for lw in weights["layers"]:
@@ -65,4 +107,4 @@ def fuse_weights(weights: dict, cfg) -> dict:
                 new["w_gateup"] = fused
                 del new["ffn_gate"], new["ffn_up"]
         out["layers"].append(new)
-    return out
+    return attach_norm_planes(out, cfg)

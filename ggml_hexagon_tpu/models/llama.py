@@ -26,7 +26,7 @@ import numpy as np
 
 from ..quant.formats import GGMLType
 from ..quant.pack import QTensor, pack_tensor, QCONFIGS
-from ..ops.qmatmul import qmatmul, dequantize_jax
+from ..ops.qmatmul import qmatmul, qmatmul_normed, dequantize_jax
 from ..ops.basic import RopeParams, apply_rope, gelu, norm, rms_norm, silu, softmax_ext
 
 
@@ -614,8 +614,11 @@ def _moe_ffn(cfg, lw, f, compute_dtype, tap=None, il=0):
     return out.astype(compute_dtype)
 
 
-def _dense_ffn(cfg, lw, f, compute_dtype, tap=None, il=0):
-    """Dense FFN: gated (SwiGLU/GeGLU), fused gate_up, or no-gate MLP."""
+def _dense_ffn(cfg, lw, f, compute_dtype, tap=None, il=0, norm_il=None):
+    """Dense FFN: gated (SwiGLU/GeGLU), fused gate_up, or no-gate MLP.
+
+    norm_il: pre-interleaved ffn_norm weight — when given, f is the RAW
+    residual and the RMSNorm fuses into the gate_up qmm kernel."""
     if "ffn_gate" not in lw and "w_gateup" not in lw:
         # no-gate FFN (gpt2 class): down(act(up x + b)) + b
         if tap is not None:
@@ -634,7 +637,11 @@ def _dense_ffn(cfg, lw, f, compute_dtype, tap=None, il=0):
         tap(f"blk.{il}.ffn_gate.weight", f)
         tap(f"blk.{il}.ffn_up.weight", f)
     if "w_gateup" in lw:
-        gu2 = matmul(f, lw["w_gateup"]).astype(compute_dtype)
+        if norm_il is not None:  # norm folded into the qmm kernel
+            gu2 = qmatmul_normed(f, lw["w_gateup"], norm_il,
+                                 cfg.rms_eps).astype(compute_dtype)
+        else:
+            gu2 = matmul(f, lw["w_gateup"]).astype(compute_dtype)
         ng = cfg.n_ff
         gate = _act(cfg, gu2[..., :ng])
         up = gu2[..., ng:]
@@ -659,7 +666,7 @@ def _dense_ffn(cfg, lw, f, compute_dtype, tap=None, il=0):
     return out.astype(compute_dtype)
 
 
-def _ffn_out(cfg, lw, f, h_in, compute_dtype, tap=None, il=0):
+def _ffn_out(cfg, lw, f, h_in, compute_dtype, tap=None, il=0, norm_il=None):
     """FFN dispatch: MoE, arctic's parallel dense+MoE, or dense."""
     if "ffn_gate_inp" in lw and "ffn_norm_exps" in lw:
         # arctic: dense MLP on the ffn_norm'd residual branch PLUS an MoE
@@ -672,7 +679,7 @@ def _ffn_out(cfg, lw, f, h_in, compute_dtype, tap=None, il=0):
     elif "ffn_gate_inp" in lw:
         ffn_out = _moe_ffn(cfg, lw, f, compute_dtype, tap, il)
     else:
-        ffn_out = _dense_ffn(cfg, lw, f, compute_dtype, tap, il)
+        ffn_out = _dense_ffn(cfg, lw, f, compute_dtype, tap, il, norm_il)
     if cfg.post_norms:
         ffn_out = _norm(cfg, ffn_out, lw["post_ffn_norm"])
     if cfg.swin_norm:  # chameleon: ffn_norm applied to output, pre-residual
@@ -680,11 +687,13 @@ def _ffn_out(cfg, lw, f, h_in, compute_dtype, tap=None, il=0):
     return ffn_out
 
 
-def _ffn_block(cfg, lw, f, h, h_in, compute_dtype, tap=None, il=0):
+def _ffn_block(cfg, lw, f, h, h_in, compute_dtype, tap=None, il=0,
+               norm_il=None):
     """FFN + residual for layers without attention (deci)."""
-    if "ffn_up" not in lw and "ffn_gate_inp" not in lw:
+    if ("ffn_up" not in lw and "ffn_gate_inp" not in lw
+            and "w_gateup" not in lw):
         return h  # fully pass-through layer
-    ffn_out = _ffn_out(cfg, lw, f, h_in, compute_dtype, tap, il)
+    ffn_out = _ffn_out(cfg, lw, f, h_in, compute_dtype, tap, il, norm_il)
     h = h + ffn_out * cfg.residual_scale
     if "cvec" in lw:
         h = h + lw["cvec"].astype(h.dtype)
@@ -746,10 +755,14 @@ def forward(
         h_in = h  # layer input (arctic's MoE branch norms THIS, not ffn_inp)
         nh, nhkv = cfg.nh(il), cfg.nhkv(il)
         has_attn = ("wq" in lw or "wqkv" in lw) and nhkv > 0
+        # pre-interleaved norm planes (fuse.attach_norm_planes) let the
+        # decode path fold the RMSNorm into the qmm kernel itself
+        fuse_attn_norm = ("wqkv" in lw and "attn_norm_il" in lw
+                          and tap is None)
         # note: a missing attn_norm tensor still norms when pre_norms (olmo's
         # non-parametric LayerNorm); only deci's attention-free layers skip
         a = (_norm(cfg, h, lw.get("attn_norm"), lw.get("attn_norm_b"))
-             if (cfg.pre_norms and not cfg.swin_norm
+             if (cfg.pre_norms and not cfg.swin_norm and not fuse_attn_norm
                  and (has_attn or "attn_norm" in lw))
              else h)
         if not has_attn:
@@ -766,9 +779,11 @@ def forward(
                 attn_out = matmul(a, lw["wo"]).astype(compute_dtype)
                 h = h + attn_out * cfg.residual_scale
             # else: layer input passes through untouched (no residual add)
+            fuse_f = "ffn_norm_il" in lw and tap is None
             f = (_norm(cfg, h, lw.get("ffn_norm"), lw.get("ffn_norm_b"))
-                 if cfg.pre_norms else h)
-            h = _ffn_block(cfg, lw, f, h, h_in, compute_dtype, tap, il)
+                 if (cfg.pre_norms and not fuse_f) else h)
+            h = _ffn_block(cfg, lw, f, h, h_in, compute_dtype, tap, il,
+                           lw["ffn_norm_il"] if fuse_f else None)
             continue
         if tap is not None:
             tap(f"blk.{il}.attn_q.weight", a)
@@ -777,7 +792,11 @@ def forward(
         if "wqkv" in lw:  # fused projection (models/fuse.py or GGUF attn_qkv)
             nq = nh * cfg.hd
             nk = nv = nhkv * cfg.hd
-            qkv = matmul(a, lw["wqkv"])
+            if fuse_attn_norm:  # norm folded into the qmm kernel
+                qkv = qmatmul_normed(h, lw["wqkv"], lw["attn_norm_il"],
+                                     cfg.rms_eps)
+            else:
+                qkv = matmul(a, lw["wqkv"])
             if "bqkv" in lw:
                 qkv = qkv + lw["bqkv"]
             q = qkv[..., :nq]
@@ -824,8 +843,11 @@ def forward(
         if cfg.rope_mode != "none" and not (cfg.rope_swa_only and not is_swa_layer):
             rope_l = (cfg.rope_params_swa
                       if (cfg.rope_theta_swa and is_swa_layer) else rope)
-            q = apply_rope(q, positions, rope_l)
-            k = apply_rope(k, positions, rope_l)  # cache stores rotated K (A.1)
+            # one fused rotation over q++k heads (half the rope kernels per
+            # layer; the decode tail is dispatch-bound at ~10us/kernel).
+            # Cache stores rotated K (A.1).
+            qk = apply_rope(jnp.concatenate([q, k], axis=2), positions, rope_l)
+            q, k = qk[:, :, :nh], qk[:, :, nh:]
         if nhkv < cfg.n_head_kv_max:  # pad into the fixed-width cache
             padw = [(0, 0)] * 4
             padw[2] = (0, cfg.n_head_kv_max - nhkv)
@@ -873,6 +895,8 @@ def forward(
             attn_out = _norm(cfg, attn_out, lw["post_attn_norm"])
         if cfg.swin_norm:  # chameleon: attn_norm applied to output, pre-residual
             attn_out = _norm(cfg, attn_out, lw["attn_norm"])
+        fuse_ffn_norm = ("ffn_norm_il" in lw and tap is None
+                         and not cfg.parallel_residual)
         if cfg.parallel_residual:
             # gptneox/falcon/phi2: FFN reads the same residual input as attn
             f = a if cfg.shared_ffn_norm else _norm(
@@ -880,8 +904,10 @@ def forward(
         else:
             h = h + attn_out * cfg.residual_scale
             f = (_norm(cfg, h, lw.get("ffn_norm"), lw.get("ffn_norm_b"))
-                 if (cfg.pre_norms and not cfg.swin_norm) else h)
-        ffn_out = _ffn_out(cfg, lw, f, h_in, compute_dtype, tap, il)
+                 if (cfg.pre_norms and not cfg.swin_norm
+                     and not fuse_ffn_norm) else h)
+        ffn_out = _ffn_out(cfg, lw, f, h_in, compute_dtype, tap, il,
+                           lw["ffn_norm_il"] if fuse_ffn_norm else None)
         h = (h + attn_out + ffn_out) if cfg.parallel_residual else (h + ffn_out * cfg.residual_scale)
         if "cvec" in lw:  # control-vector steering (llama-adapter cvec)
             h = h + lw["cvec"].astype(h.dtype)

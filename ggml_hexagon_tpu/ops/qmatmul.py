@@ -252,3 +252,23 @@ def qmatmul(x, qt: QTensor, out_dtype=jnp.float32, compute_dtype=jnp.bfloat16,
     if backend == "pallas":
         return qmatmul_pallas(x, qt, out_dtype, compute_dtype, **kw)
     return qmatmul_xla(x, qt, out_dtype, compute_dtype)
+
+
+def qmatmul_normed(x, qt: QTensor, wn_il, eps: float,
+                   out_dtype=jnp.float32, **kw):
+    """RMSNorm + quantized matmul, fused in-kernel on the fast path.
+
+    wn_il: norm weight pre-interleaved to qt's qmm_fast column layout
+    (models/fuse.py attach_norm_planes).  Anywhere the fast kernel doesn't
+    apply, the norm runs as a plain XLA op on the un-interleaved weight."""
+    from .basic import rms_norm
+    from .qmm_fast import (MAX_FAST_BATCH, qmatmul_fast_normed,
+                           uninterleave_norm)
+
+    B = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+    if qt.fq is not None and jax.default_backend() == "tpu" and (
+            B <= MAX_FAST_BATCH or qt.q is None):
+        return qmatmul_fast_normed(x, qt, wn_il, eps, out_dtype=out_dtype,
+                                   **kw)
+    xn = rms_norm(x, uninterleave_norm(wn_il, qt.cfg.gs), eps)
+    return qmatmul(xn, qt, out_dtype, **kw)

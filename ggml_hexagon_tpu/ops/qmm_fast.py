@@ -207,48 +207,101 @@ def _group_scale_bias_np(qt: QTensor):
 # kernels
 # ---------------------------------------------------------------------------
 
-def _nibble_kernel(reps: int, nkj: int, x_ref, q_ref, s_ref, o_ref):
+def _store(nkj: int, o_ref, y, y_once=None):
+    """Accumulating store over the K-split axis; y_once (the fused bias
+    term, already a full-K quantity) is added exactly once, at j == 0."""
+    if nkj == 1:
+        o_ref[:] = y if y_once is None else y + y_once
+    else:
+        @pl.when(pl.program_id(1) == 0)
+        def _init():
+            o_ref[:] = y if y_once is None else y + y_once
+
+        @pl.when(pl.program_id(1) > 0)
+        def _acc():
+            o_ref[:] += y
+
+
+def _bias_term(xg_ref, b_ref, inv):
+    """Affine-format group bias, fused in-kernel: the bias contribution is
+    sum_c x[:,c] * fb[n, g(c)] = (group-sums of x) @ fb^T — a [B,G]x[bn,G]
+    side dot of negligible MXU cost.  The group sums ride in as a tiny
+    input (Mosaic can't lane-split-reshape in-kernel; XLA fuses the reduce
+    into the interleave producer outside).  With fused norm, xg holds the
+    PRE-norm sums of x*wn and `inv` (the in-kernel rsqrt) rescales them."""
+    xg = xg_ref[:].astype(jnp.float32)
+    if inv is not None:
+        xg = xg * inv
+    return jax.lax.dot_general(
+        xg, b_ref[:].astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _normed_x(x_ref, w_ref, eps: float):
+    """Fused RMS-norm of the (interleaved) activation, in f32.
+
+    The rms reduction is permutation-invariant, so normalizing AFTER the
+    interleave is exact; w_ref is the norm weight pre-interleaved to the
+    same layout (models/fuse.py attach_norm_planes).  Only valid when the
+    kernel sees the full K (nkj == 1) — the caller guarantees that.
+    Returns (normed bf16 x, the [B,1] rsqrt factor)."""
+    xf = x_ref[:].astype(jnp.float32)
+    inv = jax.lax.rsqrt(jnp.mean(xf * xf, axis=1, keepdims=True) + eps)
+    return (xf * inv * w_ref[:].astype(jnp.float32)).astype(jnp.bfloat16), inv
+
+
+def _split_refs(eps, has_bias, rest):
+    """inputs after (x, q, s): [xg, fb] if biased, [wn] if normed, out."""
+    i = 0
+    xg_ref = b_ref = w_ref = None
+    if has_bias:
+        xg_ref, b_ref = rest[0], rest[1]
+        i = 2
+    if eps is not None:
+        w_ref = rest[i]
+    return xg_ref, b_ref, w_ref, rest[-1]
+
+
+def _nibble_kernel(reps: int, nkj: int, eps, has_bias: bool,
+                   x_ref, q_ref, s_ref, *rest):
+    xg_ref, b_ref, w_ref, o_ref = _split_refs(eps, has_bias, rest)
+    inv = None
+    if w_ref is not None:
+        x, inv = _normed_x(x_ref, w_ref, eps)
+    else:
+        x = x_ref[:]
     pu = q_ref[:]
     # lo nibble stays in the 8-bit domain (u8 & mask is the one sub-32-bit
     # op Mosaic lowers): measured ~25% faster than the i32 route
     lo = (pu & 15).astype(jnp.int8).astype(jnp.bfloat16)
     hi = (pu.astype(jnp.int32) >> 4).astype(jnp.bfloat16)  # p<256: no mask
     sc = pltpu.repeat(s_ref[:], reps, axis=1).astype(jnp.bfloat16)
-    half = x_ref.shape[1] // 2
-    xl = x_ref[:, :half]
-    xh = x_ref[:, half:]
+    half = x.shape[1] // 2
+    xl = x[:, :half]
+    xh = x[:, half:]
     y = (jax.lax.dot_general(xl, lo * sc, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
          + jax.lax.dot_general(xh, hi * sc, (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32))
-    if nkj == 1:
-        o_ref[:] = y
+    _store(nkj, o_ref, y,
+           _bias_term(xg_ref, b_ref, inv) if b_ref is not None else None)
+
+
+def _byte_kernel(reps: int, nkj: int, eps, has_bias: bool,
+                 x_ref, q_ref, s_ref, *rest):
+    xg_ref, b_ref, w_ref, o_ref = _split_refs(eps, has_bias, rest)
+    inv = None
+    if w_ref is not None:
+        x, inv = _normed_x(x_ref, w_ref, eps)
     else:
-        @pl.when(pl.program_id(1) == 0)
-        def _init():
-            o_ref[:] = y
-
-        @pl.when(pl.program_id(1) > 0)
-        def _acc():
-            o_ref[:] += y
-
-
-def _byte_kernel(reps: int, nkj: int, x_ref, q_ref, s_ref, o_ref):
+        x = x_ref[:]
     w = q_ref[:].astype(jnp.bfloat16)
     sc = pltpu.repeat(s_ref[:], reps, axis=1).astype(jnp.bfloat16)
     y = jax.lax.dot_general(
-        x_ref[:], w * sc, (((1,), (1,)), ((), ())),
+        x, w * sc, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    if nkj == 1:
-        o_ref[:] = y
-    else:
-        @pl.when(pl.program_id(1) == 0)
-        def _init():
-            o_ref[:] = y
-
-        @pl.when(pl.program_id(1) > 0)
-        def _acc():
-            o_ref[:] += y
+    _store(nkj, o_ref, y,
+           _bias_term(xg_ref, b_ref, inv) if b_ref is not None else None)
 
 
 def _pick_blocks(B: int, K: int, nibble: bool, gs: int):
@@ -270,7 +323,8 @@ def _pick_blocks(B: int, K: int, nibble: bool, gs: int):
             if (K // 2) // p <= 2048:
                 return 2048, p
     for bn in (512, 256, 128):
-        fixed = bn * G * 2 * 2 + B * bn * 4
+        # scale + (possible) bias plane blocks, double-buffered, + out
+        fixed = 2 * bn * G * 2 * 2 + B * bn * 4
         for p in valid:
             bk = K // p
             cols = bk // 2 if nibble else bk
@@ -282,9 +336,10 @@ def _pick_blocks(B: int, K: int, nibble: bool, gs: int):
 
 
 @functools.partial(jax.jit, static_argnames=("nibble", "G", "nkj", "bn",
-                                             "interpret"))
-def _fast_call(x_blk, fq, fs, *, nibble: bool, G: int, nkj: int,
-               bn: int = _BN, interpret: bool = False):
+                                             "eps", "interpret"))
+def _fast_call(x_blk, fq, fs, fb=None, xg=None, wn=None, *, nibble: bool,
+               G: int, nkj: int, bn: int = _BN, eps=None,
+               interpret: bool = False):
     B, K = x_blk.shape
     n2 = fq.shape[0]
     bn = min(bn, n2)  # rows are padded to _BN multiples; small tensors
@@ -292,19 +347,33 @@ def _fast_call(x_blk, fq, fs, *, nibble: bool, G: int, nkj: int,
     bk = K // nkj
     bcols = cols // nkj
     reps = bcols // G
+    assert (wn is None) == (eps is None) and (wn is None or nkj == 1)
+    assert (fb is None) == (xg is None)
     kern = functools.partial(_nibble_kernel if nibble else _byte_kernel,
-                             reps, nkj)
+                             reps, nkj, eps, fb is not None)
+    group_spec = pl.BlockSpec((bn, G), lambda i, j: (i, 0),
+                              memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((B, bk), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bn, bcols), lambda i, j: (i, j),
+                     memory_space=pltpu.VMEM),
+        group_spec,
+    ]
+    args = [x_blk, fq, fs]
+    if fb is not None:  # affine formats: bias plane + group sums in-kernel
+        in_specs.append(pl.BlockSpec((B, G), lambda i, j: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(group_spec)
+        args.extend([xg, fb])
+    if wn is not None:  # fused RMS-norm (pre-interleaved weight, full-K x)
+        in_specs.append(pl.BlockSpec((1, K), lambda i, j: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(wn.reshape(1, K))
     return pl.pallas_call(
         kern,
         grid=(n2 // bn, nkj),
-        in_specs=[
-            pl.BlockSpec((B, bk), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn, bcols), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn, G), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((B, bn), lambda i, j: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, n2), jnp.float32),
@@ -315,7 +384,7 @@ def _fast_call(x_blk, fq, fs, *, nibble: bool, G: int, nkj: int,
             bytes_accessed=int(np.prod(fq.shape)) + 4 * n2 * G,
             transcendentals=0),
         interpret=interpret,
-    )(x_blk, fq, fs)
+    )(*args)
 
 
 def _fast_ref(x_il, fq, fs, nibble: bool, G: int):
@@ -346,27 +415,30 @@ def _zeros_cot(p):
     return np.zeros(p.shape, jax.dtypes.float0)
 
 
+def _interleave_x(x2, G: int, gs: int, nibble: bool, nkj: int):
+    """Activation into the kernel's interleaved (and, for K-split nibble
+    blocks, re-paired) column order."""
+    B, K = x2.shape
+    x_il = x2.reshape(B, G, gs).swapaxes(1, 2).reshape(B, K)
+    if nibble and nkj > 1:
+        # re-pair: K-block j of the packed plane needs x new-columns
+        # [j*bc, (j+1)*bc) ++ [K/2 + j*bc, ...) contiguous in its block
+        bc = (K // 2) // nkj
+        x_il = x_il.reshape(B, 2, nkj, bc).swapaxes(1, 2).reshape(B, K)
+    return x_il
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def _fast_core(x, planes, gs, nibble, n, interpret):
     fq, fs, fb = planes
     B, K = x.shape
     G = K // gs
-    x_il = x.reshape(B, G, gs).swapaxes(1, 2).reshape(B, K)
     bn, nkj = _pick_blocks(B, K, nibble, gs)
-    if nibble and nkj > 1:
-        # re-pair: K-block j of the packed plane needs x new-columns
-        # [j*bc, (j+1)*bc) ++ [K/2 + j*bc, ...) contiguous in its block
-        bc = (K // 2) // nkj
-        x_blk = x_il.reshape(B, 2, nkj, bc).swapaxes(1, 2).reshape(B, K)
-    else:
-        x_blk = x_il
-    y = _fast_call(x_blk.astype(jnp.bfloat16), fq, fs, nibble=nibble, G=G,
-                   nkj=nkj, bn=bn, interpret=interpret)
-    if fb is not None:
-        xg = jnp.sum(x.reshape(B, G, gs).astype(jnp.float32), axis=2)
-        y = y + jax.lax.dot_general(xg, fb.astype(jnp.float32),
-                                    (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
+    x_blk = _interleave_x(x, G, gs, nibble, nkj)
+    xg = (jnp.sum(x.reshape(B, G, gs).astype(jnp.float32), axis=2)
+          if fb is not None else None)
+    y = _fast_call(x_blk.astype(jnp.bfloat16), fq, fs, fb, xg,
+                   nibble=nibble, G=G, nkj=nkj, bn=bn, interpret=interpret)
     return y[:, :n]
 
 
@@ -434,3 +506,57 @@ def qmatmul_fast(x, qt: QTensor, out_dtype=jnp.float32, interpret=False):
     y = _fast_core(x2, (qt.fq, qt.fs, qt.fb), qt.cfg.gs,
                    _is_nibble(qt.cfg), qt.n, interpret)
     return y[:B].reshape(*lead, qt.n).astype(out_dtype)
+
+
+def uninterleave_norm(wn_il, gs: int):
+    """Inverse of the models/fuse.py norm-weight interleave: [K] back to
+    the original column order."""
+    K = wn_il.shape[-1]
+    G = K // gs
+    return wn_il.reshape(gs, G).swapaxes(0, 1).reshape(K)
+
+
+def qmatmul_fast_normed(x, qt: QTensor, wn_il, eps: float,
+                        out_dtype=jnp.float32, interpret=False):
+    """Fused RMSNorm + quantized matmul: y = rms_norm(x, wn) @ dequant(qt).T.
+
+    The decode tail is dispatch-bound (~10us/kernel through this runtime);
+    folding the norm into the qmm kernel removes one XLA kernel per norm
+    site.  wn_il is the norm weight PRE-interleaved to the kernel's column
+    layout (models/fuse.py attach_norm_planes) so no extra transform op
+    lands in the decode graph.  Inference-only (no custom_vjp: the
+    finetune/LoRA paths keep the unfused tensors).  Falls back to separate
+    norm + fast matmul whenever the shape needs a K-split (prefill).
+    """
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    assert K == qt.k and qt.fq is not None
+    cfg = qt.cfg
+    gs = cfg.gs
+    G = K // gs
+    nibble = _is_nibble(cfg)
+    B = int(np.prod(lead)) if lead else 1
+    Bp = max(8, -(-B // 8) * 8)
+    bn, nkj = _pick_blocks(Bp, K, nibble, gs)
+    if nkj > 1:  # prefill-sized: the norm kernel amortizes over the batch
+        from .basic import rms_norm
+
+        xn = rms_norm(x, uninterleave_norm(wn_il, gs), eps)
+        return qmatmul_fast(xn, qt, out_dtype=out_dtype, interpret=interpret)
+    x2 = x.reshape(B, K)
+    if Bp != B:
+        x2 = jnp.pad(x2, ((0, Bp - B), (0, 0)))
+    x_il = _interleave_x(x2, G, gs, nibble, 1)
+    wn = jnp.asarray(wn_il, jnp.float32)
+    xg = None
+    if qt.fb is not None:
+        # pre-norm group sums of x*wn; the kernel rescales by its rsqrt.
+        # In the interleaved order, column r*G + g belongs to group g, so
+        # the sums come straight off the interleaved product — no
+        # un-interleave op in the graph.
+        xg = jnp.sum((x_il.astype(jnp.float32) * wn).reshape(Bp, gs, G),
+                     axis=1)
+    y = _fast_call(x_il.astype(jnp.bfloat16), qt.fq, qt.fs, qt.fb, xg, wn,
+                   nibble=nibble, G=G, nkj=1, bn=bn, eps=float(eps),
+                   interpret=interpret)
+    return y[:B, :qt.n].reshape(*lead, qt.n).astype(out_dtype)

@@ -178,3 +178,101 @@ def test_fast_planes_survive_fusion(fixtures):
         ra = np.asarray(qmatmul_xla(jnp.asarray(x), a))
         rb = np.asarray(qmatmul_xla(jnp.asarray(x), b))
         assert nmse(out, np.concatenate([ra, rb], axis=1)) < MUL_MAT_NMSE
+
+
+def test_qmatmul_fast_normed_matches_unfused(fixtures):
+    """In-kernel RMSNorm fusion == rms_norm + qmatmul_fast, for a biased
+    (Q4_K) and a symmetric byte (Q6_K) format, decode and 3-D shapes."""
+    from ggml_hexagon_tpu.models.fuse import _norm_il
+    from ggml_hexagon_tpu.ops.basic import rms_norm
+    from ggml_hexagon_tpu.ops.qmm_fast import (qmatmul_fast_normed,
+                                               uninterleave_norm)
+
+    w, x = fixtures
+    rng = np.random.default_rng(7)
+    wn = (rng.normal(size=x.shape[-1]).astype(np.float32) * 0.1 + 1.0)
+    eps = 1e-5
+    for qtype in (GGMLType.Q4_K, GGMLType.Q6_K, GGMLType.Q4_0):
+        qt = P.quantize_tensor(w, qtype).astype_device(fast=True)
+        wn_il = _norm_il(wn, qt, plus_one=False)
+        assert np.allclose(np.asarray(uninterleave_norm(wn_il, qt.cfg.gs)),
+                           wn)
+        ref = np.asarray(qmatmul_fast(
+            rms_norm(jnp.asarray(x), jnp.asarray(wn), eps), qt,
+            interpret=True))
+        out = np.asarray(qmatmul_fast_normed(
+            jnp.asarray(x), qt, wn_il, eps, interpret=True))
+        assert nmse(out, ref) < MUL_MAT_NMSE, (qtype.name, nmse(out, ref))
+    # 3-D lead shape
+    qt = P.quantize_tensor(w, GGMLType.Q4_K).astype_device(fast=True)
+    wn_il = _norm_il(wn, qt, plus_one=False)
+    out3 = np.asarray(qmatmul_fast_normed(
+        jnp.asarray(x.reshape(2, 2, -1)), qt, wn_il, eps, interpret=True))
+    assert out3.shape == (2, 2, qt.n)
+
+
+def test_qmatmul_fast_normed_kblocked_fallback():
+    """When the shape needs a K-split (nkj>1) the fused entry must fall
+    back to the separate-norm path and stay correct."""
+    from ggml_hexagon_tpu.models.fuse import _norm_il
+    from ggml_hexagon_tpu.ops.basic import rms_norm
+    from ggml_hexagon_tpu.ops.qmm_fast import (_pick_blocks,
+                                               qmatmul_fast_normed)
+
+    rng = np.random.default_rng(11)
+    N, K, B = 256, 8192, 512
+    assert _pick_blocks(B, K, True, 32)[1] > 1
+    w = rng.normal(size=(N, K)).astype(np.float32)
+    x = rng.normal(size=(B, K)).astype(np.float32)
+    wn = (rng.normal(size=K).astype(np.float32) * 0.1 + 1.0)
+    qt = P.quantize_tensor(w, GGMLType.Q4_K).astype_device(fast=True)
+    wn_il = _norm_il(wn, qt, plus_one=False)
+    ref = np.asarray(qmatmul_fast(
+        rms_norm(jnp.asarray(x), jnp.asarray(wn), 1e-5), qt, interpret=True))
+    out = np.asarray(qmatmul_fast_normed(
+        jnp.asarray(x), qt, wn_il, 1e-5, interpret=True))
+    assert nmse(out, ref) < MUL_MAT_NMSE
+
+
+def test_attach_norm_planes_and_forward_equivalence():
+    """attach_norm_planes + forward == unfused forward (CPU fallback path
+    exercises qmatmul_normed's dispatch; logits must agree)."""
+    from ggml_hexagon_tpu.models.fuse import attach_norm_planes, fuse_weights
+    from ggml_hexagon_tpu.models.llama import (LlamaConfig, forward,
+                                               init_kv_cache)
+
+    rng = np.random.default_rng(5)
+    cfg = LlamaConfig(n_vocab=256, n_embd=256, n_layer=2, n_head=4,
+                      n_head_kv=2, n_ff=512)
+    d = cfg.n_embd
+
+    def qten(n, k):
+        return P.quantize_tensor(
+            rng.normal(size=(n, k)).astype(np.float32),
+            GGMLType.Q4_K).astype_device(fast=True)
+
+    layers = []
+    for _ in range(cfg.n_layer):
+        layers.append({
+            "attn_norm": jnp.asarray(rng.normal(size=d).astype(np.float32) * 0.1 + 1),
+            "ffn_norm": jnp.asarray(rng.normal(size=d).astype(np.float32) * 0.1 + 1),
+            "wq": qten(d, d), "wk": qten(d // 2, d), "wv": qten(d // 2, d),
+            "wo": qten(d, d),
+            "ffn_gate": qten(cfg.n_ff, d), "ffn_up": qten(cfg.n_ff, d),
+            "ffn_down": qten(d, cfg.n_ff),
+        })
+    weights = {
+        "tok_embd": jnp.asarray(rng.normal(size=(cfg.n_vocab, d)).astype(np.float32)),
+        "output_norm": jnp.ones(d, jnp.float32),
+        "output": qten(cfg.n_vocab, d),
+        "layers": layers,
+    }
+    fused = fuse_weights(weights, cfg)
+    assert "attn_norm_il" in fused["layers"][0]
+    assert "ffn_norm_il" in fused["layers"][0]
+    toks = jnp.asarray(rng.integers(0, cfg.n_vocab, (1, 5)).astype(np.int32))
+    kv0 = init_kv_cache(cfg, 1, 16)
+    ref, _ = forward(cfg, weights, toks, kv0, jnp.int32(0))
+    kv1 = init_kv_cache(cfg, 1, 16)
+    out, _ = forward(cfg, fused, toks, kv1, jnp.int32(0))
+    assert nmse(np.asarray(out), np.asarray(ref)) < MUL_MAT_NMSE
