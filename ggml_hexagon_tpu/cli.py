@@ -583,7 +583,9 @@ def cmd_tokenize(args):
     with GGUFReader.open(args.model) as r:
         vocab = Vocab.from_gguf(r.metadata)
     tok = build_tokenizer(vocab)
-    ids = tok.encode(args.text)
+    # reference llama-tokenize parses control tokens unless
+    # --no-parse-special (examples/tokenize/tokenize.cpp:372)
+    ids = tok.encode(args.text, parse_special=not args.no_parse_special)
     for i in ids:
         print(f"{i:7d} -> {vocab.tokens[i]!r}")
     return 0
@@ -916,6 +918,8 @@ def build_parser():
 
     tk = sub.add_parser("tokenize", help="tokenize text")
     tk.add_argument("-m", "--model", required=True)
+    tk.add_argument("--no-parse-special", action="store_true",
+                    help="do not parse control tokens")
     tk.add_argument("text")
     tk.set_defaults(fn=cmd_tokenize)
 

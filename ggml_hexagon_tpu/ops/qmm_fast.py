@@ -316,12 +316,20 @@ def _pick_blocks(B: int, K: int, nibble: bool, gs: int):
     pmax = gs // 2 if nibble else gs
     valid = [p for p in range(1, pmax + 1) if pmax % p == 0]
     if nibble and B <= 8 and G <= 128:
-        # decode GEMV sweet spot measured on-chip (K=4096-class shapes):
-        # bn=2048 with block columns capped at 2048; larger G blows the
-        # kernel's scoped-VMEM stack (scale tile scales with bcols+G)
+        # decode GEMV sweet spot measured on-chip (tools/kernel_lab.py):
+        # bn=1024 beats 2048 (485 vs 413 GB/s on the 28672x4096 gate-up
+        # shape); block columns capped at 2048.  Same fixed-cost VMEM
+        # accounting as the general loop (bias plane + norm weight) so
+        # biased formats on unusual shapes can't blow the scoped budget.
+        bn = 1024
         for p in valid:
-            if (K // 2) // p <= 2048:
-                return 2048, p
+            cols = (K // 2) // p
+            if cols > 2048:
+                continue
+            fixed = 2 * bn * G * 2 * 2 + B * bn * 4 + K * 4
+            blk = (B * (K // p) * 2 + bn * cols) * 2
+            if fixed + blk + 12 * bn * cols <= limit:
+                return bn, p
     for bn in (512, 256, 128):
         # scale + (possible) bias plane blocks, double-buffered, + out
         fixed = 2 * bn * G * 2 * 2 + B * bn * 4

@@ -104,7 +104,7 @@ def build_prompt_ids(tokenizer, text: str, speaker: dict | None = None,
 
     Returns (prompt_ids, guide_tokens).  Guide tokens are the first token of
     each word, used to pin word fragments during generation (tts.cpp:437)."""
-    ids = tokenizer.encode("<|im_start|>\n")
+    ids = tokenizer.encode("<|im_start|>\n", parse_special=True)
     clean = process_text(text, version)
     guide = [tokenizer.encode("\n", add_bos=False)[0]]
     sep = "<|space|>" if version == "0.3" else "<|text_sep|>"
@@ -116,14 +116,14 @@ def build_prompt_ids(tokenizer, text: str, speaker: dict | None = None,
         ids += tokenizer.encode(speaker_audio_text(speaker, version),
                                 add_bos=False)
     else:
-        ids += tokenizer.encode("<|text_start|>", add_bos=False)
+        ids += tokenizer.encode("<|text_start|>", add_bos=False, parse_special=True)
     ids += tokenizer.encode(clean, add_bos=False)
-    ids += tokenizer.encode("<|text_end|>\n", add_bos=False)
+    ids += tokenizer.encode("<|text_end|>\n", add_bos=False, parse_special=True)
     if speaker:
         ids += tokenizer.encode(speaker_audio_data(speaker, version),
                                 add_bos=False)
     else:
-        ids += tokenizer.encode("<|audio_start|>\n", add_bos=False)
+        ids += tokenizer.encode("<|audio_start|>\n", add_bos=False, parse_special=True)
     return ids, guide
 
 

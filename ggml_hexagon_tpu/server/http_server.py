@@ -196,7 +196,7 @@ class InferenceServer:
         """Returns an iterator of (text_piece, done_payload|None)."""
         prompt = body.get("prompt", "")
         ids = (
-            self.tokenizer.encode(prompt)
+            self.tokenizer.encode(prompt, parse_special=True)
             if isinstance(prompt, str)
             else [int(t) for t in prompt]
         )
@@ -265,12 +265,13 @@ class InferenceServer:
         """'input'/'content' shapes: str | [str] | [ids] | [[ids]]
         (tokenize_input_prompts, examples/server/utils.hpp)."""
         if isinstance(prompt, str):
-            return [self.tokenizer.encode(prompt)]
+            return [self.tokenizer.encode(prompt, parse_special=True)]
         if isinstance(prompt, list) and prompt and isinstance(prompt[0], int):
             return [[int(t) for t in prompt]]
         out = []
         for p in prompt:
-            out.append(self.tokenizer.encode(p) if isinstance(p, str)
+            out.append(self.tokenizer.encode(p, parse_special=True)
+                       if isinstance(p, str)
                        else [int(t) for t in p])
         return out
 
@@ -495,7 +496,9 @@ def make_handler(server: InferenceServer):
                                    "/v1/rerank", "/v1/reranking"):
                     self._rerank(body)
                 elif self.path == "/tokenize":
-                    ids = server.tokenizer.encode(body.get("content", ""))
+                    ids = server.tokenizer.encode(
+                        body.get("content", ""),
+                        parse_special=bool(body.get("parse_special", True)))
                     if body.get("with_pieces"):
                         self._json(200, {"tokens": [
                             {"id": t, "piece": server.tokenizer.decode([t])}

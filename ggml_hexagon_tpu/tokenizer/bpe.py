@@ -1,34 +1,19 @@
 """Byte-level BPE tokenizer (GPT-2 family).
 
-Mirrors the reference's llm_tokenizer_bpe (src/llama-vocab.cpp:276): regex
-pre-tokenization (variant chosen by tokenizer.ggml.pre), GPT-2 byte->unicode
-mapping, then lowest-rank-first pair merging using tokenizer.ggml.merges.
-Only the most common pre-tokenizer variants are implemented; unknown ones
-fall back to the GPT-2 default pattern (matching the reference's warning +
-default behavior).
+Mirrors the reference's llm_tokenizer_bpe (src/llama-vocab.cpp:276-607):
+regex pre-tokenization (the full per-model regex-set table lives in
+pretok.py, chosen by tokenizer.ggml.pre), GPT-2 byte->unicode mapping
+applied per word (unicode.cpp:218), ignore_merges whole-word short-circuit
+(llama3 family, llama-vocab.cpp:487), then lowest-rank-first pair merging
+using tokenizer.ggml.merges, with single-byte fallback for unmergeable
+symbols (llama-vocab.cpp:561-570).  Unknown pre-tokenizer names fall back
+to the reference's 'default' regex set (same degraded-quality warning
+path).
 """
 from __future__ import annotations
 
-import regex as _re
-
-from .vocab import Vocab
-
-# GPT-2 default pre-tokenizer regex
-_GPT2_PAT = _re.compile(
-    r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
-)
-# llama-3 pattern (llama-vocab.cpp pre-type LLAMA3)
-_LLAMA3_PAT = _re.compile(
-    r"""(?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}{1,3}| ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+"""
-)
-
-_PATTERNS = {
-    "default": _GPT2_PAT,
-    "gpt-2": _GPT2_PAT,
-    "llama3": _LLAMA3_PAT,
-    "llama-v3": _LLAMA3_PAT,
-    "llama-bpe": _LLAMA3_PAT,
-}
+from .pretok import compiled_set, regex_split
+from .vocab import BaseTokenizer, Vocab
 
 
 def bytes_to_unicode() -> dict[int, str]:
@@ -47,10 +32,10 @@ _B2U = bytes_to_unicode()
 _U2B = {v: k for k, v in _B2U.items()}
 
 
-class BPETokenizer:
+class BPETokenizer(BaseTokenizer):
     def __init__(self, vocab: Vocab):
-        self.vocab = vocab
-        self.pat = _PATTERNS.get(vocab.pre, _GPT2_PAT)
+        super().__init__(vocab)
+        self.pats = compiled_set(vocab.pre)
         self.ranks = {tuple(m.split(" ", 1)): i for i, m in enumerate(vocab.merges)}
 
     def _bpe_word(self, word: str) -> list[str]:
@@ -68,25 +53,22 @@ class BPETokenizer:
                 return parts
             parts = parts[:best] + [parts[best] + parts[best + 1]] + parts[best + 2 :]
 
-    def encode(self, text: str, add_bos: bool | None = None, add_eos: bool | None = None) -> list[int]:
+    def _fragment(self, text: str, out: list[int], prev_special: bool):
         v = self.vocab
-        out: list[int] = []
-        if (add_bos if add_bos is not None else v.add_bos) and v.bos_id >= 0:
-            out.append(v.bos_id)
-        for frag in self.pat.findall(text):
+        for frag in regex_split(text, self.pats):
             mapped = "".join(_B2U[b] for b in frag.encode("utf-8"))
+            if v.ignore_merges and mapped in v.by_text:
+                out.append(v.by_text[mapped])
+                continue
             for piece in self._bpe_word(mapped):
                 tid = v.by_text.get(piece)
                 if tid is not None:
                     out.append(tid)
-                else:  # unmergeable: emit per-char (reference falls back likewise)
+                else:  # unmergeable: per-char byte fallback
                     for ch in piece:
                         t = v.by_text.get(ch)
                         if t is not None:
                             out.append(t)
-        if (add_eos if add_eos is not None else v.add_eos) and v.eos_id >= 0:
-            out.append(v.eos_id)
-        return out
 
     def decode(self, ids: list[int], skip_special: bool = True) -> str:
         v = self.vocab

@@ -7,7 +7,7 @@ falls back to the unknown token for unmatched bytes.
 """
 from __future__ import annotations
 
-from .vocab import Vocab
+from .vocab import BaseTokenizer, Vocab
 
 
 def unescape_rwkv_token(text: str) -> bytes:
@@ -44,9 +44,9 @@ def unescape_rwkv_token(text: str) -> bytes:
     return bytes(out)
 
 
-class RWKVTokenizer:
+class RWKVTokenizer(BaseTokenizer):
     def __init__(self, vocab: Vocab):
-        self.vocab = vocab
+        super().__init__(vocab)
         self.token_bytes: list[bytes] = [
             unescape_rwkv_token(t) for t in vocab.tokens
         ]
@@ -61,10 +61,8 @@ class RWKVTokenizer:
                 node = node.setdefault(b, {})
             node[-1] = tid
 
-    def encode(self, text: str, add_bos: bool | None = None,
-               add_eos: bool | None = None) -> list[int]:
+    def _fragment(self, text: str, out: list[int], prev_special: bool):
         data = text.encode("utf-8")
-        out: list[int] = []
         pos = 0
         n = len(data)
         while pos < n:
@@ -86,7 +84,6 @@ class RWKVTokenizer:
             else:
                 out.append(best_id)
                 pos = best_end
-        return out
 
     def decode(self, ids: list[int], skip_special: bool = True) -> str:
         bs = bytearray()

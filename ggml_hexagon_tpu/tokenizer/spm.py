@@ -10,14 +10,14 @@ from __future__ import annotations
 
 import heapq
 
-from .vocab import Vocab
+from .vocab import BaseTokenizer, Vocab
 
 SPACE_ESC = "▁"
 
 
-class SPMTokenizer:
+class SPMTokenizer(BaseTokenizer):
     def __init__(self, vocab: Vocab):
-        self.vocab = vocab
+        super().__init__(vocab)
         self._byte_cache: dict[int, int] = {}
 
     def _byte_token(self, b: int) -> int:
@@ -28,19 +28,13 @@ class SPMTokenizer:
             self._byte_cache[b] = tid
         return self._byte_cache[b]
 
-    def encode(self, text: str, add_bos: bool | None = None, add_eos: bool | None = None) -> list[int]:
-        v = self.vocab
-        out: list[int] = []
-        if add_bos if add_bos is not None else v.add_bos:
-            out.append(v.bos_id)
-        if text:
-            if v.add_space_prefix:
-                text = " " + text
-            text = text.replace(" ", SPACE_ESC)
-            out.extend(self._tokenize_fragment(text))
-        if add_eos if add_eos is not None else v.add_eos:
-            out.append(v.eos_id)
-        return out
+    def _fragment(self, text: str, out: list[int], prev_special: bool):
+        """One raw-text fragment: space-prefixed only when the previous
+        fragment was a special token (llama-vocab.cpp:2386-2394)."""
+        if self.vocab.add_space_prefix and prev_special:
+            text = " " + text
+        text = text.replace(" ", SPACE_ESC)
+        out.extend(self._tokenize_fragment(text))
 
     def _tokenize_fragment(self, text: str) -> list[int]:
         v = self.vocab

@@ -78,23 +78,25 @@ def test_bpe_unknown_chars_safe():
 
 
 def test_wpm_bert():
-    toks = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "hello", "##s", "world",
-            "un", "##believ", "##able", ",", "z"]
+    # GGUF WPM piece convention: word-start pieces carry U+2581, the
+    # converter rewrites HF's "##x" -> "x" (see tokenizer/wpm.py docstring)
+    toks = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "▁hello", "s", "▁world",
+            "▁un", "believ", "able", "▁,", "z"]
     n = len(toks)
     v = Vocab(tokens=toks, scores=[0.0]*n, token_types=[int(TokenType.NORMAL)]*n,
-              model="bert", unk_id=1, bos_id=2, eos_id=3,
+              model="bert", unk_id=1, bos_id=2, eos_id=3, sep_id=3,
               add_bos=True, add_eos=True)
     tok = build_tokenizer(v)
     ids = tok.encode("Hello unbelievable, worlds")
     texts = [v.tokens[i] for i in ids]
     assert texts[0] == "[CLS]" and texts[-1] == "[SEP]"
-    assert "hello" in texts and "un" in texts and "##believ" in texts
-    assert "," in texts  # punctuation split
-    # 'worlds' -> world + ##s
-    assert "world" in texts and "##s" in texts
+    assert "▁hello" in texts and "▁un" in texts and "believ" in texts
+    assert "▁," in texts  # punctuation split
+    # 'worlds' -> world + s
+    assert "▁world" in texts and "s" in texts
     # accents stripped + lowercase
     ids2 = tok.encode("HÉLLO")
-    assert v.tokens[ids2[1]] == "hello"
+    assert v.tokens[ids2[1]] == "▁hello"
     # unknown word -> [UNK]
     ids3 = tok.encode("qqq")
     assert v.tokens[ids3[1]] == "[UNK]"

@@ -1,189 +1,278 @@
-"""Kernel experiment lab — measures qmatmul variants against the HBM roofline.
+"""Kernel lab: measure nibble-dequant GEMV variants on the real chip.
 
-Dev tool: times (a) plain XLA bf16 matmul, (b) a pure-stream Pallas kernel
-(reads the packed planes, trivial math) = achievable roofline for the access
-pattern, (c) kernel variants. Run on the real chip:
-    python tools/kernel_lab.py
+Goal (VERDICT round-1 item 1): push the Q4-family fast kernel from the
+measured ~420-477 GB/s toward the 591 GB/s byte ceiling / 819 GB/s HBM
+roofline.  The current kernel's VPU work per packed byte:
+
+    lo: (u8 & 15) -> i8 -> bf16                       (mask + cast)
+    hi: u8 -> i32 -> (>> 4) -> bf16                   (wide-int detour)
+    sc: pltpu.repeat + 2 bf16 mults
+
+Variants measured here (Mosaic rejects u8->bf16; all casts go via i8):
+  v0  current production kernel math
+  v7  xor-8 hi packing: plane stores (hi^8)<<4 | lo, so
+      i8_bitcast(pu & 0xF0) == 16*hi - 128 exactly — mask + i8->bf16 only;
+      the /16 rides on the activation half, the +128 correction folds into
+      the group-sum side dot (all outside the streaming loop)
+  v3  int4-native plane: fq stored as jnp.int4 [n, K], single dot
+  v4  byte kernel (int8 plane) — the current byte-format ceiling
+  v8  byte kernel with an int8 MXU dot (scales applied to the output:
+      diagnostic for an all-integer path)
+  v5  dense bf16 dot — the HBM roofline
+  v6  unscaled nibble (diagnostic: isolates the scale-mult cost)
+
+Honest timing: dependent chain of jitted dispatches closed by a data fetch
+(tools/qmm_bench.py protocol).
 """
-import sys, time, functools
+import argparse
+import functools
+import sys
+import time
+
+import numpy as np
 
 sys.path.insert(0, ".")
-import jax
-import jax.numpy as jnp
-import numpy as np
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
-
-from ggml_hexagon_tpu.quant.formats import GGMLType
-from ggml_hexagon_tpu.quant import pack as P
-from ggml_hexagon_tpu.ops.qmatmul import qmatmul
-
-N, K, B = 4096, 4096, 8
-rng = np.random.default_rng(0)
 
 
-def timeit(fn, *args, reps=50):
-    y = fn(*args)
-    jax.tree.map(lambda a: a.block_until_ready(), y)
+def timed_chain(f, x0, label, nbytes, n_chain=32, trials=3):
+    import jax
+
+    x = f(x0)
+    float(np.asarray(x).reshape(-1)[0])  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(reps):
-        y = fn(*args)
-    jax.tree.map(lambda a: a.block_until_ready(), y)
-    return (time.perf_counter() - t0) / reps
+    float(np.asarray(f(x0)).reshape(-1)[0])
+    rtt_plus_one = time.perf_counter() - t0
+    best = 1e9
+    for _ in range(trials):
+        x = x0
+        t0 = time.perf_counter()
+        for _ in range(n_chain):
+            x = f(x)
+        float(np.asarray(x).reshape(-1)[0])
+        best = min(best, time.perf_counter() - t0)
+    per = (best - (rtt_plus_one - best / n_chain)) / n_chain
+    per = max(per, 1e-9)
+    print(f"{label:46s} {per*1e6:9.1f} us  {nbytes/per/1e9:7.1f} GB/s",
+          flush=True)
+    return per
 
 
-# -- A: plain XLA bf16 matmul (upper bound reference for bf16 weights) -------
-w_bf16 = jnp.asarray(rng.normal(size=(N, K)), dtype=jnp.bfloat16)
-x = jnp.asarray(rng.normal(size=(B, K)).astype(np.float32))
+def make_planes(rng, n, K, gs=32):
+    G = K // gs
+    n2 = -(-n // 512) * 512
+    fq = rng.integers(0, 256, size=(n2, K // 2), dtype=np.uint8)
+    fs = (rng.random((n2, G), np.float32) * 2e-3 + 1e-4)
+    return fq, fs
 
 
-@jax.jit
-def xla_mm(x, w):
-    return jax.lax.dot_general(x.astype(jnp.bfloat16), w, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+def nibble_kernel(mode: str, reps: int, x_ref, q_ref, s_ref, o_ref):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    x = x_ref[:]
+    half = x.shape[1] // 2
+    xl, xh = x[:, :half], x[:, half:]
+    pu = q_ref[:]
+    if mode == "v0":  # current production math
+        lo = (pu & 15).astype(jnp.int8).astype(jnp.bfloat16)
+        hi = (pu.astype(jnp.int32) >> 4).astype(jnp.bfloat16)
+        sc = pltpu.repeat(s_ref[:], reps, axis=1).astype(jnp.bfloat16)
+        y = (jax.lax.dot_general(xl, lo * sc, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+             + jax.lax.dot_general(xh, hi * sc, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32))
+    elif mode == "v7":  # xor-8 hi packing: mask + bitcast + cast only
+        lo = (pu & 15).astype(jnp.int8).astype(jnp.bfloat16)
+        hi = pltpu.bitcast(pu & 0xF0, jnp.int8).astype(jnp.bfloat16)
+        sc = pltpu.repeat(s_ref[:], reps, axis=1).astype(jnp.bfloat16)
+        # xh arrives pre-divided by 16; the +128 group-sum correction is
+        # accounted outside (side dot) — omitted here, identical cost shape
+        y = (jax.lax.dot_general(xl, lo * sc, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+             + jax.lax.dot_general(xh, hi * sc, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32))
+    elif mode == "v6":  # unscaled (diagnostic)
+        lo = (pu & 15).astype(jnp.int8).astype(jnp.bfloat16)
+        hi = pltpu.bitcast(pu & 0xF0, jnp.int8).astype(jnp.bfloat16)
+        y = (jax.lax.dot_general(xl, lo, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+             + jax.lax.dot_general(xh, hi, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32))
+    o_ref[:] = y
 
 
-dt = timeit(xla_mm, x, w_bf16)
-print(f"A xla bf16 mm      : {dt*1e6:8.1f}us  {N*K*2/dt/1e9:7.1f} GB/s")
+def int4_kernel(reps: int, x_ref, q_ref, s_ref, o_ref):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
 
-# -- B: pure-stream pallas: read q plane tile, one cheap op, dot ------------
-qt = P.quantize_tensor(rng.normal(size=(N, K)).astype(np.float32), GGMLType.Q4_K).astype_device()
-BN = 512
-
-
-def stream_kernel(x_ref, q_ref, o_ref):
-    # just force the bytes through VMEM with minimal math
-    q = q_ref[:, :128].astype(jnp.int32).astype(jnp.float32)  # touch a slice
-    o_ref[:] = jax.lax.dot_general(x_ref[:, :128], q, (((1,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+    w = q_ref[:].astype(jnp.bfloat16)
+    sc = pltpu.repeat(s_ref[:], reps, axis=1).astype(jnp.bfloat16)
+    o_ref[:] = jax.lax.dot_general(
+        x_ref[:], w * sc, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
 
-@jax.jit
-def stream(x, q):
-    return pl.pallas_call(
-        stream_kernel,
-        grid=(N // BN,),
-        in_specs=[
-            pl.BlockSpec((B, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BN, K // 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((B, BN), lambda i: (0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
-    )(x, q)
+def byte_kernel(reps: int, x_ref, q_ref, s_ref, o_ref):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    w = q_ref[:].astype(jnp.bfloat16)
+    sc = pltpu.repeat(s_ref[:], reps, axis=1).astype(jnp.bfloat16)
+    o_ref[:] = jax.lax.dot_general(
+        x_ref[:], w * sc, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
 
-dt = timeit(stream, x, qt.q)
-print(f"B stream q-plane   : {dt*1e6:8.1f}us  {N*K//2/dt/1e9:7.1f} GB/s")
+def int8dot_kernel(reps: int, x_ref, q_ref, s_ref, o_ref):
+    """All-integer MXU dot; per-column scales applied to the output would be
+    wrong across groups — diagnostic only (cost shape of an int8 MXU path)."""
+    import jax
+    import jax.numpy as jnp
 
-# -- C: unpack-everything, single dot per tile (whole-row ops) ---------------
-def unpack_kernel(x_ref, q_ref, o_ref):
-    qp = q_ref[:].astype(jnp.int32)           # [BN, K/2]
-    lo = (qp & 15).astype(jnp.bfloat16)
-    hi = (qp >> 4).astype(jnp.bfloat16)
-    w = jnp.concatenate([lo, hi], axis=1)     # [BN, K] (wrong order, perf only)
-    o_ref[:] = jax.lax.dot_general(x_ref[:].astype(jnp.bfloat16), w,
-                                   (((1,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+    y = jax.lax.dot_general(
+        x_ref[:], q_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    o_ref[:] = y.astype(jnp.float32)
 
 
-@jax.jit
-def unp(x, q):
-    return pl.pallas_call(
-        unpack_kernel,
-        grid=(N // BN,),
-        in_specs=[
-            pl.BlockSpec((B, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BN, K // 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((B, BN), lambda i: (0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
-    )(x, qt.q)
+def dense_kernel(x_ref, w_ref, o_ref):
+    import jax
+    import jax.numpy as jnp
+
+    o_ref[:] = jax.lax.dot_general(
+        x_ref[:], w_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
 
-dt = timeit(unp, x, qt.q)
-print(f"C unpack+1dot      : {dt*1e6:8.1f}us  {N*K//2/dt/1e9:7.1f} GB/s")
-
-# -- D: C + tile-repeat scale application (local-interleave semantics) ------
-scj = jnp.asarray(np.ascontiguousarray(qt.sc))  # int8 [N, K/32]
-dj = qt.d                                        # f32 [N, K/256]
-
-
-def scaled_kernel(x_ref, q_ref, sc_ref, d_ref, o_ref):
-    qp = q_ref[:].astype(jnp.int32)
-    lo = (qp & 15).astype(jnp.float32)
-    hi = (qp >> 4).astype(jnp.float32)
-    q = jnp.concatenate([lo, hi], axis=1)             # [BN, K]
-    sc = sc_ref[:].astype(jnp.int32).astype(jnp.float32)  # [BN, K/32]
-    d = d_ref[:]                                      # [BN, K/256]
-    scale_pat = pltpu.repeat(d, 16, axis=1) * sc      # [BN, K/32] (pattern only; perf test)
-    scale = pltpu.repeat(scale_pat, 32, axis=1)       # [BN, K]
-    w = (q * scale).astype(jnp.bfloat16)
-    o_ref[:] = jax.lax.dot_general(x_ref[:].astype(jnp.bfloat16), w,
-                                   (((1,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+def run_variant(mode, fq, fs, B, K, G, bn, label):
+    try:
+        _run_variant(mode, fq, fs, B, K, G, bn, label)
+    except Exception as e:  # noqa: BLE001 — lab tool, report and continue
+        print(f"{label:46s} FAILED: {type(e).__name__}: {str(e)[:140]}",
+              flush=True)
 
 
-@jax.jit
-def scaled(x, q, sc, d):
-    return pl.pallas_call(
-        scaled_kernel,
-        grid=(N // BN,),
-        in_specs=[
-            pl.BlockSpec((B, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BN, K // 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BN, K // 32), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BN, K // 256), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((B, BN), lambda i: (0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
-    )(x, q, sc, d)
+def _run_variant(mode, fq, fs, B, K, G, bn, label):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n2 = fq.shape[0]
+    rng = np.random.default_rng(1)
+    xdt = jnp.bfloat16
+
+    if mode == "v5":
+        w = jnp.asarray(rng.normal(size=(n2, K)), jnp.bfloat16)
+        call = pl.pallas_call(
+            dense_kernel, grid=(n2 // bn,),
+            in_specs=[
+                pl.BlockSpec((B, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bn, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((B, bn), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, n2), jnp.float32),
+        )
+        nbytes = n2 * K * 2
+
+        def f(x):
+            y = call(x, w)
+            return (y[:, :K] * 1e-6 + x.astype(jnp.float32)).astype(xdt)
+    elif mode in ("v3", "v4", "v8"):
+        vals = (fq.astype(np.int8) & 15) - 8
+        if mode == "v3":
+            # int4 device_put is unimplemented on this backend: convert
+            # on-device from the int8 halves
+            allv = np.concatenate(
+                [vals, (fq.astype(np.int16) >> 4).astype(np.int8) - 8], axis=1)
+            wq = jax.jit(lambda a: a.astype(jnp.int4))(jnp.asarray(allv))
+            jax.block_until_ready(wq)
+            nbytes = n2 * K // 2 + n2 * G * 2
+            kern = functools.partial(int4_kernel, K // G)
+        else:
+            wq = jnp.asarray(vals[:, : K // 2].repeat(2, axis=1))
+            nbytes = n2 * K + n2 * G * 2
+            kern = functools.partial(
+                byte_kernel if mode == "v4" else int8dot_kernel, K // G)
+            if mode == "v8":
+                xdt = jnp.int8
+        sp = jnp.asarray(fs, jnp.bfloat16)
+        call = pl.pallas_call(
+            kern, grid=(n2 // bn,),
+            in_specs=[
+                pl.BlockSpec((B, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bn, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bn, G), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((B, bn), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, n2), jnp.float32),
+        )
+
+        if mode == "v8":
+            def f(x):
+                y = call(x, wq, sp)
+                return jnp.clip(y[:, :K] // 1024, -100, 100).astype(jnp.int8)
+        else:
+            def f(x):
+                y = call(x, wq, sp)
+                return (y[:, :K] * 1e-6 + x.astype(jnp.float32)).astype(xdt)
+    else:
+        wq = jnp.asarray(fq)
+        sp = jnp.asarray(fs, jnp.bfloat16)
+        kern = functools.partial(nibble_kernel, mode, (K // 2) // G)
+        call = pl.pallas_call(
+            kern, grid=(n2 // bn,),
+            in_specs=[
+                pl.BlockSpec((B, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bn, K // 2), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bn, G), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((B, bn), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, n2), jnp.float32),
+        )
+        nbytes = n2 * K // 2 + n2 * G * 2
+
+        def f(x):
+            y = call(x, wq, sp)
+            return (y[:, :K] * 1e-6 + x.astype(jnp.float32)).astype(xdt)
+
+    if mode == "v8":
+        x0 = jnp.asarray(rng.integers(-4, 4, (B, K)).astype(np.int8))
+    else:
+        x0 = jnp.asarray(rng.normal(size=(B, K)), jnp.bfloat16)
+    timed_chain(jax.jit(f), x0, label, nbytes)
 
 
-try:
-    dt = timeit(scaled, x, qt.q, scj, dj)
-    print(f"D +tile-rep scales : {dt*1e6:8.1f}us  {N*K//2/dt/1e9:7.1f} GB/s")
-except Exception as e:
-    print("D FAILED:", type(e).__name__, str(e)[:300])
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--modes", nargs="+",
+                    default=["v0", "v7", "v3", "v4", "v8", "v5", "v6"])
+    ap.add_argument("--n", type=int, default=28672)  # gate-up fused rows
+    ap.add_argument("--k", type=int, default=4096)
+    ap.add_argument("--bn", type=int, nargs="+", default=[2048])
+    ap.add_argument("--batch", type=int, default=8)
+    args = ap.parse_args()
 
-# -- E: per-superblock chunk loop w/ tile-repeat (k-agnostic layout) --------
-def chunked_kernel(x_ref, q_ref, sc_ref, d_ref, o_ref):
-    acc = jnp.zeros((B, BN), jnp.float32)
-    for c in range(K // 256):
-        qp = q_ref[:, c * 128 : (c + 1) * 128].astype(jnp.int32)
-        lo = (qp & 15).astype(jnp.float32)
-        hi = (qp >> 4).astype(jnp.float32)
-        q = jnp.concatenate([lo, hi], axis=1)            # [BN, 256]
-        sc = sc_ref[:, c * 8 : (c + 1) * 8].astype(jnp.int32).astype(jnp.float32)
-        scale = pltpu.repeat(sc, 32, axis=1) * d_ref[:, c][:, None]
-        w = (q * scale).astype(jnp.bfloat16)
-        acc = acc + jax.lax.dot_general(
-            x_ref[:, c * 256 : (c + 1) * 256].astype(jnp.bfloat16), w,
-            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    o_ref[:] = acc
+    import jax
 
-
-@jax.jit
-def chunked(x, q, sc, d):
-    return pl.pallas_call(
-        chunked_kernel,
-        grid=(N // BN,),
-        in_specs=[
-            pl.BlockSpec((B, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BN, K // 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BN, K // 32), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BN, K // 256), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((B, BN), lambda i: (0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
-    )(x, q, sc, d)
+    print(f"devices: {jax.devices()}", flush=True)
+    rng = np.random.default_rng(0)
+    K = args.k
+    gs = 32
+    G = K // gs
+    fq, fs = make_planes(rng, args.n, K, gs)
+    for bn in args.bn:
+        for mode in args.modes:
+            run_variant(mode, fq, fs, args.batch, K, G, bn,
+                        f"{mode} n={args.n} K={K} bn={bn} B={args.batch}")
 
 
-try:
-    dt = timeit(chunked, x, qt.q, scj, dj)
-    print(f"E chunked+tile-rep : {dt*1e6:8.1f}us  {N*K//2/dt/1e9:7.1f} GB/s")
-except Exception as e:
-    print("E FAILED:", type(e).__name__, str(e)[:300])
-
-# -- F: current production kernel for comparison -----------------------------
-dt = timeit(functools.partial(qmatmul, x, qt))
-print(f"F current qmatmul  : {dt*1e6:8.1f}us  {N*K//2/dt/1e9:7.1f} GB/s")
+if __name__ == "__main__":
+    main()
