@@ -136,11 +136,16 @@ def main():
 
     rng = np.random.default_rng(0)
     cfg, weights = build_8b(rng)
-    from ggml_hexagon_tpu.models.fuse import fuse_weights
+    from ggml_hexagon_tpu.models.fuse import fuse_weights, permute_rope_neox
     from ggml_hexagon_tpu.quant.pack import drop_wire_planes
+    # the exact production load pipeline (Engine.from_gguf fuse=True):
+    # norm->neox rope permutation + projection fusion + wire-plane drop
+    weights, cfg = permute_rope_neox(weights, cfg)
     weights = fuse_weights(weights, cfg)  # fused qkv/gate-up projections
     weights = drop_wire_planes(weights)   # qmm_fast planes only in HBM
-    log("fused projections: " + str("wqkv" in weights["layers"][0]))
+    l0f = weights["layers"][0]
+    log("fused projections: " + ("wqkv" if "wqkv" in l0f else
+                                 "wqk+v" if "wqk" in l0f else "none"))
     l0 = weights["layers"][0]
     gate = l0.get("w_gateup", l0.get("ffn_up"))
     log("fast planes: " + str(gate.fq is not None))

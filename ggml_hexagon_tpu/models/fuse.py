@@ -2,9 +2,14 @@
 
 Decode on fast chips is op-overhead-bound (each XLA op has fixed launch
 cost); fusing Q/K/V into one matmul and gate/up into another removes ~40%
-of the per-layer matmuls.  Fusion is a pure relayout: QTensor planes are
-row-concatenated (every plane's row axis is the output-feature axis), so
-the fused result is bit-identical to the unfused one.
+of the per-layer matmuls.  The QTensor relayout itself is bit-exact
+(planes row-concatenated; every plane's row axis is the output-feature
+axis).  Two further transforms change DECODE NUMERICS slightly and are
+covered by tolerance tests (tests/test_fuse_numerics.py), not
+bit-identity: attach_norm_planes folds the pre-matmul RMSNorm into the
+qmm kernel (in-kernel bf16 rms + pre-norm bias group sums), and
+permute_rope_neox reorders head dims (rope rotation is then computed in
+a different but mathematically equal pairing).
 
 Only same-qtype, unpadded (n % 128 == 0) projections fuse; anything else
 is left as-is (the forward handles both shapes).
@@ -22,8 +27,8 @@ def _concat_qtensors(parts: list[QTensor]) -> QTensor | None:
     k = parts[0].k
     for p in parts:
         if (not isinstance(p, QTensor) or p.cfg != cfg or p.k != k
-                or p.q is None or p.n != p.n_pad):
-            return None  # wire-less tensors can't be re-fused
+                or p.n != p.n_pad):
+            return None
 
     def cat(field):
         arrs = [getattr(p, field) for p in parts]
@@ -31,15 +36,24 @@ def _concat_qtensors(parts: list[QTensor]) -> QTensor | None:
             return None
         return jnp.concatenate([jnp.asarray(a) for a in arrs], axis=0)
 
-    fused = QTensor(
-        cfg, sum(p.n for p in parts), k,
-        cat("q"), cat("d"), cat("qh"), cat("sc"), cat("dmin"), cat("m"),
-    )
-    if any(p.fq is not None for p in parts):
-        # rebuild (not concat) the qmm_fast planes: per-part row padding
-        # would otherwise leave zero rows in the middle of the fused tensor
-        fused = fused.with_fast_planes()
-    return fused
+    if all(p.q is not None for p in parts):
+        fused = QTensor(
+            cfg, sum(p.n for p in parts), k,
+            cat("q"), cat("d"), cat("qh"), cat("sc"), cat("dmin"), cat("m"),
+        )
+        if any(p.fq is not None for p in parts):
+            # rebuild (not concat) the qmm_fast planes: per-part row
+            # padding would leave zero rows mid-tensor
+            fused = fused.with_fast_planes()
+        return fused
+    # wire-less tensors: the qmm_fast planes concat directly when no part
+    # carries row padding (fq rows == n; the interleave is along K, so the
+    # row axis is plain output features)
+    if all(p.fq is not None and p.fq.shape[0] == p.n for p in parts):
+        return QTensor(cfg, sum(p.n for p in parts), k,
+                       None, None, None, None, None, None,
+                       cat("fq"), cat("fs"), cat("fb"))
+    return None
 
 
 def _norm_il(wn, qt: QTensor, plus_one: bool):
@@ -74,6 +88,16 @@ def attach_norm_planes(weights: dict, cfg) -> dict:
                 and lw.get("attn_norm") is not None
                 and "attn_norm_b" not in lw and "bqkv" not in lw):
             new["attn_norm_il"] = _norm_il(lw["attn_norm"], wq, plus_one)
+        wqk = lw.get("wqk")
+        wv = lw.get("wv")
+        if (isinstance(wqk, QTensor) and wqk.fq is not None
+                and isinstance(wv, QTensor) and wv.fq is not None
+                and lw.get("attn_norm") is not None
+                and "attn_norm_b" not in lw):
+            # mixed-type QKV: per-tensor planes (interleave depends on the
+            # tensor's group size, so wv needs its own)
+            new["attn_norm_il"] = _norm_il(lw["attn_norm"], wqk, plus_one)
+            new["attn_norm_il_v"] = _norm_il(lw["attn_norm"], wv, plus_one)
         gu = lw.get("w_gateup")
         if (isinstance(gu, QTensor) and gu.fq is not None
                 and lw.get("ffn_norm") is not None
@@ -81,6 +105,89 @@ def attach_norm_planes(weights: dict, cfg) -> dict:
             new["ffn_norm_il"] = _norm_il(lw["ffn_norm"], gu, plus_one)
         out["layers"].append(new)
     return out
+
+
+def _rope_perm(n_heads: int, hd: int, n_dims: int) -> np.ndarray:
+    """Row permutation converting adjacent-pair ("norm") rope layout to
+    split-half (NEOX): per head, new dim j reads old dim 2j (j < half) or
+    2(j-half)+1; dims beyond n_dims stay put."""
+    half = n_dims // 2
+    pd = np.arange(hd)
+    pd[:half] = 2 * np.arange(half)
+    pd[half:n_dims] = 2 * np.arange(half) + 1
+    return (np.arange(n_heads)[:, None] * hd + pd[None, :]).reshape(-1)
+
+
+def _take_rows(w, perm):
+    if isinstance(w, QTensor):
+        return w.take_rows(perm)
+    return w[np.asarray(perm)]
+
+
+def permute_rope_neox(weights: dict, cfg):
+    """Convert a ggml adjacent-pair ("norm") rope model to split-half
+    (NEOX) pairing by permuting the Q/K projection OUTPUT rows once at
+    load (the inverse of what convert_hf_to_gguf's permute() did).
+
+    q.k dot products are invariant (both sides permuted identically), the
+    value path never sees head_dim order, and context-shift re-rotation
+    uses the returned cfg (rope_mode="neox") — so the model function is
+    bit-unchanged while rope becomes lane-friendly for the fused decode
+    kernel (ops/decode_attn.py) and identical to HF rotate-half.
+
+    Returns (weights', cfg').  No-op (returns inputs) when the model
+    doesn't qualify (non-"norm" rope, M-RoPE sections, LoRA attached).
+    """
+    from dataclasses import replace
+
+    if getattr(cfg, "rope_mode", None) != "norm" or getattr(
+            cfg, "rope_sections", ()):
+        return weights, cfg
+    hd = cfg.hd
+    n_dims = cfg.rope_n_dims or hd
+    if n_dims % 2 or n_dims > hd:
+        return weights, cfg
+    if any(key.endswith("_lora")
+           for lw in weights["layers"] for key in lw):
+        return weights, cfg  # adapters target the unpermuted rows
+    out = dict(weights)
+    out["layers"] = []
+    pd = _rope_perm(1, hd, n_dims)
+    for il, lw in enumerate(weights["layers"]):
+        new = dict(lw)
+        nh, nhkv = cfg.nh(il), cfg.nhkv(il)
+        has_attn = ("wq" in lw or "wqkv" in lw) and nhkv > 0
+        if has_attn:
+            pq = _rope_perm(nh, hd, n_dims)
+            pk = _rope_perm(nhkv, hd, n_dims)
+            if "wqkv" in lw:
+                nq, nk = nh * hd, nhkv * hd
+                perm = np.concatenate([pq, nq + pk,
+                                       nq + nk + np.arange(nk)])
+                new["wqkv"] = _take_rows(lw["wqkv"], perm)
+                if "bqkv" in lw:
+                    new["bqkv"] = lw["bqkv"][np.asarray(perm)]
+            else:
+                new["wq"] = _take_rows(lw["wq"], pq)
+                new["wk"] = _take_rows(lw["wk"], pk)
+                if "bq" in lw:
+                    new["bq"] = lw["bq"][np.asarray(pq)]
+                if "bk" in lw:
+                    new["bk"] = lw["bk"][np.asarray(pk)]
+            # QK-norm weights act on the (now permuted) head_dim order
+            for key, p_flat in (("attn_q_norm", pq), ("attn_k_norm", pk),
+                                ("attn_q_norm_b", pq), ("attn_k_norm_b", pk)):
+                w = lw.get(key)
+                if w is None:
+                    continue
+                if w.ndim == 2 and w.shape[-1] == hd:
+                    new[key] = w[:, np.asarray(pd)]
+                elif w.ndim == 1 and w.shape[0] == hd:
+                    new[key] = w[np.asarray(pd)]
+                elif w.ndim == 1:  # olmo2-style flat norm over the output
+                    new[key] = w[np.asarray(p_flat[: w.shape[0]])]
+        out["layers"].append(new)
+    return out, replace(cfg, rope_mode="neox")
 
 
 def fuse_weights(weights: dict, cfg) -> dict:
@@ -101,6 +208,13 @@ def fuse_weights(weights: dict, cfg) -> dict:
             if fused is not None:  # split points derive from cfg (static)
                 new["wqkv"] = fused
                 del new["wq"], new["wk"], new["wv"]
+            else:
+                # mixed-type QKV (e.g. Q4_K_M bumps attn_v to Q6_K,
+                # quant/policy.py): fuse Q+K alone, keep V standalone
+                fused2 = _concat_qtensors([lw["wq"], lw["wk"]])
+                if fused2 is not None:
+                    new["wqk"] = fused2
+                    del new["wq"], new["wk"]
         if no_lora and all(isinstance(lw.get(kk), QTensor) for kk in ("ffn_gate", "ffn_up")):
             fused = _concat_qtensors([lw["ffn_gate"], lw["ffn_up"]])
             if fused is not None:

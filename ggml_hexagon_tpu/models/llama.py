@@ -372,18 +372,25 @@ def embed(tok_embd, ids, dtype=jnp.bfloat16):
 
 KV_GROUP = 32  # Q8_0 quantized-KV group size along head_dim
 
+#: CPU-test escape hatch: run the fused decode-attention kernel in pallas
+#: interpret mode off-TPU (tests/test_fuse_numerics.py sets this)
+FUSED_ATTN_INTERPRET = False
+
 
 def init_kv_cache(cfg: LlamaConfig, batch: int, max_seq: int, dtype=jnp.bfloat16):
-    """KV cache.  dtype may be a jnp dtype or the strings "q8_0" / "q4_0"
-    for a quantized cache (int8 or packed-int4 values + f32 per-32-group
-    scales along head_dim — the analog of llama.cpp's type_k/type_v
+    """KV cache, stored FLAT as [L, B, S, H*hd].  The flat head dim makes
+    every row a full-tile slice for the fused decode-attention kernel
+    (ops/decode_attn.py); [B, S, H, hd] views are free XLA reshapes.
+
+    dtype may be a jnp dtype or the strings "q8_0" / "q4_0" for a
+    quantized cache (int8 or packed-int4 values + f32 per-32-group scales
+    along head_dim — the analog of llama.cpp's type_k/type_v
     cache-quantization, llama-kv-cache.h:188; int4 halves KV HBM again,
     doubling servable context).
     """
-    shape = (cfg.n_layer, batch, max_seq, max(cfg.n_head_kv_max, 1), cfg.hd)
+    shape = (cfg.n_layer, batch, max_seq, max(cfg.n_head_kv_max, 1) * cfg.hd)
     if dtype in ("q8_0", "q4_0"):
-        assert cfg.hd % KV_GROUP == 0, f"head_dim {cfg.hd} % {KV_GROUP}"
-        sshape = shape[:-1] + (cfg.hd // KV_GROUP,)
+        sshape = shape[:-1]  # per-row scales (see _kv_quantize)
         it = jnp.int8 if dtype == "q8_0" else jnp.int4
         return {
             "k": jnp.zeros(shape, it), "k_d": jnp.zeros(sshape, jnp.float32),
@@ -393,33 +400,28 @@ def init_kv_cache(cfg: LlamaConfig, batch: int, max_seq: int, dtype=jnp.bfloat16
 
 
 def _kv_quantize(x, bits: int = 8):
-    """[..., D] f32 -> (int values, f32 scales [..., D/32]).
+    """[..., W] -> (int values [..., W], f32 PER-ROW scales [...]).
 
-    bits=8: Q8_0 style (d = absmax/127, int8).  bits=4: Q4_0 style
-    (quantize_row_q4_0 semantics — d = signed_max/-8, nibbles biased by 8;
-    stored UNbiased in an int4 plane so dequant is a plain q*d... i.e.
-    stored value = quantized nibble - 8, range [-8, 7])."""
+    Per-row granularity is the TPU-native choice: the row scale factors
+    out of both attention contractions, so int8-KV dequantization inside
+    the fused decode kernel is one lane-aligned scaling of the scores and
+    probabilities (ops/decode_attn.py) — zero per-element work.
+    llama.cpp's 32-element blocks (block_q8_0/q4_0 as cache types,
+    llama-kv-cache.h:188) are a CPU-SIMD blocking artifact; the capacity
+    win (1 B/elem + 4 B/row) is the same.
+    """
     xf = x.astype(jnp.float32)
-    g = xf.reshape(*xf.shape[:-1], xf.shape[-1] // KV_GROUP, KV_GROUP)
-    if bits == 4:
-        amax = jnp.max(jnp.abs(g), axis=-1)
-        smax = jnp.take_along_axis(
-            g, jnp.argmax(jnp.abs(g), axis=-1)[..., None], axis=-1)[..., 0]
-        d = smax / -8.0
-        inv = jnp.where(amax > 0, 1.0 / jnp.where(d == 0, 1.0, d), 0.0)
-        q = jnp.clip(jnp.floor(g * inv[..., None] + 8.5), 0, 15) - 8
-        return q.astype(jnp.int4).reshape(x.shape), d
-    amax = jnp.max(jnp.abs(g), axis=-1)
-    d = amax / 127.0
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    qmax = 7.0 if bits == 4 else 127.0
+    d = amax / qmax
     inv = jnp.where(d > 0, 1.0 / jnp.where(d == 0, 1.0, d), 0.0)
-    q = jnp.clip(jnp.round(g * inv[..., None]), -127, 127).astype(jnp.int8)
-    return q.reshape(x.shape), d
+    q = jnp.clip(jnp.round(xf * inv[..., None]), -qmax, qmax)
+    return q.astype(jnp.int4 if bits == 4 else jnp.int8), d
 
 
 def _kv_dequant(q, d, dtype):
-    g = q.astype(jnp.float32).reshape(*q.shape[:-1], q.shape[-1] // KV_GROUP, KV_GROUP)
-    x = g * d[..., None]
-    return x.reshape(q.shape).astype(dtype)
+    """Inverse of _kv_quantize: q [..., W] int, d [...] per-row scales."""
+    return (q.astype(jnp.float32) * d[..., None]).astype(dtype)
 
 
 FLASH_THRESHOLD = 2048  # cache sizes past this use the memory-linear path
@@ -487,21 +489,52 @@ def _attention(cfg: LlamaConfig, q, k_all, v_all, pos_start, T, swa: int = 0,
     return out.reshape(B, n_head, T, hd).transpose(0, 2, 1, 3).reshape(B, T, n_head * hd)
 
 
-def _kv_write(cache_l, new, pos_start):
-    """Write [B, T, H, D] into cache [B, S, H, D] at per-row (or scalar) offset.
+def _fused_decode_layer(cfg, q, k, v, kc, vc, pos_start, nh, nhkv, scale,
+                        swa, is_swa_layer, rope, k_scale=None, v_scale=None):
+    """One decode layer's rope + cache attention through the fused Mosaic
+    kernel (ops/decode_attn.fused_decode_attention).  q/k/v are the raw
+    [B, 1, n] projection outputs; kc/vc the layer's flat cache slices.
+    Returns (attn [B, 1, nh*hd], k_row, v_row) — the fresh rows are
+    written to the cache by the caller (once for all layers)."""
+    from ..ops.basic import rope_freqs
+    from ..ops.decode_attn import fused_decode_attention
 
-    Vector offsets clip into [0, S-1]; a "parked" row (pos = S-1) funnels
-    all its writes into the reserved last slot, which stays masked."""
-    if jnp.ndim(pos_start) == 0:
-        return jax.lax.dynamic_update_slice(
-            cache_l, new.astype(cache_l.dtype), (0, pos_start, 0, 0)
-        )
+    flat = jnp.concatenate([q[:, 0], k[:, 0], v[:, 0]], axis=-1)
+    if cfg.rope_mode == "none" or (cfg.rope_swa_only and not is_swa_layer):
+        invf, ms = None, 1.0
+    else:
+        rope_l = (cfg.rope_params_swa
+                  if (cfg.rope_theta_swa and is_swa_layer) else rope)
+        invf, ms = rope_freqs(rope_l)
+    out, k_r, v_r = fused_decode_attention(
+        flat.astype(jnp.float32), kc, vc, pos_start, invf,
+        k_scale=k_scale, v_scale=v_scale,
+        Hq=nh, Hkv=nhkv, D=cfg.hd, scale=float(scale), mscale=float(ms),
+        swa=int(swa), logit_cap=float(cfg.attn_logit_softcap),
+        n_dims=cfg.rope_n_dims or cfg.hd,
+        interpret=jax.default_backend() != "tpu")
+    return out[:, None, :], k_r, v_r
+
+
+def _kv_write(cache_l, new, pos_start):
+    """Write [B, T, H, D] into a cache layer at per-row (or scalar) offset.
+
+    cache_l may be [B, S, H, D] or flat [B, S, H*D] (llama's layout) —
+    `new`'s trailing head dims are flattened to match.  Vector offsets
+    clip into [0, S-1]; a "parked" row (pos = S-1) funnels all its writes
+    into the reserved last slot, which stays masked."""
     B, T = new.shape[:2]
+    if cache_l.ndim == 3:  # flat cache: collapse [H, D] -> [H*D]
+        new = new.reshape(B, T, -1)
+    new = new.astype(cache_l.dtype)
+    if jnp.ndim(pos_start) == 0:
+        start = (0, pos_start) + (0,) * (cache_l.ndim - 2)
+        return jax.lax.dynamic_update_slice(cache_l, new, start)
     S = cache_l.shape[1]
     rows = jnp.arange(B, dtype=jnp.int32)[:, None]
     cols = jnp.asarray(pos_start, jnp.int32)[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
     cols = jnp.clip(cols, 0, S - 1)
-    return cache_l.at[rows, cols].set(new.astype(cache_l.dtype))
+    return cache_l.at[rows, cols].set(new)
 
 
 def qtensor_rows(qt, start: int, n: int):
@@ -638,8 +671,11 @@ def _dense_ffn(cfg, lw, f, compute_dtype, tap=None, il=0, norm_il=None):
         tap(f"blk.{il}.ffn_up.weight", f)
     if "w_gateup" in lw:
         if norm_il is not None:  # norm folded into the qmm kernel
-            gu2 = qmatmul_normed(f, lw["w_gateup"], norm_il,
-                                 cfg.rms_eps).astype(compute_dtype)
+            # raw fallback weight only valid when it IS the effective norm
+            # weight (gemma stores w-1; the _il plane already carries 1+w)
+            wn_raw = None if cfg.norm_plus_one else lw.get("ffn_norm")
+            gu2 = qmatmul_normed(f, lw["w_gateup"], norm_il, cfg.rms_eps,
+                                 wn=wn_raw).astype(compute_dtype)
         else:
             gu2 = matmul(f, lw["w_gateup"]).astype(compute_dtype)
         ng = cfg.n_ff
@@ -750,6 +786,7 @@ def forward(
 
     scale = cfg.attn_scale or 1.0 / float(np.sqrt(cfg.hd))
     new_k, new_v = [], []
+    fused_kv = []  # (il, k_row, v_row) from the fused decode-attn kernel
     quant_kv = "k_d" in kv_cache
     for il, lw in enumerate(weights["layers"]):
         h_in = h  # layer input (arctic's MoE branch norms THIS, not ffn_inp)
@@ -757,8 +794,10 @@ def forward(
         has_attn = ("wq" in lw or "wqkv" in lw) and nhkv > 0
         # pre-interleaved norm planes (fuse.attach_norm_planes) let the
         # decode path fold the RMSNorm into the qmm kernel itself
-        fuse_attn_norm = ("wqkv" in lw and "attn_norm_il" in lw
-                          and tap is None)
+        fuse_attn_norm = (has_attn and tap is None
+                          and "attn_norm_il" in lw
+                          and ("wqkv" in lw
+                               or ("wqk" in lw and "attn_norm_il_v" in lw)))
         # note: a missing attn_norm tensor still norms when pre_norms (olmo's
         # non-parametric LayerNorm); only deci's attention-free layers skip
         a = (_norm(cfg, h, lw.get("attn_norm"), lw.get("attn_norm_b"))
@@ -793,8 +832,9 @@ def forward(
             nq = nh * cfg.hd
             nk = nv = nhkv * cfg.hd
             if fuse_attn_norm:  # norm folded into the qmm kernel
-                qkv = qmatmul_normed(h, lw["wqkv"], lw["attn_norm_il"],
-                                     cfg.rms_eps)
+                qkv = qmatmul_normed(
+                    h, lw["wqkv"], lw["attn_norm_il"], cfg.rms_eps,
+                    wn=None if cfg.norm_plus_one else lw.get("attn_norm"))
             else:
                 qkv = matmul(a, lw["wqkv"])
             if "bqkv" in lw:
@@ -802,6 +842,19 @@ def forward(
             q = qkv[..., :nq]
             k = qkv[..., nq : nq + nk]
             v = qkv[..., nq + nk :]
+        elif "wqk" in lw:  # mixed-type QKV: fused Q+K, standalone V
+            nq = nh * cfg.hd
+            if fuse_attn_norm:  # both kernels norm in-kernel (same rms)
+                wn_raw = None if cfg.norm_plus_one else lw.get("attn_norm")
+                qk = qmatmul_normed(h, lw["wqk"], lw["attn_norm_il"],
+                                    cfg.rms_eps, wn=wn_raw)
+                v = qmatmul_normed(h, lw["wv"], lw["attn_norm_il_v"],
+                                   cfg.rms_eps, wn=wn_raw)
+            else:
+                qk = matmul(a, lw["wqk"])
+                v = matmul(a, lw["wv"])
+            q = qk[..., :nq]
+            k = qk[..., nq:]
         else:
             q = matmul_lora(a, lw["wq"], lw.get("wq_lora"))
             k = matmul_lora(a, lw["wk"], lw.get("wk_lora"))
@@ -822,63 +875,101 @@ def forward(
             q = jnp.clip(q, -cfg.clamp_qkv, cfg.clamp_qkv)
             k = jnp.clip(k, -cfg.clamp_qkv, cfg.clamp_qkv)
             v = jnp.clip(v, -cfg.clamp_qkv, cfg.clamp_qkv)
-        if ("attn_q_norm" in lw and lw["attn_q_norm"].ndim == 1
-                and lw["attn_q_norm"].shape[-1] != cfg.hd):
-            # olmo2/mpt-style flat QK norms over the whole projection output
-            q = _norm_qk(cfg, q, lw["attn_q_norm"], lw.get("attn_q_norm_b"))
-            k = _norm_qk(cfg, k, lw["attn_k_norm"], lw.get("attn_k_norm_b"))
-            q = q.reshape(B, T, nh, cfg.hd)
-            k = k.reshape(B, T, nhkv, cfg.hd)
-        else:
-            q = q.reshape(B, T, nh, cfg.hd)
-            k = k.reshape(B, T, nhkv, cfg.hd)
-            if "attn_q_norm" in lw:
-                # qwen3/command-r/openelm per-head QK norms ([hd] shared, or
-                # chameleon [n_head, hd] per-head distinct LayerNorms)
-                q = _norm_qk(cfg, q, lw["attn_q_norm"], lw.get("attn_q_norm_b"))
-                k = _norm_qk(cfg, k, lw["attn_k_norm"], lw.get("attn_k_norm_b"))
-        v = v.reshape(B, T, nhkv, cfg.hd)
         is_swa_layer = bool(
             cfg.swa_window and (il % cfg.swa_pattern) != cfg.swa_pattern - 1)
-        if cfg.rope_mode != "none" and not (cfg.rope_swa_only and not is_swa_layer):
-            rope_l = (cfg.rope_params_swa
-                      if (cfg.rope_theta_swa and is_swa_layer) else rope)
-            # one fused rotation over q++k heads (half the rope kernels per
-            # layer; the decode tail is dispatch-bound at ~10us/kernel).
-            # Cache stores rotated K (A.1).
-            qk = apply_rope(jnp.concatenate([q, k], axis=2), positions, rope_l)
-            q, k = qk[:, :, :nh], qk[:, :, nh:]
-        if nhkv < cfg.n_head_kv_max:  # pad into the fixed-width cache
-            padw = [(0, 0)] * 4
-            padw[2] = (0, cfg.n_head_kv_max - nhkv)
-            k = jnp.pad(k, padw)
-            v = jnp.pad(v, padw)
-        if quant_kv:
-            kv_bits = 4 if kv_cache["k"].dtype == jnp.int4 else 8
-            kq, kd = _kv_quantize(k, kv_bits)
-            vq, vd = _kv_quantize(v, kv_bits)
-            k_l = _kv_write(kv_cache["k"][il], kq, pos_start)
-            v_l = _kv_write(kv_cache["v"][il], vq, pos_start)
-            kd_l = _kv_write(kv_cache["k_d"][il], kd, pos_start)
-            vd_l = _kv_write(kv_cache["v_d"][il], vd, pos_start)
-            new_k.append((k_l, kd_l))
-            new_v.append((v_l, vd_l))
-            k_full = _kv_dequant(k_l, kd_l, compute_dtype)
-            v_full = _kv_dequant(v_l, vd_l, compute_dtype)
-        else:
-            k_l = _kv_write(kv_cache["k"][il], k, pos_start)
-            v_l = _kv_write(kv_cache["v"][il], v, pos_start)
-            new_k.append(k_l)
-            new_v.append(v_l)
-            k_full, v_full = k_l, v_l
-        if nhkv < cfg.n_head_kv_max:
-            k_full = k_full[:, :, :nhkv]
-            v_full = v_full[:, :, :nhkv]
         swa = cfg.swa_window if is_swa_layer else 0
-        attn = _attention(
-            cfg, q, k_full, v_full, pos_start, T, swa=swa, scale=scale,
-            logit_softcap=cfg.attn_logit_softcap, causal=causal,
-        ).astype(compute_dtype)
+        # single-token decode hot path: rope + cache attention in ONE Mosaic
+        # launch; the fresh K/V rows collect in fused_kv and are written to
+        # the cache once for all layers after the loop (ops/decode_attn.py;
+        # "norm"-rope models take this path after fuse.permute_rope_neox)
+        use_fused = (
+            T == 1 and tap is None and causal
+            and (not quant_kv or kv_cache["k"].dtype == jnp.int8)
+            and cfg.rope_mode in ("neox", "none")
+            and not cfg.rope_sections and not cfg.alibi_max_bias
+            and nhkv == cfg.n_head_kv_max and nh % nhkv == 0
+            and cfg.hd % 128 == 0 and "attn_q_norm" not in lw
+            and (jax.default_backend() == "tpu" or FUSED_ATTN_INTERPRET)
+        )
+        if use_fused:
+            attn, k_r, v_r = _fused_decode_layer(
+                cfg, q, k, v, kv_cache["k"][il], kv_cache["v"][il],
+                pos_start, nh, nhkv, scale, swa, is_swa_layer, rope,
+                k_scale=kv_cache["k_d"][il] if quant_kv else None,
+                v_scale=kv_cache["v_d"][il] if quant_kv else None)
+            fused_kv.append((il, k_r, v_r))
+            if quant_kv:
+                new_k.append((kv_cache["k"][il], kv_cache["k_d"][il]))
+                new_v.append((kv_cache["v"][il], kv_cache["v_d"][il]))
+            else:
+                new_k.append(kv_cache["k"][il])
+                new_v.append(kv_cache["v"][il])
+            attn = attn.astype(compute_dtype)
+        else:
+            attn = None
+        if attn is None:
+            if ("attn_q_norm" in lw and lw["attn_q_norm"].ndim == 1
+                    and lw["attn_q_norm"].shape[-1] != cfg.hd):
+                # olmo2/mpt-style flat QK norms over the projection output
+                q = _norm_qk(cfg, q, lw["attn_q_norm"], lw.get("attn_q_norm_b"))
+                k = _norm_qk(cfg, k, lw["attn_k_norm"], lw.get("attn_k_norm_b"))
+                q = q.reshape(B, T, nh, cfg.hd)
+                k = k.reshape(B, T, nhkv, cfg.hd)
+            else:
+                q = q.reshape(B, T, nh, cfg.hd)
+                k = k.reshape(B, T, nhkv, cfg.hd)
+                if "attn_q_norm" in lw:
+                    # qwen3/command-r/openelm per-head QK norms ([hd] shared,
+                    # or chameleon [n_head, hd] per-head distinct LayerNorms)
+                    q = _norm_qk(cfg, q, lw["attn_q_norm"], lw.get("attn_q_norm_b"))
+                    k = _norm_qk(cfg, k, lw["attn_k_norm"], lw.get("attn_k_norm_b"))
+            v = v.reshape(B, T, nhkv, cfg.hd)
+            if cfg.rope_mode != "none" and not (cfg.rope_swa_only and not is_swa_layer):
+                rope_l = (cfg.rope_params_swa
+                          if (cfg.rope_theta_swa and is_swa_layer) else rope)
+                # one fused rotation over q++k heads (half the rope kernels
+                # per layer; the decode tail is dispatch-bound at
+                # ~10us/kernel).  Cache stores rotated K (A.1).
+                qk = apply_rope(jnp.concatenate([q, k], axis=2), positions, rope_l)
+                q, k = qk[:, :, :nh], qk[:, :, nh:]
+            if nhkv < cfg.n_head_kv_max:  # pad into the fixed-width cache
+                padw = [(0, 0)] * 4
+                padw[2] = (0, cfg.n_head_kv_max - nhkv)
+                k = jnp.pad(k, padw)
+                v = jnp.pad(v, padw)
+            Hmax = max(cfg.n_head_kv_max, 1)
+            if quant_kv:
+                kv_bits = 4 if kv_cache["k"].dtype == jnp.int4 else 8
+                kq, kd = _kv_quantize(k.reshape(B, T, -1), kv_bits)
+                vq, vd = _kv_quantize(v.reshape(B, T, -1), kv_bits)
+                k_l = _kv_write(kv_cache["k"][il], kq, pos_start)
+                v_l = _kv_write(kv_cache["v"][il], vq, pos_start)
+                kd_l = _kv_write(kv_cache["k_d"][il], kd, pos_start)
+                vd_l = _kv_write(kv_cache["v_d"][il], vd, pos_start)
+                new_k.append((k_l, kd_l))
+                new_v.append((v_l, vd_l))
+                S = k_l.shape[1]
+                k_full = _kv_dequant(k_l, kd_l,
+                                     compute_dtype).reshape(B, S, Hmax,
+                                                            cfg.hd)
+                v_full = _kv_dequant(v_l, vd_l,
+                                     compute_dtype).reshape(B, S, Hmax,
+                                                            cfg.hd)
+            else:
+                k_l = _kv_write(kv_cache["k"][il], k, pos_start)
+                v_l = _kv_write(kv_cache["v"][il], v, pos_start)
+                new_k.append(k_l)
+                new_v.append(v_l)
+                S = k_l.shape[1]
+                k_full = k_l.reshape(B, S, Hmax, cfg.hd)
+                v_full = v_l.reshape(B, S, Hmax, cfg.hd)
+            if nhkv < cfg.n_head_kv_max:
+                k_full = k_full[:, :, :nhkv]
+                v_full = v_full[:, :, :nhkv]
+            attn = _attention(
+                cfg, q, k_full, v_full, pos_start, T, swa=swa, scale=scale,
+                logit_softcap=cfg.attn_logit_softcap, causal=causal,
+            ).astype(compute_dtype)
         if tap is not None:
             tap(f"blk.{il}.attn_output.weight", attn)
         if "attn_sub_norm" in lw:
@@ -923,6 +1014,39 @@ def forward(
         }
     else:
         kv_cache = {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
+    if fused_kv:
+        # ONE cache write for all fused layers (the per-layer writes the
+        # XLA path pays ~10us each for); parked rows clip into slot S-1
+        S = kv_cache["k"].shape[2]
+        ks = jnp.stack([kr for _, kr, _ in fused_kv])  # [F, B, HD] f32
+        vs = jnp.stack([vr for _, _, vr in fused_kv])
+        planes = [("k", ks), ("v", vs)]
+        if quant_kv:  # quantize the fresh rows once for all layers
+            kv_bits = 4 if kv_cache["k"].dtype == jnp.int4 else 8
+            kq, kd = _kv_quantize(ks, kv_bits)
+            vq, vd = _kv_quantize(vs, kv_bits)
+            planes = [("k", kq), ("v", vq), ("k_d", kd), ("v_d", vd)]
+        whole = (jnp.ndim(pos_start) == 0
+                 and len(fused_kv) == len(weights["layers"]))
+        for name, rows_f in planes:
+            dst = kv_cache[name]
+            rows_f = jnp.expand_dims(rows_f.astype(dst.dtype), 2)  # [F,B,1,..]
+            if whole:
+                # the common whole-model case: one dynamic_update_slice
+                # (XLA scatters are slow; DUS is an in-place store)
+                start = (0, 0, pos_start) + (0,) * (dst.ndim - 3)
+                kv_cache[name] = jax.lax.dynamic_update_slice(
+                    dst, rows_f, start)
+            else:
+                pos_vec = jnp.clip(
+                    jnp.broadcast_to(jnp.reshape(
+                        jnp.asarray(pos_start, jnp.int32), (-1,)), (B,)),
+                    0, S - 1)
+                ils = jnp.asarray([i for i, _, _ in fused_kv])[:, None]
+                rws = jnp.arange(B, dtype=jnp.int32)[None, :]
+                cols = jnp.broadcast_to(pos_vec[None, :],
+                                        (len(fused_kv), B))
+                kv_cache[name] = dst.at[ils, rws, cols].set(rows_f[:, :, 0])
     h = _norm(cfg, h, weights["output_norm"], weights.get("output_norm_b"))
     if not logits_all:
         if logits_idx is not None:

@@ -255,12 +255,14 @@ def qmatmul(x, qt: QTensor, out_dtype=jnp.float32, compute_dtype=jnp.bfloat16,
 
 
 def qmatmul_normed(x, qt: QTensor, wn_il, eps: float,
-                   out_dtype=jnp.float32, **kw):
+                   out_dtype=jnp.float32, wn=None, **kw):
     """RMSNorm + quantized matmul, fused in-kernel on the fast path.
 
     wn_il: norm weight pre-interleaved to qt's qmm_fast column layout
     (models/fuse.py attach_norm_planes).  Anywhere the fast kernel doesn't
-    apply, the norm runs as a plain XLA op on the un-interleaved weight."""
+    apply, the norm runs as a plain XLA op — on `wn` (the original
+    un-interleaved weight, statically known at load) when the caller
+    provides it, else by un-interleaving wn_il inside the traced graph."""
     from .basic import rms_norm
     from .qmm_fast import (MAX_FAST_BATCH, qmatmul_fast_normed,
                            uninterleave_norm)
@@ -270,5 +272,7 @@ def qmatmul_normed(x, qt: QTensor, wn_il, eps: float,
             B <= MAX_FAST_BATCH or qt.q is None):
         return qmatmul_fast_normed(x, qt, wn_il, eps, out_dtype=out_dtype,
                                    **kw)
-    xn = rms_norm(x, uninterleave_norm(wn_il, qt.cfg.gs), eps)
+    if wn is None:
+        wn = uninterleave_norm(wn_il, qt.cfg.gs)
+    xn = rms_norm(x, wn, eps)
     return qmatmul(xn, qt, out_dtype, **kw)

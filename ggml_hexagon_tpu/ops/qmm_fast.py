@@ -318,9 +318,11 @@ def _pick_blocks(B: int, K: int, nibble: bool, gs: int):
     if nibble and B <= 8 and G <= 128:
         # decode GEMV sweet spot measured on-chip (tools/kernel_lab.py):
         # bn=1024 beats 2048 (485 vs 413 GB/s on the 28672x4096 gate-up
-        # shape); block columns capped at 2048.  Same fixed-cost VMEM
-        # accounting as the general loop (bias plane + norm weight) so
-        # biased formats on unusual shapes can't blow the scoped budget.
+        # shape); block columns capped at 2048.  The budget here is the
+        # v5e's real VMEM (~128 MB; hardware-validated at 24+ MB of unpack
+        # intermediates in round 1) — the conservative 13 MB general-loop
+        # budget would force a K-split, which forfeits the fused-norm
+        # kernel (it needs the full K in one block).
         bn = 1024
         for p in valid:
             cols = (K // 2) // p
@@ -328,7 +330,7 @@ def _pick_blocks(B: int, K: int, nibble: bool, gs: int):
                 continue
             fixed = 2 * bn * G * 2 * 2 + B * bn * 4 + K * 4
             blk = (B * (K // p) * 2 + bn * cols) * 2
-            if fixed + blk + 12 * bn * cols <= limit:
+            if fixed + blk + 12 * bn * cols <= 96 * 1024 * 1024:
                 return bn, p
     for bn in (512, 256, 128):
         # scale + (possible) bias plane blocks, double-buffered, + out

@@ -93,8 +93,10 @@ def shard_pipeline(weights: dict, kv: dict, mesh: Mesh):
         "output": jax.tree.map(lambda x: put(x, P()), weights["output"]),
         "layers_stacked": stacked,
     }
-    kv_spec = (P("pp", None, None, "tp", None) if tp > 1 else
-               P("pp", None, None, None, None))
+    # flat KV cache [L, B, S, H*hd]: the head shard boundary stays aligned
+    # because tp <= n_head_kv (heads divide the flat dim evenly)
+    kv_spec = (P("pp", None, None, "tp") if tp > 1 else
+               P("pp", None, None, None))
     kv = {k: put(v, kv_spec) for k, v in kv.items()}
     return pw, kv
 
@@ -128,7 +130,9 @@ def _layer(cfg, lw, h, kv_k, kv_v, positions, pos_start, T, scale,
     k = apply_rope(k, positions, cfg.rope_params)
     k_l = _kv_write(kv_k, k, pos_start)
     v_l = _kv_write(kv_v, v, pos_start)
-    attn = _attention(cfg, q, k_l, v_l, pos_start, T,
+    S = k_l.shape[1]
+    attn = _attention(cfg, q, k_l.reshape(b, S, nhkv_loc, cfg.hd),
+                      v_l.reshape(b, S, nhkv_loc, cfg.hd), pos_start, T,
                       scale=scale).astype(compute_dtype)
     attn_out = matmul(attn, _localize(lw["wo"]))
     if tp > 1:
@@ -231,8 +235,8 @@ def pipeline_forward(cfg, pweights, tokens, kv, pos_start, mesh: Mesh,
         key: jax.tree.map(lambda x, k=key: wspec(k, x), val)
         for key, val in pweights["layers_stacked"].items()
     }
-    kv_spec = (P("pp", None, None, "tp", None) if tp > 1
-               else P("pp", None, None, None, None))
+    kv_spec = (P("pp", None, None, "tp") if tp > 1
+               else P("pp", None, None, None))
     outputs, kv_k, kv_v = jax.shard_map(
         stage_prog, mesh=mesh,
         in_specs=(in_layer_specs, P(), kv_spec, kv_spec),

@@ -114,8 +114,9 @@ def shard_llama_weights(weights: dict, cfg, mesh: Mesh) -> dict:
 
 
 def shard_kv_cache(kv: dict, mesh: Mesh) -> dict:
-    """KV cache [L, B, S, H_kv, hd]: batch over dp, heads over tp."""
-    spec = P(None, "dp", None, "tp", None)
+    """KV cache [L, B, S, H_kv*hd] (flat head dim): batch over dp, heads
+    over tp — tp <= n_head_kv keeps shard boundaries head-aligned."""
+    spec = P(None, "dp", None, "tp")
     return {k: jax.device_put(v, NamedSharding(mesh, spec)) for k, v in kv.items()}
 
 

@@ -162,6 +162,29 @@ class QTensor:
         return QTensor(self.cfg, self.n, self.k, self.q, self.d, self.qh,
                        self.sc, self.dmin, self.m, fq, fs, fb)
 
+    def take_rows(self, perm) -> "QTensor":
+        """Reorder the n output-feature rows by `perm` (len n, a
+        permutation of range(n)).  Every plane's leading axis is the
+        output-feature axis, so wire AND fast planes gather consistently;
+        padding rows beyond n stay in place.  Works for host (numpy) and
+        device (jax) planes alike."""
+        import jax.numpy as jnp
+
+        perm = np.asarray(perm, np.int64)
+        assert perm.size == self.n, (perm.size, self.n)
+
+        def g(a):
+            if a is None:
+                return None
+            xp = np if isinstance(a, np.ndarray) else jnp
+            full = xp.concatenate(
+                [xp.asarray(perm), xp.arange(perm.size, a.shape[0])])
+            return a[full]
+
+        return QTensor(self.cfg, self.n, self.k, g(self.q), g(self.d),
+                       g(self.qh), g(self.sc), g(self.dmin), g(self.m),
+                       g(self.fq), g(self.fs), g(self.fb))
+
     def without_wire(self) -> "QTensor":
         """Drop the wire planes from HBM (keeps the qmm_fast planes).
         Halves device memory for matmul weights; dequantize_jax then

@@ -59,11 +59,12 @@ class Engine:
     ):
         if hasattr(cfg, "resolve_rope_factors"):
             cfg = cfg.resolve_rope_factors(max_seq)  # phi3 longrope long/short
-        self.cfg = cfg
         if fuse:
-            from ..models.fuse import fuse_weights
+            from ..models.fuse import fuse_weights, permute_rope_neox
 
+            weights, cfg = permute_rope_neox(weights, cfg)
             weights = fuse_weights(weights, cfg)
+        self.cfg = cfg
         self.weights = weights
         self.vocab = vocab
         self.tokenizer = build_tokenizer(vocab) if vocab and vocab.tokens else None
@@ -95,8 +96,9 @@ class Engine:
         from ..quant.pack import drop_wire_planes
 
         if fuse:
-            from ..models.fuse import fuse_weights
+            from ..models.fuse import fuse_weights, permute_rope_neox
 
+            weights, cfg = permute_rope_neox(weights, cfg)
             weights = fuse_weights(weights, cfg)
         weights = drop_wire_planes(weights)
         eng = cls(cfg, weights, vocab, **kw)

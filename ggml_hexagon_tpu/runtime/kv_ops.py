@@ -32,39 +32,41 @@ def kv_shift(cfg: LlamaConfig, kv: dict, n_keep: int, n_discard: int, n_past):
     Returns the new cache; caller rewinds n_past by n_discard.
     Slots beyond the new n_past keep stale data — masked off by attention.
     """
-    k, v = kv["k"], kv["v"]  # [L, B, S, H, D]
+    k, v = kv["k"], kv["v"]  # [L, B, S, H*D] (flat head dim)
     S = k.shape[2]
     src = n_keep + n_discard
     quant = "k_d" in kv
+    H = max(cfg.n_head_kv_max, 1)
+    D = cfg.hd
 
-    moved_k = k[:, :, src:, :, :]
+    moved_k = k[:, :, src:, :]
+    L, B, M = moved_k.shape[:3]
     if quant:  # dequantize the moved K rows before re-rotating
         from ..models.llama import _kv_dequant, _kv_quantize
 
         bits = 4 if k.dtype == jnp.int4 else 8
         moved_k = _kv_dequant(moved_k, kv["k_d"][:, :, src:], jnp.float32)
     # re-rotate: moved K gets position delta -n_discard applied on top
-    L, B, M, H, D = moved_k.shape
     delta = jnp.full((1, M), -n_discard, dtype=jnp.int32)
     mk = moved_k.reshape(L * B, M, H, D)
     mk = apply_rope(mk, delta, cfg.rope_params)
-    moved_k = mk.reshape(L, B, M, H, D)
-    moved_v = v[:, :, src:, :, :]
+    moved_k = mk.reshape(L, B, M, H * D)
+    moved_v = v[:, :, src:, :]
 
     if quant:
-        moved_k, moved_kd = _kv_quantize(moved_k, bits)
+        moved_kq, moved_kd = _kv_quantize(moved_k, bits)
         out = {
             "k": jax.lax.dynamic_update_slice(
-                k, moved_k.astype(k.dtype), (0, 0, n_keep, 0, 0)),
-            "v": jax.lax.dynamic_update_slice(v, moved_v, (0, 0, n_keep, 0, 0)),
+                k, moved_kq.astype(k.dtype), (0, 0, n_keep, 0)),
+            "v": jax.lax.dynamic_update_slice(v, moved_v, (0, 0, n_keep, 0)),
             "k_d": jax.lax.dynamic_update_slice(
-                kv["k_d"], moved_kd, (0, 0, n_keep, 0, 0)),
+                kv["k_d"], moved_kd, (0, 0, n_keep)),
             "v_d": jax.lax.dynamic_update_slice(
-                kv["v_d"], kv["v_d"][:, :, src:], (0, 0, n_keep, 0, 0)),
+                kv["v_d"], kv["v_d"][:, :, src:], (0, 0, n_keep)),
         }
         return out
-    k = jax.lax.dynamic_update_slice(k, moved_k.astype(k.dtype), (0, 0, n_keep, 0, 0))
-    v = jax.lax.dynamic_update_slice(v, moved_v, (0, 0, n_keep, 0, 0))
+    k = jax.lax.dynamic_update_slice(k, moved_k.astype(k.dtype), (0, 0, n_keep, 0))
+    v = jax.lax.dynamic_update_slice(v, moved_v, (0, 0, n_keep, 0))
     return {"k": k, "v": v}
 
 

@@ -143,7 +143,9 @@ def test_quantized_kv_cache_close_to_f32(tiny_hf_model, our_model):
                           logits_all=True, compute_dtype=jnp.float32)
     assert set(new_kv) == {"k", "k_d", "v", "v_d"}
     a, b = np.asarray(out), np.asarray(ref)
-    assert np.corrcoef(a.reshape(-1), b.reshape(-1))[0, 1] > 0.9999
+    # per-row int8 scales (see _kv_quantize) are slightly coarser than the
+    # old 32-group planes; correlation stays within quantization noise
+    assert np.corrcoef(a.reshape(-1), b.reshape(-1))[0, 1] > 0.999
     # prefill+decode equivalence with quantized cache
     _, kv = forward(cfg, weights, jnp.asarray(ids[:, :8], jnp.int32),
                     init_kv_cache(cfg, 1, 16, "q8_0"), 0, compute_dtype=jnp.float32)
@@ -190,19 +192,14 @@ def test_q4_kv_cache(our_model):
     cfg, weights = our_model
     rng = np.random.default_rng(6)
 
-    # unit check: matches ggml quantize_row_q4_0/dequantize_row_q4_0
+    # unit check: per-row symmetric int4 round trip (|err| <= amax/14;
+    # per-row scales are the TPU-native cache format — _kv_quantize doc)
     x = rng.standard_normal((2, 64)).astype(np.float32)
     q, d = _kv_quantize(jnp.asarray(x), bits=4)
     assert q.dtype == jnp.int4
     back = np.asarray(_kv_dequant(q, d, jnp.float32))
-    from ggml_hexagon_tpu.quant import ref_numpy
-    from ggml_hexagon_tpu.quant.formats import GGMLType
-    want = ref_numpy.dequantize(
-        np.frombuffer(bytes(ref_numpy.quantize(x.reshape(-1), GGMLType.Q4_0)),
-                      np.uint8), GGMLType.Q4_0, x.size).reshape(x.shape)
-    # wire Q4_0 rounds d to f16; the in-cache plane keeps f32 scales
-    # (strictly more accurate), so allow the f16-rounding gap only
-    np.testing.assert_allclose(back, want, rtol=5e-4, atol=5e-4)
+    amax = np.abs(x).max(axis=-1, keepdims=True)
+    assert (np.abs(back - x) <= amax / 14.0 + 1e-6).all()
 
     ids = rng.integers(0, 512, size=(1, 12))
     ref, _ = forward(cfg, weights, jnp.asarray(ids, jnp.int32),
@@ -214,7 +211,7 @@ def test_q4_kv_cache(our_model):
     assert new_kv["k"].dtype == jnp.int4
     a, b = np.asarray(out), np.asarray(ref)
     # 4-bit cache on an untrained random model: looser than q8_0's 0.9999
-    assert np.corrcoef(a.reshape(-1), b.reshape(-1))[0, 1] > 0.99
+    assert np.corrcoef(a.reshape(-1), b.reshape(-1))[0, 1] > 0.97
     # prefill+decode equivalence with the int4 cache
     _, kv = forward(cfg, weights, jnp.asarray(ids[:, :8], jnp.int32),
                     init_kv_cache(cfg, 1, 16, "q4_0"), 0,
