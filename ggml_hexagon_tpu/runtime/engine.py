@@ -25,6 +25,13 @@ from .sampling import SamplerChain, greedy_chain
 PREFILL_BUCKETS = (8, 32, 128, 512)
 
 
+class ContextOverflowError(RuntimeError):
+    """Graded decode failure: the request does not fit the context window
+    (the reference's positive llama_decode status 1 — KV full — which the
+    server maps to a client error / retry, server.cpp:3202-3214).  Callers
+    can catch and context-shift or reject instead of crashing."""
+
+
 @dataclass
 class PerfCounters:
     """llama_perf_context-style counters (t_* in seconds)."""
@@ -191,7 +198,9 @@ class Engine:
                 ids = ids[:, common:]
                 B, T = ids.shape
         assert B == self.batch, f"engine batch {self.batch} vs prompt batch {B}"
-        assert self.n_past + T <= self.max_seq, "context overflow"
+        if self.n_past + T > self.max_seq:
+            raise ContextOverflowError(
+                f"prompt needs {self.n_past + T} slots, window {self.max_seq}")
         if B == 1:
             self.cached_tokens = self.cached_tokens[: self.n_past] + ids[0].tolist()
         t0 = time.perf_counter()
@@ -245,7 +254,9 @@ class Engine:
         assert self.batch == 1
         ids = np.asarray(tokens, dtype=np.int32).reshape(-1)
         T = ids.size
-        assert self.n_past + T <= self.max_seq, "context overflow"
+        if self.n_past + T > self.max_seq:
+            raise ContextOverflowError(
+                f"prompt needs {self.n_past + T} slots, window {self.max_seq}")
         bucket = 1
         while bucket < T:
             bucket *= 2

@@ -46,6 +46,7 @@ class Slot:
     n_prompt_done: int = 0
     n_past: int = 0
     generated: list = field(default_factory=list)
+    settled: list = field(default_factory=list)  # tokens whose rows are cached
     n_predict: int = 0
     sampler: Optional[SamplerChain] = None
     stop_ids: set = field(default_factory=set)
@@ -64,10 +65,49 @@ class Slot:
         self.n_prompt_done = 0
         self.n_past = 0
         self.generated = []
+        self.settled = []
         self.sampler = None
         self.pending_logits = None
         self.finish_reason = ""
         self.n_decoded = 0
+
+
+class DraftModel:
+    """Per-slot draft state for server-side speculative decoding — the
+    analog of the reference's shared draft model + per-slot draft context
+    (server.cpp:1901-1933; slot.can_speculate + speculative branch
+    :3269+).  One small model, one batched KV cache with the same slot
+    layout as the target; proposals run as k greedy [B, 1] forwards."""
+
+    def __init__(self, cfg, weights, n_slots: int, max_seq: int,
+                 compute_dtype=jnp.bfloat16, kv_dtype=jnp.bfloat16):
+        self.cfg = cfg
+        self.weights = weights
+        self.kv = init_kv_cache(cfg, n_slots, max_seq, kv_dtype)
+        self.n_past = np.zeros(n_slots, np.int64)  # settled tokens in KV
+        self.max_seq = max_seq
+        self._fwd = jax.jit(
+            partial(forward, cfg, compute_dtype=compute_dtype),
+            static_argnames=("logits_all",),
+            donate_argnames=("kv_cache",),
+        )
+
+    @classmethod
+    def from_gguf(cls, path: str, n_slots: int, max_seq: int):
+        from ..gguf.reader import GGUFReader
+        from ..models.fuse import fuse_weights, permute_rope_neox
+        from ..models.llama import load_llama_weights
+        from ..quant.pack import drop_wire_planes
+
+        with GGUFReader.open(path) as r:
+            cfg, weights = load_llama_weights(r)
+        weights, cfg = permute_rope_neox(weights, cfg)
+        weights = fuse_weights(weights, cfg)
+        weights = drop_wire_planes(weights)
+        return cls(cfg, weights, n_slots, max_seq)
+
+    def reset_slot(self, slot_id: int):
+        self.n_past[slot_id] = 0
 
 
 class BatchEngine:
@@ -75,7 +115,10 @@ class BatchEngine:
 
     def __init__(self, cfg: LlamaConfig, weights: dict, vocab=None,
                  n_slots: int = 4, max_seq: int = 1024,
-                 kv_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16):
+                 kv_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
+                 draft: Optional[DraftModel] = None, n_draft: int = 8,
+                 draft_p_min: float = 0.75, ctx_shift: bool = False,
+                 n_keep: int = 0):
         self.cfg = cfg
         self.weights = weights
         self.vocab = vocab
@@ -84,8 +127,17 @@ class BatchEngine:
         self.kv = init_kv_cache(cfg, n_slots, max_seq, kv_dtype)
         self.slots = [Slot(i) for i in range(n_slots)]
         self.park_pos = max_seq - 1
+        self.draft = draft
+        self.n_draft = n_draft
+        self.draft_p_min = draft_p_min
+        # context-shift-on-overflow instead of finishing (server ctx_shift:
+        # slots survive longer-than-window conversations, server.cpp
+        # slot.params.n_keep + n_discard halving)
+        self.ctx_shift = ctx_shift
+        self.n_keep = n_keep
         self._fwd = jax.jit(
             partial(forward, cfg, compute_dtype=compute_dtype),
+            static_argnames=("logits_all",),
             donate_argnames=("kv_cache",),
         )
         self.lock = threading.Lock()
@@ -93,6 +145,7 @@ class BatchEngine:
         self.metrics = {
             "n_requests": 0, "n_tokens_generated": 0, "n_prompt_tokens": 0,
             "t_decode": 0.0, "t_prompt": 0.0,
+            "n_draft_proposed": 0, "n_draft_accepted": 0, "n_ctx_shifts": 0,
         }
 
     @classmethod
@@ -133,6 +186,7 @@ class BatchEngine:
         slot.reset()
         slot.state = SlotState.PROMPT
         slot.prompt = req["prompt"]
+        slot.settled = list(req["prompt"])
         slot.n_predict = req["n_predict"]
         slot.sampler = req["sampler"]
         slot.stop_ids = req["stop_ids"]
@@ -140,6 +194,8 @@ class BatchEngine:
         slot.out_queue = req["out"]
         slot.t_start = time.perf_counter()
         self.metrics["n_prompt_tokens"] += len(slot.prompt)
+        if self.draft is not None:
+            self.draft.reset_slot(slot.id)
 
     # -- scheduler tick (update_slots analog) --------------------------------
 
@@ -188,6 +244,14 @@ class BatchEngine:
             self.weights, jnp.asarray(tokens), self.kv, jnp.asarray(pos),
             logits_idx=jnp.asarray(idx),
         )
+        if self.draft is not None:
+            # mirror the prompt into the draft KV (reference: the draft
+            # context re-evaluates the slot prompt, server.cpp:3269+)
+            _, self.draft.kv = self.draft._fwd(
+                self.draft.weights, jnp.asarray(tokens), self.draft.kv,
+                jnp.asarray(pos), logits_idx=jnp.asarray(idx))
+            for s, take in active:
+                self.draft.n_past[s.id] = s.n_past + take
         logits = np.asarray(logits)
         for s, take in active:
             s.n_prompt_done += take
@@ -212,6 +276,10 @@ class BatchEngine:
         if not to_decode:
             self.metrics["t_decode"] += time.perf_counter() - t0
             return
+        if self.draft is not None:
+            self._spec_decode(to_decode)
+            self.metrics["t_decode"] += time.perf_counter() - t0
+            return
         tokens = np.zeros((B, 1), dtype=np.int32)
         pos = np.full(B, self.park_pos, dtype=np.int32)
         for s, tok in to_decode:
@@ -226,11 +294,127 @@ class BatchEngine:
             s.pending_logits = logits[s.id]
         self.metrics["t_decode"] += time.perf_counter() - t0
 
+    # -- speculative decoding (per-slot draft, server.cpp:3269+ analog) ------
+
+    def _spec_decode(self, to_decode):
+        """One speculative round for every decoding slot: the draft
+        proposes up to n_draft greedy tokens per slot (early-stopped on
+        p_min), the target scores [cur]+draft in ONE [B, 1+k] forward, and
+        each slot accepts its longest agreeing prefix — multi-token emits
+        per tick (common_sampler_sample_and_accept_n semantics)."""
+        B = self.n_slots
+        d = self.draft
+        k = self.n_draft
+        # 1. draft catch-up: feed settled tokens the draft hasn't seen
+        #    (the previous round's accepted/correction tokens)
+        for _ in range(64):  # bounded; lag is ~1-2 tokens per round
+            lags = []
+            for s, tok in to_decode:
+                settled = s.settled
+                lag = len(settled) - int(d.n_past[s.id])
+                if lag > 0:
+                    lags.append((s, settled[int(d.n_past[s.id])]))
+            if not lags:
+                break
+            tokens = np.zeros((B, 1), np.int32)
+            pos = np.full(B, d.max_seq - 1, np.int32)
+            for s, nxt in lags:
+                tokens[s.id, 0] = nxt
+                pos[s.id] = int(d.n_past[s.id])
+            dl, d.kv = d._fwd(d.weights, jnp.asarray(tokens), d.kv,
+                              jnp.asarray(pos))
+            d_logits = np.asarray(dl)
+            for s, _ in lags:
+                d.n_past[s.id] += 1
+        # 2. propose: k greedy draft steps, all slots batched; per-slot
+        #    early stop when the draft's confidence drops below p_min
+        proposals = {s.id: [] for s, _ in to_decode}
+        alive = {s.id for s, _ in to_decode}
+        # seed: the draft's next-token distribution after [..settled, cur]
+        tokens = np.zeros((B, 1), np.int32)
+        pos = np.full(B, d.max_seq - 1, np.int32)
+        for s, tok in to_decode:
+            tokens[s.id, 0] = tok
+            pos[s.id] = int(d.n_past[s.id])
+        dl, d.kv = d._fwd(d.weights, jnp.asarray(tokens), d.kv,
+                          jnp.asarray(pos))
+        d_logits = np.asarray(dl)
+        d_written = {s.id: 1 for s, _ in to_decode}  # cur row in draft KV
+        for step in range(k):
+            tokens = np.zeros((B, 1), np.int32)
+            pos = np.full(B, d.max_seq - 1, np.int32)
+            for s, _ in to_decode:
+                if s.id not in alive:
+                    continue
+                row = d_logits[s.id]
+                e = np.exp(row - row.max())
+                p = e / e.sum()
+                top = int(np.argmax(p))
+                if p[top] < self.draft_p_min:
+                    alive.discard(s.id)
+                    continue
+                proposals[s.id].append(top)
+                tokens[s.id, 0] = top
+                pos[s.id] = int(d.n_past[s.id]) + d_written[s.id]
+            if not alive or step == k - 1:
+                break
+            dl, d.kv = d._fwd(d.weights, jnp.asarray(tokens), d.kv,
+                              jnp.asarray(pos))
+            d_logits = np.asarray(dl)
+            for s, _ in to_decode:
+                if s.id in alive:
+                    d_written[s.id] += 1
+        n_prop = max((len(v) for v in proposals.values()), default=0)
+        self.metrics["n_draft_proposed"] += sum(map(len, proposals.values()))
+        # 3. target verification: ONE [B, 1+n_prop] forward, all positions
+        width = 1 + n_prop
+        tokens = np.zeros((B, width), np.int32)
+        pos = np.full(B, self.park_pos, np.int32)
+        for s, tok in to_decode:
+            row = [tok] + proposals[s.id]
+            tokens[s.id, : len(row)] = row
+            pos[s.id] = s.n_past
+        logits, self.kv = self._fwd(
+            self.weights, jnp.asarray(tokens), self.kv, jnp.asarray(pos),
+            logits_all=True)
+        logits = np.asarray(logits)
+        # 4. accept the longest agreeing prefix per slot
+        for s, tok in to_decode:
+            prop = proposals[s.id]
+            accepted = []
+            for i, dtok in enumerate(prop):
+                t_tok = s.sampler.sample(logits[s.id, i])
+                if t_tok == dtok:
+                    accepted.append(dtok)
+                else:
+                    accepted.append(t_tok)  # target's correction
+                    break
+            else:
+                accepted.append(s.sampler.sample(logits[s.id, len(prop)]))
+            n_agree = sum(1 for i, dtok in enumerate(prop)
+                          if i < len(accepted) and accepted[i] == dtok)
+            self.metrics["n_draft_accepted"] += n_agree
+            # rows beyond the accepted frontier are stale; masking hides
+            # them and later writes overwrite (the reference's seq_rm)
+            s.n_past += len(accepted)
+            s.pending_logits = logits[s.id, len(accepted) - 1]
+            # draft rows for cur + the agreeing prefix are already correct
+            # in its KV — advance its frontier so catch-up only re-feeds
+            # the correction token (the reference's prompt-reuse)
+            d.n_past[s.id] += 1 + min(n_agree,
+                                      max(d_written.get(s.id, 1) - 1, 0))
+            for a in accepted[:-1]:
+                if self._emit(s, a) or s.state != SlotState.GENERATING:
+                    break
+            # accepted[-1] stays unemitted: it is re-sampled as next
+            # round's `cur` from pending_logits (matching _decode_tick)
+
     def _emit(self, s: Slot, tok: int) -> bool:
         """Deliver a sampled token; returns True when the slot finished."""
         if tok in s.stop_ids:
             return self._finish(s, "stop")
         s.generated.append(tok)
+        s.settled.append(tok)
         s.n_decoded += 1
         self.metrics["n_tokens_generated"] += 1
         s.out_queue.put((tok, None))
@@ -240,9 +424,44 @@ class BatchEngine:
                 return self._finish(s, "stop_string")
         if s.n_decoded >= s.n_predict:
             return self._finish(s, "length")
-        if s.n_past + 1 >= self.max_seq - 1:
+        spec_room = 1 + (self.n_draft if self.draft is not None else 0)
+        if s.n_past + spec_room >= self.max_seq - 1:
+            if self.ctx_shift:
+                # survive a longer-than-window conversation by discarding
+                # half the evictable prefix (server.cpp ctx-shift:
+                # n_discard = (n_past - n_keep)/2, positions re-rotated)
+                n_keep = min(self.n_keep, s.n_past - 2)
+                n_discard = max((s.n_past - n_keep) // 2, 1)
+                self.shift_slot(s.id, n_keep, n_discard)
+                self.metrics["n_ctx_shifts"] += 1
+                return False
             return self._finish(s, "context_full")
         return False
+
+    def shift_slot(self, slot_id: int, n_keep: int, n_discard: int):
+        """Per-slot context shift on the shared batched cache: the slot's
+        rows are sliced out, shifted with K re-rotation (kv_ops.kv_shift),
+        and written back; other slots untouched."""
+        from ..runtime.kv_ops import kv_shift
+
+        s = self.slots[slot_id]
+        # explicit copies: kv_shift donates its input, and an identity
+        # slice (n_slots == 1) would alias — and delete — the live cache
+        sub = {name: jnp.copy(arr[:, slot_id : slot_id + 1])
+               for name, arr in self.kv.items()}
+        sub = kv_shift(self.cfg, sub, n_keep, n_discard, s.n_past)
+        for name, arr in sub.items():
+            self.kv[name] = self.kv[name].at[:, slot_id : slot_id + 1].set(arr)
+        s.n_past -= n_discard
+        if self.draft is not None:
+            # the draft cache re-syncs via catch-up from the shifted
+            # frontier; simplest correct state is a full re-feed
+            self.draft.reset_slot(slot_id)
+            # catch-up would replay the whole history; cap by re-feeding
+            # only from n_keep is unsafe after rotation — accept the cost
+        # the settled-token list mirrors the cache content (the
+        # reference's slot.cache_tokens)
+        s.settled = s.settled[:n_keep] + s.settled[n_keep + n_discard :]
 
     def _finish(self, s: Slot, reason: str) -> bool:
         s.finish_reason = reason

@@ -517,7 +517,11 @@ def make_handler(server: InferenceServer):
                 else:
                     self._json(404, {"error": "not found"})
             except Exception as e:  # noqa: BLE001 — surface as HTTP 500
-                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                from ..runtime.engine import ContextOverflowError
+
+                code = 400 if isinstance(
+                    e, (ContextOverflowError, ValueError)) else 500
+                self._json(code, {"error": f"{type(e).__name__}: {e}"})
 
         def _embeddings(self, body, openai: bool):
             prompt = body.get("input", body.get("content"))
@@ -676,7 +680,8 @@ def make_handler(server: InferenceServer):
 
 def build_server(gguf_path: str, n_slots: int = 4, max_seq: int = 2048,
                  api_key: str | None = None, lora: list | None = None,
-                 **engine_kw) -> InferenceServer:
+                 draft_path: str | None = None, n_draft: int = 8,
+                 ctx_shift: bool = False, **engine_kw) -> InferenceServer:
     """Construct the right server for the model: decoder GGUFs get the
     continuous-batching engine, bert-family GGUFs get embedding/rerank mode."""
     from ..gguf.reader import GGUFReader
@@ -687,8 +692,15 @@ def build_server(gguf_path: str, n_slots: int = 4, max_seq: int = 2048,
         return InferenceServer(None, api_key=api_key,
                                embed_core=EmbeddingCore(gguf_path),
                                model_path=gguf_path)
+    draft = None
+    if draft_path:
+        from .batch_engine import DraftModel
+
+        draft = DraftModel.from_gguf(draft_path, n_slots, max_seq)
     engine = BatchEngine.from_gguf(gguf_path, n_slots=n_slots,
-                                   max_seq=max_seq, **engine_kw)
+                                   max_seq=max_seq, draft=draft,
+                                   n_draft=n_draft, ctx_shift=ctx_shift,
+                                   **engine_kw)
     return InferenceServer(engine, api_key=api_key, model_path=gguf_path,
                            lora_paths=lora)
 
@@ -719,9 +731,16 @@ def main(argv=None):
     p.add_argument("--lora", action="append", default=None,
                    metavar="PATH[:SCALE]",
                    help="LoRA adapter GGUF (repeatable)")
+    p.add_argument("-md", "--model-draft", default=None,
+                   help="draft model GGUF for speculative decoding")
+    p.add_argument("--draft-max", type=int, default=8,
+                   help="max draft tokens per round")
+    p.add_argument("--ctx-shift", action="store_true",
+                   help="context-shift full slots instead of finishing")
     a = p.parse_args(argv)
     serve(a.model, a.host, a.port, a.slots, a.ctx_size,
-          api_key=a.api_key, lora=a.lora)
+          api_key=a.api_key, lora=a.lora, draft_path=a.model_draft,
+          n_draft=a.draft_max, ctx_shift=a.ctx_shift)
 
 
 if __name__ == "__main__":
