@@ -36,8 +36,17 @@ def cmd_generate(args):
         import jax.numpy as jnp
 
         kv_dtype = getattr(jnp, kv_dtype)
+    import os as _os
+
+    cd_kw = {}
+    if _os.environ.get("GHT_COMPUTE_F32"):  # parity runs: match llama.cpp f32
+        import jax.numpy as _jnp
+
+        cd_kw = dict(compute_dtype=_jnp.float32)
+        if kv_dtype not in ("q8_0", "q4_0"):
+            kv_dtype = _jnp.float32
     eng = Engine.from_gguf(args.model, max_seq=args.ctx_size,
-                           kv_dtype=kv_dtype, fuse=True)
+                           kv_dtype=kv_dtype, fuse=True, **cd_kw)
     if args.prompt_tokens:
         ids = [int(t) for t in args.prompt_tokens.replace(",", " ").split()]
     elif args.prompt is None:
@@ -273,6 +282,8 @@ def cmd_passkey(args):
     from .runtime import Engine, make_chain
 
     eng = Engine.from_gguf(args.model, max_seq=args.ctx_size)
+    if getattr(args, "grp_attn_n", 1) > 1:
+        eng.enable_self_extend(args.grp_attn_n, args.grp_attn_w)
     junk = ("The grass is green. The sky is blue. The sun is yellow. "
             "Here we go. There and back again. ")
     key = str(args.passkey)
@@ -542,14 +553,48 @@ def cmd_perplexity(args):
         vocab = Vocab.from_gguf(r.metadata)
     text = open(args.file).read() if args.file else sys.stdin.read()
     tok = build_tokenizer(vocab)
+    if getattr(args, "hellaswag", False):
+        from .runtime.evaluate import hellaswag
+
+        res = hellaswag(cfg, weights, text, tok,
+                        n_tasks=args.hellaswag_tasks,
+                        progress=lambda r: print(
+                            f"{r.n_done}\t{100*r.acc:.8f}", file=sys.stderr))
+        print(json.dumps({"hellaswag_acc": res.acc, "sigma": res.sigma,
+                          "tasks": res.n_done}))
+        return 0
+    if getattr(args, "winogrande", False):
+        from .runtime.evaluate import winogrande
+
+        res = winogrande(cfg, weights, text, tok,
+                         n_tasks=args.winogrande_tasks,
+                         progress=lambda r: print(
+                             f"{r.n_done}\t{100*r.acc:.4f}", file=sys.stderr))
+        print(json.dumps({"winogrande_acc": res.acc, "sigma": res.sigma,
+                          "tasks": res.n_done}))
+        return 0
+    if getattr(args, "multiple_choice", False):
+        from .runtime.evaluate import multiple_choice
+
+        res = multiple_choice(cfg, weights, text, tok,
+                              n_tasks=args.multiple_choice_tasks)
+        print(json.dumps({"multiple_choice_acc": res.acc,
+                          "sigma": res.sigma, "tasks": res.n_done}))
+        return 0
     ids = tok.encode(text, add_bos=False)
     print(f"{len(ids)} tokens, n_ctx={args.ctx_size}", file=sys.stderr)
 
     def progress(i, n, ppl):
         print(f"[{i}/{n}] ppl={ppl:.4f}", file=sys.stderr)
 
+    import os as _os
+
+    import jax.numpy as _jnp
+
+    cd = _jnp.float32 if _os.environ.get("GHT_PPL_F32") else _jnp.bfloat16
     res = perplexity(cfg, weights, ids, n_ctx=args.ctx_size,
-                     bos_id=vocab.bos_id, progress=progress)
+                     bos_id=vocab.bos_id, progress=progress,
+                     compute_dtype=cd)
     print(json.dumps({"ppl": res.ppl, "err": res.err, "tokens": res.nll_count}))
     return 0
 
@@ -820,6 +865,10 @@ def build_parser():
     pk.add_argument("--pos", type=int, default=-1)
     pk.add_argument("-n", "--n-predict", type=int, default=16)
     pk.add_argument("-c", "--ctx-size", type=int, default=8192)
+    pk.add_argument("--grp-attn-n", type=int, default=1,
+                    help="self-extend group factor (main.cpp --grp-attn-n)")
+    pk.add_argument("--grp-attn-w", type=int, default=512,
+                    help="self-extend window (main.cpp --grp-attn-w)")
     pk.set_defaults(fn=cmd_passkey)
 
     sl = sub.add_parser("save-load-state", help="state round-trip check")
@@ -903,10 +952,20 @@ def build_parser():
     q.add_argument("--imatrix")
     q.set_defaults(fn=cmd_quantize)
 
-    pp = sub.add_parser("perplexity", help="perplexity over a text file")
+    pp = sub.add_parser("perplexity",
+                        help="perplexity / benchmark scoring over a file")
     pp.add_argument("-m", "--model", required=True)
     pp.add_argument("-f", "--file")
     pp.add_argument("-c", "--ctx-size", type=int, default=512)
+    pp.add_argument("--hellaswag", action="store_true",
+                    help="score HellaSwag acc_norm (6-line-per-task file)")
+    pp.add_argument("--hellaswag-tasks", type=int, default=400)
+    pp.add_argument("--winogrande", action="store_true",
+                    help="score Winogrande (CSV tasks file)")
+    pp.add_argument("--winogrande-tasks", type=int, default=None)
+    pp.add_argument("--multiple-choice", action="store_true",
+                    help="score multiple-choice JSON tasks (MMLU-class)")
+    pp.add_argument("--multiple-choice-tasks", type=int, default=None)
     pp.set_defaults(fn=cmd_perplexity)
 
     im = sub.add_parser("imatrix", help="collect importance matrix")
@@ -981,6 +1040,14 @@ def build_parser():
 
 
 def main(argv=None):
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        # the axon TPU plugin ignores the env var; the config route wins
+        # (lets JAX_PLATFORMS=cpu subprocesses actually run on CPU)
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     args = build_parser().parse_args(argv)
     return args.fn(args)
 

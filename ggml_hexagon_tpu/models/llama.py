@@ -429,7 +429,7 @@ FLASH_THRESHOLD = 2048  # cache sizes past this use the memory-linear path
 
 def _attention(cfg: LlamaConfig, q, k_all, v_all, pos_start, T, swa: int = 0,
                scale: float = 0.0, logit_softcap: float = 0.0,
-               causal: bool = True):
+               causal: bool = True, cache_pos=None):
     from ..ops.basic import alibi_slopes
 
     """GQA attention over the cache prefix.
@@ -438,20 +438,20 @@ def _attention(cfg: LlamaConfig, q, k_all, v_all, pos_start, T, swa: int = 0,
     pos_start: scalar or [B] per-row cache offsets (continuous batching).
     Mask: token t of row b may attend cache slot s iff s <= pos_b + t
     (and, with sliding-window attention, pos_b + t - s < swa).
+    cache_pos [B|1, S]: explicit per-slot POSITIONS when they diverge from
+    slot indices (self-extend / grouped attention, llama_kv_self_seq_div —
+    unwritten slots carry a large sentinel so they stay masked; with it,
+    pos_start is the query tokens' POSITION, not the write slot).
     """
     B, _, n_head, hd = q.shape
     S = k_all.shape[1]
     n_kv = k_all.shape[2]  # per-layer KV head count (deci/openelm vary it)
     group = n_head // n_kv
     qg = q.transpose(0, 2, 1, 3).reshape(B, n_kv, group, T, hd)
-    # NB: a fused single-token Mosaic kernel exists
-    # (ops/attention.decode_attention_pallas, conformance-tested) but
-    # measured neutral on the chip (81.6 vs 81.7 t/s on the 8B bench) —
-    # XLA already fuses the T=1 scores/mask/softmax chain well, so the
-    # einsum path stays the single production path.
     k = k_all.transpose(0, 2, 1, 3)  # [B, n_kv, S, hd]
     v = v_all.transpose(0, 2, 1, 3)
-    if S >= FLASH_THRESHOLD and S % 512 == 0 and not cfg.alibi_max_bias:
+    if (S >= FLASH_THRESHOLD and S % 512 == 0 and not cfg.alibi_max_bias
+            and cache_pos is None):
         from ..ops.attention import flash_attention_cache
 
         out = flash_attention_cache(
@@ -463,7 +463,11 @@ def _attention(cfg: LlamaConfig, q, k_all, v_all, pos_start, T, swa: int = 0,
             .reshape(B, T, n_head * hd)
         )
     scores = jnp.einsum("bhgtd,bhsd->bhgts", qg, k, preferred_element_type=jnp.float32)
-    s_idx = jax.lax.broadcasted_iota(jnp.int32, (T, S), 1)[None]
+    if cache_pos is not None:
+        s_idx = jnp.asarray(cache_pos, jnp.int32)[:, None, :]  # [B|1,1,S]
+        s_idx = jnp.broadcast_to(s_idx, (s_idx.shape[0], T, S))
+    else:
+        s_idx = jax.lax.broadcasted_iota(jnp.int32, (T, S), 1)[None]
     t_idx = jax.lax.broadcasted_iota(jnp.int32, (T, S), 0)[None]
     pos_b = jnp.reshape(jnp.asarray(pos_start, jnp.int32), (-1, 1, 1))  # [B|1,1,1]
     if causal:
@@ -748,6 +752,8 @@ def forward(
     logits_idx=None,  # [B] per-row position whose logits to return
     input_embeds=None,  # [B, T, n_embd]: raw embeddings (llava image splice)
     causal: bool = True,  # llama_set_causal_attn analog (gritlm embedding)
+    cache_pos=None,  # [B|1, S] explicit slot POSITIONS (self-extend)
+    write_pos=None,  # storage slot for new rows when != pos_start
 ):
     """One decoder step over T new tokens.  Returns (logits, new_kv_cache).
 
@@ -766,6 +772,8 @@ def forward(
         B, T = input_embeds.shape[:2]
     else:
         B, T = tokens.shape
+    if write_pos is None:
+        write_pos = pos_start
     rope = cfg.rope_params
     # pos_start: scalar, or [B] per-row offsets (continuous batching)
     pos_vec = jnp.reshape(jnp.asarray(pos_start, jnp.int32), (-1, 1))
@@ -889,6 +897,7 @@ def forward(
             and not cfg.rope_sections and not cfg.alibi_max_bias
             and nhkv == cfg.n_head_kv_max and nh % nhkv == 0
             and cfg.hd % 128 == 0 and "attn_q_norm" not in lw
+            and cache_pos is None and write_pos is pos_start
             and (jax.default_backend() == "tpu" or FUSED_ATTN_INTERPRET)
         )
         if use_fused:
@@ -942,10 +951,10 @@ def forward(
                 kv_bits = 4 if kv_cache["k"].dtype == jnp.int4 else 8
                 kq, kd = _kv_quantize(k.reshape(B, T, -1), kv_bits)
                 vq, vd = _kv_quantize(v.reshape(B, T, -1), kv_bits)
-                k_l = _kv_write(kv_cache["k"][il], kq, pos_start)
-                v_l = _kv_write(kv_cache["v"][il], vq, pos_start)
-                kd_l = _kv_write(kv_cache["k_d"][il], kd, pos_start)
-                vd_l = _kv_write(kv_cache["v_d"][il], vd, pos_start)
+                k_l = _kv_write(kv_cache["k"][il], kq, write_pos)
+                v_l = _kv_write(kv_cache["v"][il], vq, write_pos)
+                kd_l = _kv_write(kv_cache["k_d"][il], kd, write_pos)
+                vd_l = _kv_write(kv_cache["v_d"][il], vd, write_pos)
                 new_k.append((k_l, kd_l))
                 new_v.append((v_l, vd_l))
                 S = k_l.shape[1]
@@ -956,8 +965,8 @@ def forward(
                                      compute_dtype).reshape(B, S, Hmax,
                                                             cfg.hd)
             else:
-                k_l = _kv_write(kv_cache["k"][il], k, pos_start)
-                v_l = _kv_write(kv_cache["v"][il], v, pos_start)
+                k_l = _kv_write(kv_cache["k"][il], k, write_pos)
+                v_l = _kv_write(kv_cache["v"][il], v, write_pos)
                 new_k.append(k_l)
                 new_v.append(v_l)
                 S = k_l.shape[1]
@@ -969,6 +978,7 @@ def forward(
             attn = _attention(
                 cfg, q, k_full, v_full, pos_start, T, swa=swa, scale=scale,
                 logit_softcap=cfg.attn_logit_softcap, causal=causal,
+                cache_pos=cache_pos,
             ).astype(compute_dtype)
         if tap is not None:
             tap(f"blk.{il}.attn_output.weight", attn)

@@ -307,6 +307,10 @@ def _byte_kernel(reps: int, nkj: int, eps, has_bias: bool,
 def _pick_blocks(B: int, K: int, nibble: bool, gs: int):
     """-> (bn, nkj): row block + K-split whose working set fits VMEM.
 
+    GHT_QMM_BN / GHT_QMM_NKJ env vars override the decode branch for
+    whole-model bench ablations (tools/shape_sweep.py's isolated numbers
+    are invalid: XLA pins loop-invariant weights in VMEM when they fit).
+
     Budget: double-buffered x/q/scale blocks + output block + the kernel
     body's stack (int32 unpack intermediates, bf16 casts, scale tile —
     ~12 B/packed-col nibble, ~6 B/col byte).  Valid splits must divide
@@ -323,7 +327,12 @@ def _pick_blocks(B: int, K: int, nibble: bool, gs: int):
         # intermediates in round 1) — the conservative 13 MB general-loop
         # budget would force a K-split, which forfeits the fused-norm
         # kernel (it needs the full K in one block).
-        bn = 1024
+        import os
+
+        bn = int(os.environ.get("GHT_QMM_BN", "1024"))
+        nkj_env = os.environ.get("GHT_QMM_NKJ")
+        if nkj_env is not None and int(nkj_env) in valid:
+            return bn, int(nkj_env)
         for p in valid:
             cols = (K // 2) // p
             if cols > 2048:

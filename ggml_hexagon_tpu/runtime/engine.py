@@ -154,6 +154,70 @@ class Engine:
 
         load_state(self, path)
 
+    # -- self-extend / grouped attention (llama-cli --grp-attn-n/-w) --------
+
+    def enable_self_extend(self, ga_n: int, ga_w: int):
+        """Grouped-attention self-extend (examples/main/main.cpp ga loop,
+        llama_kv_self_seq_div, llama.h:718): groups of ga_w positions
+        compress by factor ga_n as the context grows, so ~ga_n times the
+        trained window stays inside trained position range.  Positions
+        decouple from storage slots: the engine keeps an explicit
+        cache_pos array and the forward masks/ropes against it."""
+        assert self.batch == 1 and self.n_past == 0
+        assert ga_w % ga_n == 0, "grp-attn-w must be a multiple of grp-attn-n"
+        self.ga_n, self.ga_w, self.ga_i = ga_n, ga_w, 0
+        self.pos_head = 0
+        self.cache_pos = np.full((1, self.max_seq), 2 ** 29, np.int32)
+
+    def _self_extend_step(self):
+        """The main.cpp transformation (seq_add / seq_div / seq_add),
+        applied to the position array with one per-slot K re-rotation."""
+        from .kv_ops import kv_rerotate
+
+        ga_n, ga_w = self.ga_n, self.ga_w
+        while self.pos_head >= self.ga_i + ga_w:
+            ga_i = self.ga_i
+            ib = (ga_n * ga_i) // ga_w
+            bd = (ga_w // ga_n) * (ga_n - 1)
+            dd = (ga_w // ga_n) - ib * bd - ga_i
+            pos = self.cache_pos[0].astype(np.int64)
+            live = np.arange(self.max_seq) < self.n_past
+            p = pos.copy()
+            sel = live & (p >= ga_i) & (p < self.pos_head)
+            p[sel] += ib * bd
+            sel = live & (p >= ga_i + ib * bd) & (p < ga_i + ib * bd + ga_w)
+            p[sel] //= ga_n
+            sel = live & (p >= ga_i + ib * bd + ga_w) & (
+                p < self.pos_head + ib * bd)
+            p[sel] += dd
+            deltas = (p - pos).astype(np.int32)
+            if deltas.any():
+                self.kv = kv_rerotate(self.cfg, self.kv, jnp.asarray(deltas)[None])
+            self.cache_pos[0] = p.astype(np.int32)
+            self.pos_head -= bd
+            self.ga_i += ga_w // ga_n
+
+    def _pos_arg(self):
+        if getattr(self, "ga_n", 0):
+            return jnp.int32(self.pos_head)
+        return jnp.int32(self.n_past)
+
+    def _se_kwargs(self, take: int = 1):
+        """Pre-forward self-extend bookkeeping: run the transformation
+        loop, then stamp the incoming tokens' positions so the forward's
+        mask can see the freshly written rows."""
+        if not getattr(self, "ga_n", 0):
+            return {}
+        self._self_extend_step()
+        self.cache_pos[0, self.n_past : self.n_past + take] = np.arange(
+            self.pos_head, self.pos_head + take, dtype=np.int32)
+        return dict(cache_pos=jnp.asarray(self.cache_pos),
+                    write_pos=jnp.int32(self.n_past))
+
+    def _advance_pos(self, T: int):
+        if getattr(self, "ga_n", 0):
+            self.pos_head += T
+
     # -- decoding ------------------------------------------------------------
 
     def _chunks(self, n: int):
@@ -210,11 +274,13 @@ class Engine:
             chunk = ids[:, off : off + take]
             if take < bucket:  # pad tail chunk; garbage KV slots stay masked
                 chunk = np.pad(chunk, ((0, 0), (0, bucket - take)))
+            kw = self._se_kwargs(take)
             out, self.kv = self._fwd(
                 self.weights, jnp.asarray(chunk), self.kv,
-                jnp.int32(self.n_past), logits_all=True
+                self._pos_arg(), logits_all=True, **kw
             )
             logits = np.asarray(out[:, take - 1, :])
+            self._advance_pos(take)
             self.n_past += take
             off += take
         jax.block_until_ready(self.kv["k"])
@@ -273,9 +339,12 @@ class Engine:
         """One decode step for [B] tokens -> last-position logits [B, V]."""
         t0 = time.perf_counter()
         tok = jnp.asarray(np.asarray(tokens, dtype=np.int32).reshape(self.batch, 1))
+        kw = self._se_kwargs(1)
         logits, self.kv = self._fwd(
-            self.weights, tok, self.kv, jnp.int32(self.n_past), logits_all=False
+            self.weights, tok, self.kv, self._pos_arg(), logits_all=False,
+            **kw
         )
+        self._advance_pos(1)
         self.n_past += 1
         if self.batch == 1:
             self.cached_tokens.append(int(tokens.reshape(-1)[0]))

@@ -56,7 +56,13 @@ def perplexity(
     cfg, weights, tokens, n_ctx: int = 512, bos_id: int | None = 1,
     compute_dtype=jnp.bfloat16, progress=None,
 ) -> PerplexityResult:
-    tokens = list(tokens)
+    # exact reference protocol (perplexity.cpp:460-650, verified
+    # token-for-token against a CPU build via tools/parity.py):
+    # the corpus stream carries ONE leading BOS; each n_ctx chunk is
+    # evaluated with its first token REPLACED by BOS (original restored
+    # for the next chunk's stream), and NLL covers chunk positions
+    # first+1 .. n_ctx-1 (n_ctx - 1 - first targets per chunk)
+    tokens = ([bos_id] + list(tokens)) if bos_id is not None else list(tokens)
     n_chunk = len(tokens) // n_ctx
     assert n_chunk >= 1, f"need >= {n_ctx} tokens, have {len(tokens)}"
     first = n_ctx // 2
@@ -67,10 +73,10 @@ def perplexity(
     for c in range(n_chunk):
         chunk = tokens[c * n_ctx : (c + 1) * n_ctx]
         if bos_id is not None:
-            chunk = [bos_id] + chunk[:-1]  # BOS replaces first (ppl.cpp:508)
+            chunk = [bos_id] + chunk[1:]
         lps, _ = _chunk_logprobs(cfg, weights, chunk, compute_dtype)
-        # predict positions first..n_ctx-1 (logits index j predicts token j+1)
-        sel = lps[first - 1 :] if bos_id is None else lps[first - 1 :]
+        # lps[j] scores chunk[j+1]; targets are positions first+1..n_ctx-1
+        sel = lps[first:]
         for v in sel:
             nll += -float(v)
             nll2 += float(v) * float(v)
@@ -170,3 +176,186 @@ class IMatrixCollector:
     def load(path: str) -> dict[str, np.ndarray]:
         z = np.load(path)
         return {n: z[n] for n in z.files if not n.startswith("__count__")}
+
+
+# ---------------------------------------------------------------------------
+# Multiple-choice benchmark scoring (HellaSwag / Winogrande / MMLU-class)
+# ---------------------------------------------------------------------------
+# Reference protocols: examples/perplexity/perplexity.cpp —
+# hellaswag_score (:741-997), winogrande_score (:1084-1292),
+# multiple_choice_score (:1388-1669).  Each candidate continuation is
+# scored by the MEAN token log-probability of its tokens past the common
+# prefix (the first continuation token is scored from the last prefix
+# logit); the candidate with the maximum mean wins.  We evaluate each
+# candidate sequence with an independent full forward (identical scores;
+# the reference's shared-prefix multi-sequence batch is a throughput
+# optimization, not a scoring difference).
+
+
+@dataclass
+class ScoreResult:
+    n_done: int
+    n_correct: int
+
+    @property
+    def acc(self) -> float:
+        return self.n_correct / self.n_done if self.n_done else 0.0
+
+    @property
+    def sigma(self) -> float:
+        """100 * sqrt(p(1-p)/(n-1)) — the reference's reported error."""
+        if self.n_done < 2:
+            return 0.0
+        p = self.acc
+        return 100.0 * math.sqrt(p * (1 - p) / (self.n_done - 1))
+
+    def __str__(self):
+        return f"{100*self.acc:.4f} +/- {self.sigma:.4f} ({self.n_done} tasks)"
+
+
+def _seq_logprobs(cfg, weights, ids, compute_dtype):
+    """Full-sequence next-token logprob rows: lp[t-1, ids[t]] scores token t."""
+    lps, _ = _chunk_logprobs(cfg, weights, ids, compute_dtype)
+    return lps  # [T-1] logprob of each next token
+
+
+def _mean_continuation_logprob(cfg, weights, ids, start: int, end: int,
+                               compute_dtype):
+    """Mean logprob of tokens ids[start:end] given their prefixes."""
+    lps = _seq_logprobs(cfg, weights, ids, compute_dtype)
+    span = lps[start - 1 : end - 1]
+    return float(np.sum(span)) / max(len(span), 1)
+
+
+def _common_prefix(seqs) -> int:
+    cp = 0
+    for toks in zip(*seqs):
+        if any(t != toks[0] for t in toks):
+            break
+        cp += 1
+    return min(cp, min(len(s) for s in seqs) - 1)
+
+
+def score_choice_tasks(cfg, weights, tasks, tokenizer, bos: bool = True,
+                       compute_dtype=jnp.bfloat16, progress=None,
+                       joiner: str = " ") -> ScoreResult:
+    """tasks: [(context, [candidates...], gold_idx)].  The hellaswag /
+    multiple-choice scoring core (acc_norm: mean-logprob argmax)."""
+    res = ScoreResult(0, 0)
+    for context, cands, gold in tasks:
+        seqs = [tokenizer.encode(context + joiner + c, add_bos=bos)
+                for c in cands]
+        cp = _common_prefix(seqs)
+        scores = [
+            _mean_continuation_logprob(cfg, weights, s, cp, len(s),
+                                       compute_dtype)
+            for s in seqs
+        ]
+        res.n_done += 1
+        res.n_correct += int(int(np.argmax(scores)) == gold)
+        if progress:
+            progress(res)
+    return res
+
+
+def parse_hellaswag(text: str, n_tasks: int | None = None, seed: int = 1):
+    """The reference's 6-lines-per-task layout (perplexity.cpp:752-761):
+    context / gold index / 4 endings.  Task selection is randomized like
+    the reference (different PRNG stream; the score converges identically,
+    perplexity.cpp:783 'the random seed should not impact the result')."""
+    import random
+
+    lines = text.splitlines()
+    assert len(lines) % 6 == 0, "hellaswag input must be 6 lines per task"
+    tasks = []
+    for i in range(0, len(lines), 6):
+        tasks.append((lines[i], lines[i + 2 : i + 6], int(lines[i + 1])))
+    if n_tasks is not None and n_tasks < len(tasks):
+        rng = random.Random(seed)
+        tasks = rng.sample(tasks, n_tasks)
+    return tasks
+
+
+def hellaswag(cfg, weights, text: str, tokenizer, n_tasks: int | None = None,
+              compute_dtype=jnp.bfloat16, progress=None) -> ScoreResult:
+    return score_choice_tasks(cfg, weights, parse_hellaswag(text, n_tasks),
+                              tokenizer, compute_dtype=compute_dtype,
+                              progress=progress)
+
+
+def parse_winogrande_csv(text: str):
+    """index,sentence-with-_,choice1,choice2,answer(1|2) CSV
+    (load_winogrande_from_csv, perplexity.cpp:1014-1074)."""
+    import csv
+    import io
+
+    out = []
+    for row in csv.reader(io.StringIO(text)):
+        if len(row) < 5:
+            continue
+        _, sentence, c1, c2, ans = row[:5]
+        if "_" not in sentence:
+            continue
+        first, second = sentence.split("_", 1)
+        out.append((first, second, c1, c2, int(ans)))
+    return out
+
+
+def winogrande(cfg, weights, text: str, tokenizer, n_tasks: int | None = None,
+               compute_dtype=jnp.bfloat16, progress=None) -> ScoreResult:
+    """Winogrande scoring (winogrande_score, perplexity.cpp:1084-1292):
+    each choice fills the blank; the score is the mean logprob of the
+    SECOND sentence part after the choice.  When either trailing part is
+    k_min_trailing_ctx (=3) tokens or shorter, scoring falls back to all
+    tokens past the common prefix.  (We always score with each sequence's
+    own correct logits; the reference notes a FIXME for its batched
+    variant's non-skip path.)"""
+    entries = parse_winogrande_csv(text)
+    if n_tasks is not None:
+        entries = entries[:n_tasks]
+    K_MIN_TRAILING = 3
+    res = ScoreResult(0, 0)
+    for first, second, c1, c2, answer in entries:
+        seqs = []
+        n_bases = []
+        for choice in (c1, c2):
+            seqs.append(tokenizer.encode(first + choice + second,
+                                         add_bos=True))
+            n_bases.append(len(tokenizer.encode(first + choice,
+                                                add_bos=True)))
+        cp = _common_prefix(seqs)
+        skip_choice = all(len(s) - cp > K_MIN_TRAILING for s in seqs)
+        scores = []
+        for s, n_base in zip(seqs, n_bases):
+            start = n_base if skip_choice else cp
+            # drop the final token from scoring when >1 trailing token
+            # (perplexity.cpp:1221 last_1st/last_2nd)
+            last = 1 if len(s) - start > 1 else 0
+            scores.append(_mean_continuation_logprob(
+                cfg, weights, s, start, len(s) - last, compute_dtype))
+        got = 1 if scores[0] > scores[1] else 2
+        res.n_done += 1
+        res.n_correct += int(got == answer)
+        if progress:
+            progress(res)
+    return res
+
+
+def multiple_choice(cfg, weights, tasks_json, tokenizer,
+                    n_tasks: int | None = None,
+                    compute_dtype=jnp.bfloat16, progress=None) -> ScoreResult:
+    """MMLU-class scoring (multiple_choice_score, perplexity.cpp:1388):
+    tasks_json is a JSON list of {"question", "answers": [..],
+    "label": gold_index (0-based)}; same mean-logprob scoring as
+    hellaswag with a variable answer count."""
+    import json as _json
+
+    tasks = tasks_json
+    if isinstance(tasks, (str, bytes)):
+        tasks = _json.loads(tasks)
+    parsed = [(t["question"], list(t["answers"]), int(t["label"]))
+              for t in tasks]
+    if n_tasks is not None:
+        parsed = parsed[:n_tasks]
+    return score_choice_tasks(cfg, weights, parsed, tokenizer,
+                              compute_dtype=compute_dtype, progress=progress)

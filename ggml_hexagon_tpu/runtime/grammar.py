@@ -314,13 +314,29 @@ class GrammarSampler:
 
     name = "grammar"
 
-    def __init__(self, grammar: Grammar, vocab_texts: list[str], eos_id: int):
+    def __init__(self, grammar: Grammar, vocab_texts: list[str], eos_id: int,
+                 lazy: bool = False, trigger_patterns: list | None = None,
+                 trigger_tokens: list | None = None):
         self.grammar = grammar
         self.vocab_texts = vocab_texts
         self.eos_id = eos_id
+        # lazy activation (llama_sampler_init_grammar_lazy_patterns,
+        # include/llama.h:1298-1308; accept semantics
+        # src/llama-grammar.cpp:1116-1160): while awaiting a trigger the
+        # grammar is inert; a trigger TOKEN activates it feeding that
+        # token's text, a trigger PATTERN full-matching the buffered output
+        # activates it feeding from the first capture group
+        import re
+
+        self.lazy = lazy
+        self.awaiting_trigger = lazy
+        self.trigger_buffer = ""
+        self.trigger_tokens = set(trigger_tokens or [])
+        self.trigger_patterns = [re.compile(p, re.DOTALL)
+                                 for p in (trigger_patterns or [])]
 
     @classmethod
-    def from_vocab(cls, grammar: Grammar, vocab) -> "GrammarSampler":
+    def from_vocab(cls, grammar: Grammar, vocab, **lazy_kw) -> "GrammarSampler":
         """Build using *surface* token texts: SPM space-escape undone, byte
         tokens as latin-1 chars, control tokens blanked (so they're masked).
         (The reference feeds decoded codepoints; partial-UTF8 accumulation
@@ -333,14 +349,18 @@ class GrammarSampler:
                 texts.append("")
             else:
                 texts.append(t.replace("▁", " "))
-        return cls(grammar, texts, vocab.eos_id)
+        return cls(grammar, texts, vocab.eos_id, **lazy_kw)
 
     def reset(self):
         self.grammar = Grammar(self.grammar.rules, self.grammar.root)
+        self.awaiting_trigger = self.lazy
+        self.trigger_buffer = ""
 
     def apply(self, cand):
         """Mask every token whose text the PDA rejects (the reference
         validates the full candidate array, llama_grammar_apply_impl)."""
+        if self.awaiting_trigger:  # inert until triggered (grammar.cpp:1121)
+            return
         logits = cand.logits
         allowed_any = False
         for tid in range(logits.shape[0]):
@@ -364,6 +384,24 @@ class GrammarSampler:
         cand.probs = None
 
     def accept(self, token: int):
+        if self.awaiting_trigger:
+            piece = self.vocab_texts[token]
+            if token in self.trigger_tokens:
+                self.awaiting_trigger = False
+                self.trigger_buffer = ""
+                self.grammar.accept_text(piece)
+                return
+            self.trigger_buffer += piece
+            for pat in self.trigger_patterns:
+                m = pat.fullmatch(self.trigger_buffer)
+                if m:
+                    self.awaiting_trigger = False
+                    start = m.start(1) if m.lastindex else 0
+                    constrained = self.trigger_buffer[start:]
+                    self.trigger_buffer = ""
+                    self.grammar.accept_text(constrained)
+                    return
+            return
         if token == self.eos_id:
             return
         self.grammar.accept_text(self.vocab_texts[token])

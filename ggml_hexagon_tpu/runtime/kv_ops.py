@@ -138,3 +138,39 @@ def load_state(engine, f) -> None:
         }
     engine.n_past = int(meta["n_past"])
     engine.cached_tokens = list(meta.get("cached_tokens", []))
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("kv",))
+def kv_rerotate(cfg: LlamaConfig, kv: dict, deltas):
+    """Re-rotate cached K rows by PER-SLOT position deltas [B, S].
+
+    The general form of the context-shift rotation (the cache stores
+    rotated K, SURVEY §A.1): llama_kv_self_seq_add applies a uniform
+    delta, llama_kv_self_seq_div (self-extend / grouped attention,
+    llama.h:718) a position-dependent one — both are one incremental
+    rotation per slot.  Zero-delta slots are exact no-ops for dense
+    caches (cos 0 = 1); quantized caches re-round (within q8 noise).
+    """
+    k = kv["k"]  # [L, B, S, H*D]
+    H = max(cfg.n_head_kv_max, 1)
+    D = cfg.hd
+    L, B, S = k.shape[:3]
+    quant = "k_d" in kv
+    if quant:
+        from ..models.llama import _kv_dequant, _kv_quantize
+
+        bits = 4 if k.dtype == jnp.int4 else 8
+        kk = _kv_dequant(k, kv["k_d"], jnp.float32)
+    else:
+        kk = k.astype(jnp.float32)
+    x = kk.reshape(L, B, S, H, D)
+    pos = jnp.asarray(deltas, jnp.int32)[None]  # [1, B, S] broadcasts over L
+    rot = apply_rope(x, pos, cfg.rope_params).reshape(L, B, S, H * D)
+    out = dict(kv)
+    if quant:
+        q, d = _kv_quantize(rot, bits)
+        out["k"] = q.astype(k.dtype)
+        out["k_d"] = d
+    else:
+        out["k"] = rot.astype(k.dtype)
+    return out

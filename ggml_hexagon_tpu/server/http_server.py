@@ -175,12 +175,28 @@ class InferenceServer:
 
     def _make_sampler(self, body: dict):
         grammar_sampler = None
+        # lazy activation (llama-server grammar_lazy/grammar_triggers):
+        # the grammar stays inert until a trigger pattern/token appears —
+        # how tool-call grammars avoid constraining normal prose
+        lazy_kw = {}
+        if body.get("grammar_lazy"):
+            trig = body.get("grammar_triggers", [])
+            lazy_kw = dict(
+                lazy=True,
+                trigger_patterns=[t.get("value", t) if isinstance(t, dict)
+                                  else t for t in trig
+                                  if not isinstance(t, dict)
+                                  or t.get("type", "pattern") != "token"],
+                trigger_tokens=[t["token"] for t in trig
+                                if isinstance(t, dict) and "token" in t])
         if body.get("json_schema"):
             g = parse_gbnf(json_schema_to_gbnf(body["json_schema"]))
-            grammar_sampler = GrammarSampler.from_vocab(g, self.engine.vocab)
+            grammar_sampler = GrammarSampler.from_vocab(g, self.engine.vocab,
+                                                        **lazy_kw)
         elif body.get("grammar"):
             g = parse_gbnf(body["grammar"])
-            grammar_sampler = GrammarSampler.from_vocab(g, self.engine.vocab)
+            grammar_sampler = GrammarSampler.from_vocab(g, self.engine.vocab,
+                                                        **lazy_kw)
         return make_chain(
             temp=float(body.get("temperature", 0.8)),
             top_k=int(body.get("top_k", 40)),

@@ -70,7 +70,10 @@ def test_perplexity_protocol(f16_gguf):
     rng = np.random.default_rng(0)
     toks = rng.integers(3, 255, size=64).tolist()
     res = perplexity(cfg, weights, toks, n_ctx=32, bos_id=1, compute_dtype=jnp.float32)
-    assert res.nll_count == 2 * (32 - 32 // 2)  # 2 chunks, second half each
+    # reference protocol: n_ctx - 1 - first targets per chunk
+    # (perplexity.cpp process_logits span; verified vs a CPU build of the
+    # reference by tools/parity.py)
+    assert res.nll_count == 2 * (32 - 1 - 32 // 2)
     assert 1.0 < res.ppl < 10 * cfg.n_vocab
     assert res.err >= 0
     # untrained model: ppl should be near uniform = n_vocab

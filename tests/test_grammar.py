@@ -118,3 +118,64 @@ def test_grammar_sampler_constrains():
     c3 = Candidates(logits.copy())
     s.apply(c3)
     assert np.isfinite(c3.logits[2])  # EOS now allowed
+
+
+def test_lazy_grammar_trigger_pattern():
+    """Lazy grammars stay inert until a trigger pattern matches the
+    generated text, then constrain from the first capture group
+    (llama_sampler_init_grammar_lazy_patterns, llama.h:1298-1308;
+    accept semantics llama-grammar.cpp:1116-1160)."""
+    import numpy as np
+
+    from ggml_hexagon_tpu.runtime.grammar import GrammarSampler, parse_gbnf
+
+    g = parse_gbnf('root ::= "<tool>" [0-9]+ "</tool>"')
+    texts = ["hello ", "world", "<tool>", "1", "2", "</tool>", "x"]
+    gs = GrammarSampler(g, texts, eos_id=len(texts) - 1, lazy=True,
+                        trigger_patterns=[r".*?(<tool>.*)"])
+
+    class Cand:
+        def __init__(self, n):
+            self.logits = np.zeros(n, np.float32)
+
+    # inert: nothing masked while awaiting the trigger
+    c = Cand(len(texts))
+    gs.apply(c)
+    assert np.isfinite(c.logits).all()
+    gs.accept(0)  # "hello "
+    gs.accept(1)  # "world"
+    assert gs.awaiting_trigger
+    gs.accept(2)  # "<tool>" -> pattern matches; grammar fed "<tool>"
+    assert not gs.awaiting_trigger
+    # now the grammar constrains: only digits legal next
+    c = Cand(len(texts))
+    gs.apply(c)
+    assert np.isfinite(c.logits[3]) and np.isfinite(c.logits[4])
+    assert not np.isfinite(c.logits[0])  # "hello " illegal mid-tool-call
+    gs.accept(3)
+    gs.accept(5)  # "</tool>" completes the grammar
+    c = Cand(len(texts))
+    gs.apply(c)
+    assert np.isfinite(c.logits[len(texts) - 1])  # EOS legal at end
+
+
+def test_lazy_grammar_trigger_token():
+    import numpy as np
+
+    from ggml_hexagon_tpu.runtime.grammar import GrammarSampler, parse_gbnf
+
+    g = parse_gbnf('root ::= "<T>" "a"')
+    texts = ["zzz", "<T>", "a"]
+    gs = GrammarSampler(g, texts, eos_id=2, lazy=True, trigger_tokens=[1])
+    gs.accept(0)
+    assert gs.awaiting_trigger
+    gs.accept(1)  # trigger token: grammar fed its piece "<T>"
+    assert not gs.awaiting_trigger
+
+    class Cand:
+        def __init__(self, n):
+            self.logits = np.zeros(n, np.float32)
+
+    c = Cand(3)
+    gs.apply(c)
+    assert np.isfinite(c.logits[2]) and not np.isfinite(c.logits[0])

@@ -178,3 +178,57 @@ def test_quantized_cache_shift_and_state(model_1layer, tmp_path):
         a = eng2.decode_one(np.array([9]))
         b = eng3.decode_one(np.array([9]))
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_self_extend_grouped_attention(our_engine_factory=None):
+    """Self-extend (grp-attn, llama_kv_self_seq_div / main.cpp ga loop):
+    positions compress by ga_n so 3x the window stays inside trained
+    range; before compression triggers, outputs match plain decoding."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from ggml_hexagon_tpu.gguf import GGUFReader
+    from ggml_hexagon_tpu.models.convert_hf import convert_hf_llama
+    from ggml_hexagon_tpu.quant.formats import GGMLType
+    from ggml_hexagon_tpu.runtime.engine import Engine
+    import tempfile, os
+
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+        max_position_embeddings=64, tie_word_embeddings=False)
+    torch.manual_seed(11)
+    m = transformers.LlamaForCausalLM(cfg)
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "t.gguf")
+        convert_hf_llama(sd, cfg, path, qtype=GGMLType.F32)
+
+        rng = np.random.default_rng(0)
+        prompt = rng.integers(3, 127, size=12).tolist()
+
+        plain = Engine.from_gguf(path, max_seq=128,
+                                 compute_dtype=jnp.float32,
+                                 kv_dtype=jnp.float32)
+        ref = plain.prefill(np.asarray(prompt, np.int32)[None])
+
+        se = Engine.from_gguf(path, max_seq=128, compute_dtype=jnp.float32,
+                              kv_dtype=jnp.float32)
+        se.enable_self_extend(2, 16)
+        got = se.prefill(np.asarray(prompt, np.int32)[None])
+        # below the first window: identical to plain attention
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+        # feed 3x the window: positions must compress below raw length
+        more = rng.integers(3, 127, size=52).tolist()
+        for t in more:
+            se.decode_one(np.array([t]))
+        n_total = se.n_past
+        assert n_total == 64
+        live_pos = se.cache_pos[0][:n_total]
+        assert se.pos_head < n_total  # compression happened
+        assert live_pos.max() < n_total
+        assert np.isfinite(se.decode_one(np.array([5]))).all()

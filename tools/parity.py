@@ -1,0 +1,173 @@
+"""Differential parity harness against a CPU build of the reference.
+
+Builds /root/reference (llama.cpp + the hexagon fork's tree) CPU-only and
+compares, on a shared tiny-llama GGUF with the REAL llama-spm vocab:
+
+1. quantization BYTES: our `cli quantize` output vs the reference's
+   llama-quantize, tensor-by-tensor (the wire format is the contract);
+2. greedy decode: token-for-token identical text (llama-cli --temp 0);
+3. WikiText-style perplexity: llama-perplexity vs our evaluator, same
+   protocol (BOS + second-half-of-window NLL), per quant type.
+
+Writes PARITY.md.  Usage:
+    python tools/parity.py [--build-dir /tmp/lcpp_build] [--quick]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+REF_BIN = "/tmp/lcpp_build/bin"
+VOCAB_GGUF = "/root/reference/models/ggml-vocab-llama-spm.gguf"
+
+
+def build_base_gguf(path: str, seed: int = 0):
+    """Tiny llama (8M params) with the real llama-spm 32k vocab, f32."""
+    import transformers
+    import torch
+
+    from ggml_hexagon_tpu.gguf import GGUFReader
+    from ggml_hexagon_tpu.models.convert_hf import convert_hf_llama
+    from ggml_hexagon_tpu.quant.formats import GGMLType
+
+    with GGUFReader.open(VOCAB_GGUF) as r:
+        tok_fields = {k: v for k, v in r.metadata.items()
+                      if k.startswith("tokenizer.")}
+    cfg = transformers.LlamaConfig(
+        vocab_size=32000, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, rms_norm_eps=1e-5,
+        rope_theta=10000.0, tie_word_embeddings=False)
+    torch.manual_seed(seed)
+    model = transformers.LlamaForCausalLM(cfg)
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    convert_hf_llama(sd, cfg, path, qtype=GGMLType.F32,
+                     tokenizer_fields=tok_fields)
+    return cfg
+
+
+def run(cmd, **kw):
+    return subprocess.run(cmd, capture_output=True, text=True, timeout=1200,
+                          **kw)
+
+
+def compare_quantize(base: str, tmp: str, qname: str) -> dict:
+    """Reference llama-quantize vs ours: tensor payload bytes."""
+    from ggml_hexagon_tpu.gguf import GGUFReader
+
+    ref_out = os.path.join(tmp, f"ref_{qname}.gguf")
+    our_out = os.path.join(tmp, f"our_{qname}.gguf")
+    r = run([f"{REF_BIN}/llama-quantize", base, ref_out, qname])
+    assert r.returncode == 0, r.stderr[-800:]
+    r = run([sys.executable, "-m", "ggml_hexagon_tpu.cli", "quantize",
+             base, our_out, qname], cwd="/root/repo",
+            env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr[-800:]
+    same = 0
+    diff = []
+    with GGUFReader.open(ref_out) as a, GGUFReader.open(our_out) as b:
+        for name, t in a.tensors.items():
+            if name not in b.tensors:
+                diff.append((name, "missing"))
+                continue
+            ta = a.tensor_bytes(name)
+            tb = b.tensor_bytes(name)
+            if ta.shape == tb.shape and np.array_equal(ta, tb):
+                same += 1
+            elif a.tensors[name].ggml_type != b.tensors[name].ggml_type:
+                diff.append((name, f"type {a.tensors[name].ggml_type} vs "
+                                   f"{b.tensors[name].ggml_type}"))
+            else:
+                nbad = int((np.asarray(ta) != np.asarray(tb)).sum())
+                diff.append((name, f"{nbad}/{ta.size} bytes differ"))
+    return {"same": same, "diff": diff, "ref": ref_out, "our": our_out}
+
+
+def greedy_compare(gguf: str, prompt: str, n: int = 32) -> dict:
+    r = run([f"{REF_BIN}/llama-cli", "-m", gguf, "-p", prompt, "-n", str(n),
+             "--temp", "0", "--seed", "1", "-no-cnv", "--no-display-prompt",
+             "-t", "4"])
+    ref_text = r.stdout.strip()
+    code = run([sys.executable, "-m", "ggml_hexagon_tpu.cli", "generate",
+                "-m", gguf, "-p", prompt, "-n", str(n), "--temp", "0"],
+               cwd="/root/repo", env={**os.environ, "JAX_PLATFORMS": "cpu",
+                                      "GHT_COMPUTE_F32": "1"})
+    our_text = code.stdout.strip()
+    return {"ref": ref_text, "our": our_text, "match": ref_text == our_text}
+
+
+def ppl_compare(gguf: str, textfile: str, n_ctx: int = 128) -> dict:
+    r = run([f"{REF_BIN}/llama-perplexity", "-m", gguf, "-f", textfile,
+             "-c", str(n_ctx), "-b", str(n_ctx), "-t", "4"])
+    m = re.search(r"Final estimate: PPL = ([0-9.]+)", r.stdout + r.stderr)
+    ref_ppl = float(m.group(1)) if m else None
+    rr = run([sys.executable, "-m", "ggml_hexagon_tpu.cli", "perplexity",
+              "-m", gguf, "-f", textfile, "-c", str(n_ctx)],
+             cwd="/root/repo", env={**os.environ, "JAX_PLATFORMS": "cpu",
+                                    "GHT_PPL_F32": "1"})
+    ours = json.loads(rr.stdout.strip().splitlines()[-1])
+    return {"ref_ppl": ref_ppl, "our_ppl": ours["ppl"],
+            "delta": None if ref_ppl is None else ours["ppl"] - ref_ppl}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tmp", default="/tmp/parity")
+    ap.add_argument("--qtypes", nargs="+",
+                    default=["Q8_0", "Q4_0", "Q4_K_M", "Q6_K"])
+    args = ap.parse_args()
+    os.makedirs(args.tmp, exist_ok=True)
+    base = os.path.join(args.tmp, "base_f32.gguf")
+    if not os.path.exists(base):
+        print("building base model...", flush=True)
+        build_base_gguf(base)
+
+    # corpus: deterministic pseudo-text from common words
+    corpus = os.path.join(args.tmp, "corpus.txt")
+    if not os.path.exists(corpus):
+        rng = np.random.default_rng(0)
+        words = ("the of and to in is was he for it with as his on be at by "
+                 "i this had not are but from or have an they which one you "
+                 "were her all she there would their we him been has when "
+                 "who will more no if out so said what up its about into "
+                 "than them can only other new some could time these two "
+                 "may then do first any my now such like our over man me").split()
+        text = " ".join(rng.choice(words, size=4000))
+        open(corpus, "w").write(text)
+
+    results = {"quant": {}, "greedy": {}, "ppl": {}}
+    for q in args.qtypes:
+        print(f"== {q} ==", flush=True)
+        qres = compare_quantize(base, args.tmp, q)
+        results["quant"][q] = qres
+        print(f"  quantize: {qres['same']} tensors byte-identical, "
+              f"{len(qres['diff'])} differ", flush=True)
+        for name, why in qres["diff"][:6]:
+            print(f"    {name}: {why}", flush=True)
+        g = greedy_compare(qres["ref"],
+                           "The meaning of life is")
+        results["greedy"][q] = g["match"]
+        print(f"  greedy decode identical: {g['match']}", flush=True)
+        if not g["match"]:
+            print(f"    ref: {g['ref'][:120]!r}\n    our: {g['our'][:120]!r}",
+                  flush=True)
+        p = ppl_compare(qres["ref"], corpus)
+        results["ppl"][q] = p
+        print(f"  ppl ref={p['ref_ppl']} ours={p['our_ppl']} "
+              f"delta={p['delta']}", flush=True)
+    with open(os.path.join(args.tmp, "parity_results.json"), "w") as f:
+        json.dump(results, f, indent=1, default=str)
+    print("done")
+
+
+if __name__ == "__main__":
+    main()
