@@ -754,6 +754,8 @@ def forward(
     causal: bool = True,  # llama_set_causal_attn analog (gritlm embedding)
     cache_pos=None,  # [B|1, S] explicit slot POSITIONS (self-extend)
     write_pos=None,  # storage slot for new rows when != pos_start
+    seq_parallel: bool = False,  # KV sharded over a mesh 'sp' axis: keep
+    # attention on the GSPMD einsum path (collectives by compiler)
 ):
     """One decoder step over T new tokens.  Returns (logits, new_kv_cache).
 
@@ -898,6 +900,7 @@ def forward(
             and nhkv == cfg.n_head_kv_max and nh % nhkv == 0
             and cfg.hd % 128 == 0 and "attn_q_norm" not in lw
             and cache_pos is None and write_pos is pos_start
+            and not seq_parallel
             and (jax.default_backend() == "tpu" or FUSED_ATTN_INTERPRET)
         )
         if use_fused:

@@ -54,13 +54,72 @@ def _is_nibble(cfg: QConfig) -> bool:
             and not cfg.lut and not cfg.expand)
 
 
+def decode_codes(cm: str, n):
+    """Coded-nibble -> integer weight value (works for jnp AND numpy).
+
+    n holds stored nibbles: bit3 = sign, bits0-2 = magnitude code (except
+    'tern': 2-bit value-1).  Alphabets per quant/pack.py QConfig.code_map;
+    all maps are branchless arithmetic/select — no gather ever.
+    """
+    xp = np if isinstance(n, np.ndarray) else jnp
+    if cm == "tern":
+        return n - 1
+    s_ = n >> 3
+    c = n & 7
+    if cm == "iq2":      # {0, 8, 25, 43}
+        mag = xp.where(c < 2, 8 * c, xp.where(c == 2, 25, 43))
+    elif cm == "iq3xxs":  # 4+8c, with 60 -> 62
+        mag = 4 + 8 * c + 2 * ((c + 1) >> 3)
+    elif cm == "iq3s":   # 2c+1
+        mag = 2 * c + 1
+    elif cm == "iq1":    # {0, 1, 7, 9}
+        mag = xp.where(c < 2, c, xp.where(c == 2, 7, 9))
+    else:
+        raise ValueError(cm)
+    return (1 - 2 * s_) * mag
+
+
+_CODE_ALPHABETS = {
+    "iq2": [0, 8, 25, 43],
+    "iq3xxs": [4, 12, 20, 28, 36, 44, 52, 62],
+    "iq3s": [1, 3, 5, 7, 9, 11, 13, 15],
+    "iq1": [0, 1, 7, 9],
+}
+
+
+def encode_codes_np(cm: str, v: np.ndarray) -> np.ndarray:
+    """Inverse of decode_codes for load-time repacking (int8 values ->
+    stored nibbles); raises on out-of-alphabet values."""
+    if cm == "tern":
+        assert v.min() >= -1 and v.max() <= 2, (v.min(), v.max())
+        return (v + 1).astype(np.uint8)
+    mags = np.asarray(_CODE_ALPHABETS[cm])
+    lut = np.full(256, -1, np.int16)
+    for c, m in enumerate(mags):
+        lut[m] = c
+    a = np.abs(v.astype(np.int16))
+    c = lut[a]
+    if 0 not in mags:
+        # zero rows only come from n->n_pad padding (the wire alphabet has
+        # no zero); their decode garbage is sliced away everywhere
+        c = np.where((a == 0) & (c < 0), 0, c)
+    assert (c >= 0).all(), f"{cm}: values outside alphabet {mags}"
+    sign = (v < 0).astype(np.uint8)
+    out = (sign << 3) | c.astype(np.uint8)
+    # negative zero normalizes to +0 (decode(-0 code) == 0 anyway for the
+    # zero-capable alphabets, but keep the canonical form)
+    out[(a == 0) & (np.isin(a, mags))] &= 7
+    return out
+
+
 def supports_fast(cfg: QConfig, k: int) -> bool:
     G = k // cfg.gs
     if G < 1 or k % cfg.gs:
         return False
-    if _is_nibble(cfg) and ((k // 2) % G or (k // 2) < G):
+    packed = _is_nibble(cfg) or bool(cfg.code_map)
+    if packed and ((k // 2) % G or (k // 2) < G):
         return False
-    if not _is_nibble(cfg) and k % G:
+    if not packed and k % G:
         return False
     # lanes: the scale tile needs G (and K) to be lane-splittable
     return G % 128 == 0 or G in (8, 16, 32, 64) or k % 128 == 0
@@ -137,7 +196,14 @@ def build_fast_planes(qt: QTensor):
     v = v.reshape(rows, G, cfg.gs)
     v = (v.transpose(0, 2, 1) if on_host
          else v.transpose((0, 2, 1))).reshape(rows, K)
-    if _is_nibble(cfg):
+    if cfg.code_map:
+        # coded-nibble repack: int8 alphabet values -> 4-bit sign+mag codes
+        # (decoded arithmetically in-kernel; halves i-quant HBM vs int8)
+        c = encode_codes_np(cfg.code_map, np.asarray(v))
+        fq = (c[:, : K // 2] | (c[:, K // 2:] << 4)).astype(np.uint8)
+        if not on_host:
+            fq = jnp.asarray(fq)
+    elif _is_nibble(cfg):
         fq = (v[:, : K // 2] | (v[:, K // 2:] << 4)).astype(
             np.uint8 if on_host else jnp.uint8)
     else:
@@ -262,7 +328,7 @@ def _split_refs(eps, has_bias, rest):
     return xg_ref, b_ref, w_ref, rest[-1]
 
 
-def _nibble_kernel(reps: int, nkj: int, eps, has_bias: bool,
+def _nibble_kernel(reps: int, nkj: int, eps, has_bias: bool, cm: str,
                    x_ref, q_ref, s_ref, *rest):
     xg_ref, b_ref, w_ref, o_ref = _split_refs(eps, has_bias, rest)
     inv = None
@@ -271,10 +337,14 @@ def _nibble_kernel(reps: int, nkj: int, eps, has_bias: bool,
     else:
         x = x_ref[:]
     pu = q_ref[:]
-    # lo nibble stays in the 8-bit domain (u8 & mask is the one sub-32-bit
-    # op Mosaic lowers): measured ~25% faster than the i32 route
-    lo = (pu & 15).astype(jnp.int8).astype(jnp.bfloat16)
-    hi = (pu.astype(jnp.int32) >> 4).astype(jnp.bfloat16)  # p<256: no mask
+    if cm:  # coded i-quant nibbles: arithmetic codebook decode in-kernel
+        lo = decode_codes(cm, (pu & 15).astype(jnp.int32)).astype(jnp.bfloat16)
+        hi = decode_codes(cm, pu.astype(jnp.int32) >> 4).astype(jnp.bfloat16)
+    else:
+        # lo nibble stays in the 8-bit domain (u8 & mask is the one
+        # sub-32-bit op Mosaic lowers): ~25% faster than the i32 route
+        lo = (pu & 15).astype(jnp.int8).astype(jnp.bfloat16)
+        hi = (pu.astype(jnp.int32) >> 4).astype(jnp.bfloat16)  # p<256
     sc = pltpu.repeat(s_ref[:], reps, axis=1).astype(jnp.bfloat16)
     half = x.shape[1] // 2
     xl = x[:, :half]
@@ -355,10 +425,10 @@ def _pick_blocks(B: int, K: int, nibble: bool, gs: int):
 
 
 @functools.partial(jax.jit, static_argnames=("nibble", "G", "nkj", "bn",
-                                             "eps", "interpret"))
+                                             "eps", "interpret", "cm"))
 def _fast_call(x_blk, fq, fs, fb=None, xg=None, wn=None, *, nibble: bool,
                G: int, nkj: int, bn: int = _BN, eps=None,
-               interpret: bool = False):
+               interpret: bool = False, cm: str = ""):
     B, K = x_blk.shape
     n2 = fq.shape[0]
     bn = min(bn, n2)  # rows are padded to _BN multiples; small tensors
@@ -368,8 +438,12 @@ def _fast_call(x_blk, fq, fs, fb=None, xg=None, wn=None, *, nibble: bool,
     reps = bcols // G
     assert (wn is None) == (eps is None) and (wn is None or nkj == 1)
     assert (fb is None) == (xg is None)
-    kern = functools.partial(_nibble_kernel if nibble else _byte_kernel,
-                             reps, nkj, eps, fb is not None)
+    if nibble or cm:
+        kern = functools.partial(_nibble_kernel, reps, nkj, eps,
+                                 fb is not None, cm)
+    else:
+        kern = functools.partial(_byte_kernel, reps, nkj, eps,
+                                 fb is not None)
     group_spec = pl.BlockSpec((bn, G), lambda i, j: (i, 0),
                               memory_space=pltpu.VMEM)
     in_specs = [
@@ -406,8 +480,18 @@ def _fast_call(x_blk, fq, fs, fb=None, xg=None, wn=None, *, nibble: bool,
     )(*args)
 
 
-def _fast_ref(x_il, fq, fs, nibble: bool, G: int):
+def _fast_ref(x_il, fq, fs, nibble: bool, G: int, cm: str = ""):
     """jnp reference of the kernel math (CPU tests + custom-vjp backward)."""
+    if cm:
+        p = fq.astype(jnp.int32)
+        codes = jnp.concatenate([p & 15, (p >> 4) & 15], axis=1)
+        vals = decode_codes(cm, codes)
+        half = x_il.shape[1] // 2
+        sc = jnp.tile(fs.astype(jnp.float32), (1, half // G))
+        w = vals.astype(jnp.float32) * jnp.concatenate([sc, sc], 1)
+        return jax.lax.dot_general(
+            x_il.astype(jnp.float32), w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
     if nibble:
         p = fq.astype(jnp.int32)
         vals = jnp.concatenate([p & 15, (p >> 4) & 15], axis=1)
@@ -447,32 +531,38 @@ def _interleave_x(x2, G: int, gs: int, nibble: bool, nkj: int):
     return x_il
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def _fast_core(x, planes, gs, nibble, n, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _fast_core(x, planes, gs, nibble, n, interpret, cm=""):
     fq, fs, fb = planes
     B, K = x.shape
     G = K // gs
-    bn, nkj = _pick_blocks(B, K, nibble, gs)
-    x_blk = _interleave_x(x, G, gs, nibble, nkj)
+    bn, nkj = _pick_blocks(B, K, nibble or bool(cm), gs)
+    x_blk = _interleave_x(x, G, gs, nibble or bool(cm), nkj)
     xg = (jnp.sum(x.reshape(B, G, gs).astype(jnp.float32), axis=2)
           if fb is not None else None)
     y = _fast_call(x_blk.astype(jnp.bfloat16), fq, fs, fb, xg,
-                   nibble=nibble, G=G, nkj=nkj, bn=bn, interpret=interpret)
+                   nibble=nibble, G=G, nkj=nkj, bn=bn, interpret=interpret,
+                   cm=cm)
     return y[:, :n]
 
 
-def _fast_fwd(x, planes, gs, nibble, n, interpret):
-    return _fast_core(x, planes, gs, nibble, n, interpret), (x, planes)
+def _fast_fwd(x, planes, gs, nibble, n, interpret, cm=""):
+    return _fast_core(x, planes, gs, nibble, n, interpret, cm), (x, planes)
 
 
-def _fast_bwd(gs, nibble, n, interpret, res, g):
+def _fast_bwd(gs, nibble, n, interpret, cm, res, g):
     x, planes = res
     fq, fs, fb = planes
     B, K = x.shape
     G = K // gs
     gp = jnp.pad(g.astype(jnp.float32), ((0, 0), (0, fq.shape[0] - n)))
     # dx_il = g @ W_il, then un-interleave back to the original column order
-    if nibble:
+    if cm:
+        p = fq.astype(jnp.int32)
+        vals = decode_codes(cm, jnp.concatenate([p & 15, (p >> 4) & 15], 1))
+        sc = jnp.tile(fs.astype(jnp.float32), (1, (K // 2) // G))
+        w_il = vals.astype(jnp.float32) * jnp.concatenate([sc, sc], 1)
+    elif nibble:
         p = fq.astype(jnp.int32)
         vals = jnp.concatenate([p & 15, (p >> 4) & 15], axis=1)
         sc = jnp.tile(fs.astype(jnp.float32), (1, (K // 2) // G))
@@ -498,7 +588,11 @@ def dequantize_fast(qt: QTensor, dtype=jnp.float32):
     cfg = qt.cfg
     K = qt.k
     G = K // cfg.gs
-    if _is_nibble(cfg):
+    if cfg.code_map:
+        p = qt.fq.astype(jnp.int32)
+        v = decode_codes(cfg.code_map,
+                         jnp.concatenate([p & 15, (p >> 4) & 15], axis=1))
+    elif _is_nibble(cfg):
         p = qt.fq.astype(jnp.int32)
         v = jnp.concatenate([p & 15, (p >> 4) & 15], axis=1)
     else:
@@ -523,7 +617,7 @@ def qmatmul_fast(x, qt: QTensor, out_dtype=jnp.float32, interpret=False):
     if Bp != B:
         x2 = jnp.pad(x2, ((0, Bp - B), (0, 0)))
     y = _fast_core(x2, (qt.fq, qt.fs, qt.fb), qt.cfg.gs,
-                   _is_nibble(qt.cfg), qt.n, interpret)
+                   _is_nibble(qt.cfg), qt.n, interpret, qt.cfg.code_map)
     return y[:B].reshape(*lead, qt.n).astype(out_dtype)
 
 
@@ -554,9 +648,10 @@ def qmatmul_fast_normed(x, qt: QTensor, wn_il, eps: float,
     gs = cfg.gs
     G = K // gs
     nibble = _is_nibble(cfg)
+    cm = cfg.code_map
     B = int(np.prod(lead)) if lead else 1
     Bp = max(8, -(-B // 8) * 8)
-    bn, nkj = _pick_blocks(Bp, K, nibble, gs)
+    bn, nkj = _pick_blocks(Bp, K, nibble or bool(cm), gs)
     if nkj > 1:  # prefill-sized: the norm kernel amortizes over the batch
         from .basic import rms_norm
 
@@ -565,7 +660,7 @@ def qmatmul_fast_normed(x, qt: QTensor, wn_il, eps: float,
     x2 = x.reshape(B, K)
     if Bp != B:
         x2 = jnp.pad(x2, ((0, Bp - B), (0, 0)))
-    x_il = _interleave_x(x2, G, gs, nibble, 1)
+    x_il = _interleave_x(x2, G, gs, nibble or bool(cm), 1)
     wn = jnp.asarray(wn_il, jnp.float32)
     xg = None
     if qt.fb is not None:
@@ -577,5 +672,5 @@ def qmatmul_fast_normed(x, qt: QTensor, wn_il, eps: float,
                      axis=1)
     y = _fast_call(x_il.astype(jnp.bfloat16), qt.fq, qt.fs, qt.fb, xg, wn,
                    nibble=nibble, G=G, nkj=1, bn=bn, eps=float(eps),
-                   interpret=interpret)
+                   interpret=interpret, cm=cm)
     return y[:B, :qt.n].reshape(*lead, qt.n).astype(out_dtype)

@@ -122,3 +122,31 @@ def shard_kv_cache(kv: dict, mesh: Mesh) -> dict:
 
 def shard_tokens(tokens, mesh: Mesh):
     return jax.device_put(jnp.asarray(tokens), NamedSharding(mesh, P("dp", None)))
+
+
+# ---------------------------------------------------------------------------
+# sequence-parallel KV (the SURVEY §5.7 long-context distribution piece)
+# ---------------------------------------------------------------------------
+
+def make_sp_mesh(sp: int, tp: int = 1, devices=None) -> Mesh:
+    """Mesh with a sequence-parallel axis: KV cache slots shard over 'sp'
+    (heads optionally over 'tp').  The reference has NO context-parallel
+    story (SURVEY §5.7); on TPU the mesh-native form is a sharding
+    annotation — GSPMD turns the attention softmax/contraction over the
+    sharded S axis into all-reduce/all-gather collectives riding ICI
+    (ring attention by compiler), no bespoke communication code."""
+    devices = devices if devices is not None else jax.devices()
+    assert sp * tp <= len(devices)
+    devs = np.asarray(devices[: sp * tp]).reshape(sp, tp)
+    return Mesh(devs, axis_names=("sp", "tp"))
+
+
+def shard_kv_cache_seq(kv: dict, mesh: Mesh) -> dict:
+    """KV cache [L, B, S, H*hd]: cache SLOTS shard over 'sp' (sequence
+    dim); scale planes [L, B, S] likewise.  Weights stay replicated (or
+    tp-sharded via shard_llama_weights on the same mesh)."""
+    out = {}
+    for name, v in kv.items():
+        spec = P(None, None, "sp") if v.ndim == 3 else P(None, None, "sp", None)
+        out[name] = jax.device_put(v, NamedSharding(mesh, spec))
+    return out

@@ -276,3 +276,52 @@ def test_attach_norm_planes_and_forward_equivalence():
     kv1 = init_kv_cache(cfg, 1, 16)
     out, _ = forward(cfg, fused, toks, kv1, jnp.int32(0))
     assert nmse(np.asarray(out), np.asarray(ref)) < MUL_MAT_NMSE
+
+
+@pytest.mark.parametrize("tname", ["IQ2_XXS", "IQ2_XS", "IQ2_S", "IQ3_XXS",
+                                   "IQ3_S", "IQ1_S", "IQ1_M", "TQ1_0",
+                                   "TQ2_0"])
+def test_coded_iquant_fast_planes(tname):
+    """Coded-nibble i-quant fast planes (QConfig.code_map): HBM at 4 bits
+    +scales instead of the 8-bit expansion, decoded arithmetically
+    in-kernel; must reproduce the int8-expansion oracle exactly (the
+    alphabets are closed under the code maps)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ggml_hexagon_tpu.ops.qmatmul import dequantize_jax, qmatmul
+    from ggml_hexagon_tpu.ops.qmm_fast import qmatmul_fast
+    from ggml_hexagon_tpu.quant.formats import GGMLType, row_size
+    from ggml_hexagon_tpu.quant.pack import pack_tensor
+
+    gt = getattr(GGMLType, tname)
+    rng = np.random.default_rng(hash(tname) % 2**31)
+    n, k = 16, 512
+    raw = rng.integers(0, 256, size=(row_size(gt, k) * n,), dtype=np.uint8)
+    qt = pack_tensor(raw, gt, (n, k))
+    oracle = np.asarray(dequantize_jax(qt, jnp.float32))[:n]
+    qtf = qt.with_fast_planes()
+    assert qtf.fq is not None, "coded fast planes must build"
+    assert qtf.fq.dtype == np.uint8 and qtf.fq.shape[1] == k // 2
+    # wire-less dequant reconstructs the oracle up to the bf16 rounding
+    # of the group-scale planes (~2^-8 relative; the integer codes are
+    # exact — qmm_fast module docstring)
+    from ggml_hexagon_tpu.ops.qmm_fast import dequantize_fast
+
+    qtd = qtf.astype_device()
+    back = np.asarray(dequantize_fast(qtd, jnp.float32))[:n]
+    # random wire bytes can decode to inf/nan f16 scales — garbage
+    # propagates identically to the C reference (verify-skill note);
+    # compare where finite
+    fin = np.isfinite(oracle)
+    np.testing.assert_allclose(back[fin], oracle[fin], rtol=5e-3, atol=1e-6)
+    # matmul conformance (interpret-mode kernel vs f32 oracle @ bf16
+    # budget); output columns touched by non-finite scales are excluded
+    x = rng.normal(size=(4, k)).astype(np.float32)
+    want = x @ np.where(fin, oracle, 0.0).T
+    got = np.asarray(qmatmul_fast(jnp.asarray(x, jnp.bfloat16), qtd,
+                                  interpret=True))
+    err = np.abs(got - want)
+    err[:, ~fin.all(axis=1)] = 0.0
+    scale = np.abs(np.where(np.isfinite(want), want, 0)).max() + 1e-6
+    assert err[np.isfinite(err)].max() / scale < 2e-2

@@ -130,3 +130,40 @@ def test_moe_expert_parallel_matches_unsharded():
             cfg, sw, jnp.asarray(tokens), skv, 0, logits_all=True)
     a, b = np.asarray(out), np.asarray(ref)
     assert np.corrcoef(a.reshape(-1), b.reshape(-1))[0, 1] > 0.999
+
+
+def test_seq_parallel_kv_matches_replicated():
+    """KV sharded over the sequence axis ('sp'): GSPMD-partitioned
+    attention must match the replicated forward bit-for-bit-ish
+    (SURVEY §5.7's named distributed piece for the 70B configs)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ggml_hexagon_tpu.models.llama import forward, init_kv_cache
+    from ggml_hexagon_tpu.parallel import make_sp_mesh, shard_kv_cache_seq
+    from __graft_entry__ import _tiny_model
+
+    cfg, weights = _tiny_model(n_head=4, n_head_kv=2, n_embd=256, n_ff=512)
+    rng = np.random.default_rng(0)
+    toks = jnp.asarray(rng.integers(0, cfg.n_vocab, (1, 8)), jnp.int32)
+    step = jnp.asarray(rng.integers(0, cfg.n_vocab, (1, 1)), jnp.int32)
+
+    kv = init_kv_cache(cfg, 1, 32)
+    ref1, kv = forward(cfg, weights, toks, kv, jnp.int32(0))
+    ref2, _ = forward(cfg, weights, step, kv, jnp.int32(8))
+
+    mesh = make_sp_mesh(sp=4)
+    with mesh:
+        skv = shard_kv_cache_seq(init_kv_cache(cfg, 1, 32), mesh)
+        f = jax.jit(forward,
+                    static_argnames=("cfg", "logits_all", "seq_parallel"))
+        got1, skv = f(cfg, weights, toks, skv, jnp.int32(0),
+                      seq_parallel=True)
+        got2, skv = f(cfg, weights, step, skv, jnp.int32(8),
+                      seq_parallel=True)
+        jax.block_until_ready(got2)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(ref1),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
+                               rtol=2e-2, atol=2e-2)
