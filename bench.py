@@ -145,9 +145,10 @@ def main():
     weights = drop_wire_planes(weights)   # qmm_fast planes only in HBM
     l0f = weights["layers"][0]
     log("fused projections: " + ("wqkv" if "wqkv" in l0f else
-                                 "wqk+v" if "wqk" in l0f else "none"))
+                                 "wqk+v" if "wqk" in l0f else "none")
+        + (", gateup_il" if "w_gateup_il" in l0f else ""))
     l0 = weights["layers"][0]
-    gate = l0.get("w_gateup", l0.get("ffn_up"))
+    gate = l0.get("w_gateup_il", l0.get("w_gateup", l0.get("ffn_up")))
     log("fast planes: " + str(gate.fq is not None))
     nbytes = sum(
         x.size * x.dtype.itemsize

@@ -156,7 +156,7 @@ def permute_rope_neox(weights: dict, cfg):
     for il, lw in enumerate(weights["layers"]):
         new = dict(lw)
         nh, nhkv = cfg.nh(il), cfg.nhkv(il)
-        has_attn = ("wq" in lw or "wqkv" in lw) and nhkv > 0
+        has_attn = ("wq" in lw or "wqkv" in lw or "wqk" in lw) and nhkv > 0
         if has_attn:
             pq = _rope_perm(nh, hd, n_dims)
             pk = _rope_perm(nhkv, hd, n_dims)
@@ -190,6 +190,41 @@ def permute_rope_neox(weights: dict, cfg):
     return out, replace(cfg, rope_mode="neox")
 
 
+def interleave_gateup_rows(weights: dict, cfg) -> dict:
+    """Replace w_gateup with w_gateup_il: the fused gate_up projection with
+    its OUTPUT rows pre-permuted into ffn_down's qmm_fast interleaved
+    column order (per half — gate rows stay in the first half).  The
+    decode graph then feeds the raw gate_up output straight into the
+    fused act-mul + down-projection kernel (ops/qmm_fast.qmatmul_fast_act)
+    with zero relayout ops; the act-mul intermediate never exists in HBM.
+
+    Elementwise act-mul commutes with any column permutation applied
+    identically to both halves, so prefill paths stay exact too
+    (models/llama._dense_ffn handles the reordered output)."""
+    from ..ops.qmm_fast import interleave_perm, supports_fused_epilogue
+
+    if getattr(cfg, "act", "silu") not in ("silu", "gelu", "relu"):
+        return weights
+    out = dict(weights)
+    out["layers"] = []
+    for lw in weights["layers"]:
+        new = dict(lw)
+        gu = lw.get("w_gateup")
+        dn = lw.get("ffn_down")
+        if (isinstance(gu, QTensor) and gu.fq is not None
+                and isinstance(dn, QTensor) and supports_fused_epilogue(dn)
+                and gu.n == 2 * dn.k and gu.n % 2 == 0
+                and not any(k in lw for k in (
+                    "ffn_down_b", "ffn_sub_norm", "ffn_down_scale",
+                    "ffn_down_lora", "ffn_gate_inp"))):
+            perm = interleave_perm(dn.k, dn.cfg.gs)
+            full = np.concatenate([perm, dn.k + perm])
+            new["w_gateup_il"] = gu.take_rows(full)
+            del new["w_gateup"]
+        out["layers"].append(new)
+    return out
+
+
 def fuse_weights(weights: dict, cfg) -> dict:
     """Return weights with wqkv / w_gateup fused where possible, plus
     pre-interleaved norm planes for in-kernel norm+matmul fusion."""
@@ -221,4 +256,4 @@ def fuse_weights(weights: dict, cfg) -> dict:
                 new["w_gateup"] = fused
                 del new["ffn_gate"], new["ffn_up"]
         out["layers"].append(new)
-    return attach_norm_planes(out, cfg)
+    return interleave_gateup_rows(attach_norm_planes(out, cfg), cfg)

@@ -376,6 +376,9 @@ KV_GROUP = 32  # Q8_0 quantized-KV group size along head_dim
 #: interpret mode off-TPU (tests/test_fuse_numerics.py sets this)
 FUSED_ATTN_INTERPRET = False
 
+#: same escape hatch for the fused act-mul / residual qmm epilogues
+FUSED_EPILOGUE_INTERPRET = False
+
 
 def init_kv_cache(cfg: LlamaConfig, batch: int, max_seq: int, dtype=jnp.bfloat16):
     """KV cache, stored FLAT as [L, B, S, H*hd].  The flat head dim makes
@@ -429,7 +432,8 @@ FLASH_THRESHOLD = 2048  # cache sizes past this use the memory-linear path
 
 def _attention(cfg: LlamaConfig, q, k_all, v_all, pos_start, T, swa: int = 0,
                scale: float = 0.0, logit_softcap: float = 0.0,
-               causal: bool = True, cache_pos=None):
+               causal: bool = True, cache_pos=None,
+               k_scale=None, v_scale=None):
     from ..ops.basic import alibi_slopes
 
     """GQA attention over the cache prefix.
@@ -442,6 +446,9 @@ def _attention(cfg: LlamaConfig, q, k_all, v_all, pos_start, T, swa: int = 0,
     slot indices (self-extend / grouped attention, llama_kv_self_seq_div —
     unwritten slots carry a large sentinel so they stay masked; with it,
     pos_start is the query tokens' POSITION, not the write slot).
+    k_scale/v_scale [B, S]: per-slot scales for an int-quantized cache —
+    the flash path dequantizes in-chunk (the bf16 cache never exists in
+    HBM); the dense path dequantizes here.
     """
     B, _, n_head, hd = q.shape
     S = k_all.shape[1]
@@ -451,17 +458,21 @@ def _attention(cfg: LlamaConfig, q, k_all, v_all, pos_start, T, swa: int = 0,
     k = k_all.transpose(0, 2, 1, 3)  # [B, n_kv, S, hd]
     v = v_all.transpose(0, 2, 1, 3)
     if (S >= FLASH_THRESHOLD and S % 512 == 0 and not cfg.alibi_max_bias
-            and cache_pos is None):
+            and cache_pos is None and causal):
         from ..ops.attention import flash_attention_cache
 
         out = flash_attention_cache(
             qg, k, v, pos_start, T, scale or 1.0 / float(np.sqrt(hd)),
             swa=swa, logit_cap=logit_softcap,
+            k_scale=k_scale, v_scale=v_scale,
         )
         return (
             out.reshape(B, n_head, T, hd).transpose(0, 2, 1, 3)
             .reshape(B, T, n_head * hd)
         )
+    if k_scale is not None:  # dense path: dequantize the (small) cache
+        k = k.astype(jnp.float32) * k_scale[:, None, :, None]
+        v = v.astype(jnp.float32) * v_scale[:, None, :, None]
     scores = jnp.einsum("bhgtd,bhsd->bhgts", qg, k, preferred_element_type=jnp.float32)
     if cache_pos is not None:
         s_idx = jnp.asarray(cache_pos, jnp.int32)[:, None, :]  # [B|1,1,S]
@@ -494,16 +505,20 @@ def _attention(cfg: LlamaConfig, q, k_all, v_all, pos_start, T, swa: int = 0,
 
 
 def _fused_decode_layer(cfg, q, k, v, kc, vc, pos_start, nh, nhkv, scale,
-                        swa, is_swa_layer, rope, k_scale=None, v_scale=None):
+                        swa, is_swa_layer, rope, k_scale=None, v_scale=None,
+                        flat=None):
     """One decode layer's rope + cache attention through the fused Mosaic
     kernel (ops/decode_attn.fused_decode_attention).  q/k/v are the raw
-    [B, 1, n] projection outputs; kc/vc the layer's flat cache slices.
+    [B, 1, n] projection outputs (or `flat` [B, (nh+2*nhkv)*hd] is the
+    pre-concatenated row straight off the dual-projection kernel);
+    kc/vc the layer's flat cache slices.
     Returns (attn [B, 1, nh*hd], k_row, v_row) — the fresh rows are
     written to the cache by the caller (once for all layers)."""
     from ..ops.basic import rope_freqs
     from ..ops.decode_attn import fused_decode_attention
 
-    flat = jnp.concatenate([q[:, 0], k[:, 0], v[:, 0]], axis=-1)
+    if flat is None:
+        flat = jnp.concatenate([q[:, 0], k[:, 0], v[:, 0]], axis=-1)
     if cfg.rope_mode == "none" or (cfg.rope_swa_only and not is_swa_layer):
         invf, ms = None, 1.0
     else:
@@ -651,11 +666,56 @@ def _moe_ffn(cfg, lw, f, compute_dtype, tap=None, il=0):
     return out.astype(compute_dtype)
 
 
-def _dense_ffn(cfg, lw, f, compute_dtype, tap=None, il=0, norm_il=None):
+def _dense_ffn(cfg, lw, f, compute_dtype, tap=None, il=0, norm_il=None,
+               res=None):
     """Dense FFN: gated (SwiGLU/GeGLU), fused gate_up, or no-gate MLP.
+    Returns (out, res_consumed).
 
     norm_il: pre-interleaved ffn_norm weight — when given, f is the RAW
-    residual and the RMSNorm fuses into the gate_up qmm kernel."""
+    residual and the RMSNorm fuses into the gate_up qmm kernel.
+    res: optional residual row; on the decode fast path it's added
+    IN-KERNEL by the fused act+down projection (res_consumed=True)."""
+    gu_il = lw.get("w_gateup_il")
+    if gu_il is not None:
+        # row-permuted gate_up (fuse.interleave_gateup_rows): output halves
+        # arrive in ffn_down's interleaved column order
+        if tap is not None:
+            tap(f"blk.{il}.ffn_gate.weight", f)
+            tap(f"blk.{il}.ffn_up.weight", f)
+        if norm_il is not None:
+            wn_raw = None if cfg.norm_plus_one else lw.get("ffn_norm")
+            gu2 = qmatmul_normed(f, gu_il, norm_il, cfg.rms_eps, wn=wn_raw)
+        else:
+            gu2 = matmul(f, gu_il)
+        dn = lw["ffn_down"]
+        ng = dn.k
+        B_tot = int(np.prod(gu2.shape[:-1]))
+        interp = FUSED_EPILOGUE_INTERPRET
+        if (tap is None and B_tot <= 8 and dn.fq is not None
+                and (jax.default_backend() == "tpu" or interp)):
+            from ..ops.qmm_fast import qmatmul_fast_act
+
+            out = qmatmul_fast_act(gu2, dn, cfg.act, res=res,
+                                   interpret=interp)
+            return out.astype(compute_dtype), res is not None
+        # prefill / tap path: act-mul on the permuted halves is exact
+        # (identical permutation both sides); the fast kernel consumes the
+        # interleaved order directly (pre_interleaved) — only the XLA /
+        # tap fallbacks pay the un-interleave
+        from ..ops.qmm_fast import MAX_FAST_BATCH, qmatmul_fast, uninterleave_cols
+
+        gate = _act(cfg, gu2[..., :ng].astype(compute_dtype))
+        up = gu2[..., ng:].astype(compute_dtype)
+        gu_il2 = gate * up
+        if (tap is None and dn.fq is not None and B_tot <= MAX_FAST_BATCH
+                and (jax.default_backend() == "tpu" or interp)):
+            out = qmatmul_fast(gu_il2, dn, interpret=interp,
+                               pre_interleaved=True)
+            return out.astype(compute_dtype), False
+        gu = uninterleave_cols(gu_il2, dn.cfg.gs)
+        if tap is not None:
+            tap(f"blk.{il}.ffn_down.weight", gu)
+        return matmul(gu, dn).astype(compute_dtype), False
     if "ffn_gate" not in lw and "w_gateup" not in lw:
         # no-gate FFN (gpt2 class): down(act(up x + b)) + b
         if tap is not None:
@@ -669,7 +729,7 @@ def _dense_ffn(cfg, lw, f, compute_dtype, tap=None, il=0, norm_il=None):
         out = matmul_lora(gu, lw["ffn_down"], lw.get("ffn_down_lora"))
         if "ffn_down_b" in lw:
             out = out + lw["ffn_down_b"]
-        return out.astype(compute_dtype)
+        return out.astype(compute_dtype), False
     if tap is not None:
         tap(f"blk.{il}.ffn_gate.weight", f)
         tap(f"blk.{il}.ffn_up.weight", f)
@@ -703,38 +763,47 @@ def _dense_ffn(cfg, lw, f, compute_dtype, tap=None, il=0, norm_il=None):
     out = matmul_lora(gu, lw["ffn_down"], lw.get("ffn_down_lora"))
     if "ffn_down_scale" in lw:
         out = out * lw["ffn_down_scale"]
-    return out.astype(compute_dtype)
+    return out.astype(compute_dtype), False
 
 
-def _ffn_out(cfg, lw, f, h_in, compute_dtype, tap=None, il=0, norm_il=None):
-    """FFN dispatch: MoE, arctic's parallel dense+MoE, or dense."""
+def _ffn_out(cfg, lw, f, h_in, compute_dtype, tap=None, il=0, norm_il=None,
+             res=None):
+    """FFN dispatch: MoE, arctic's parallel dense+MoE, or dense.
+    Returns (ffn_out, res_consumed) — res (the residual row) is only ever
+    consumed by the dense decode fast path (in-kernel add)."""
+    consumed = False
     if "ffn_gate_inp" in lw and "ffn_norm_exps" in lw:
         # arctic: dense MLP on the ffn_norm'd residual branch PLUS an MoE
         # branch computed from the LAYER INPUT normed by ffn_norm_exps
         # (llm_build_arctic, src/llama-model.cpp:9275-9312)
-        dense = _dense_ffn(cfg, lw, f, compute_dtype, tap, il)
+        dense, _ = _dense_ffn(cfg, lw, f, compute_dtype, tap, il)
         moe = _moe_ffn(cfg, lw, _norm(cfg, h_in, lw["ffn_norm_exps"]),
                        compute_dtype, tap, il)
         ffn_out = dense + moe
     elif "ffn_gate_inp" in lw:
         ffn_out = _moe_ffn(cfg, lw, f, compute_dtype, tap, il)
     else:
-        ffn_out = _dense_ffn(cfg, lw, f, compute_dtype, tap, il, norm_il)
+        if cfg.post_norms or cfg.swin_norm:
+            res = None  # output is re-normed before the residual add
+        ffn_out, consumed = _dense_ffn(cfg, lw, f, compute_dtype, tap, il,
+                                       norm_il, res)
     if cfg.post_norms:
         ffn_out = _norm(cfg, ffn_out, lw["post_ffn_norm"])
     if cfg.swin_norm:  # chameleon: ffn_norm applied to output, pre-residual
         ffn_out = _norm(cfg, ffn_out, lw["ffn_norm"])
-    return ffn_out
+    return ffn_out, consumed
 
 
 def _ffn_block(cfg, lw, f, h, h_in, compute_dtype, tap=None, il=0,
                norm_il=None):
     """FFN + residual for layers without attention (deci)."""
     if ("ffn_up" not in lw and "ffn_gate_inp" not in lw
-            and "w_gateup" not in lw):
+            and "w_gateup" not in lw and "w_gateup_il" not in lw):
         return h  # fully pass-through layer
-    ffn_out = _ffn_out(cfg, lw, f, h_in, compute_dtype, tap, il, norm_il)
-    h = h + ffn_out * cfg.residual_scale
+    res = h if cfg.residual_scale == 1.0 else None
+    ffn_out, consumed = _ffn_out(cfg, lw, f, h_in, compute_dtype, tap, il,
+                                 norm_il, res)
+    h = ffn_out if consumed else h + ffn_out * cfg.residual_scale
     if "cvec" in lw:
         h = h + lw["cvec"].astype(h.dtype)
     return h
@@ -801,7 +870,7 @@ def forward(
     for il, lw in enumerate(weights["layers"]):
         h_in = h  # layer input (arctic's MoE branch norms THIS, not ffn_inp)
         nh, nhkv = cfg.nh(il), cfg.nhkv(il)
-        has_attn = ("wq" in lw or "wqkv" in lw) and nhkv > 0
+        has_attn = ("wq" in lw or "wqkv" in lw or "wqk" in lw) and nhkv > 0
         # pre-interleaved norm planes (fuse.attach_norm_planes) let the
         # decode path fold the RMSNorm into the qmm kernel itself
         fuse_attn_norm = (has_attn and tap is None
@@ -838,7 +907,45 @@ def forward(
             tap(f"blk.{il}.attn_q.weight", a)
             tap(f"blk.{il}.attn_k.weight", a)
             tap(f"blk.{il}.attn_v.weight", a)
-        if "wqkv" in lw:  # fused projection (models/fuse.py or GGUF attn_qkv)
+        is_swa_layer = bool(
+            cfg.swa_window and (il % cfg.swa_pattern) != cfg.swa_pattern - 1)
+        swa = cfg.swa_window if is_swa_layer else 0
+        # single-token decode hot path: rope + cache attention in ONE Mosaic
+        # launch; the fresh K/V rows collect in fused_kv and are written to
+        # the cache once for all layers after the loop (ops/decode_attn.py;
+        # "norm"-rope models take this path after fuse.permute_rope_neox)
+        use_fused = (
+            T == 1 and tap is None and causal
+            and (not quant_kv or kv_cache["k"].dtype == jnp.int8)
+            and cfg.rope_mode in ("neox", "none")
+            and not cfg.rope_sections and not cfg.alibi_max_bias
+            and nhkv == cfg.n_head_kv_max and nh % nhkv == 0
+            and cfg.hd % 128 == 0 and "attn_q_norm" not in lw
+            and cache_pos is None and write_pos is pos_start
+            and not seq_parallel
+            and (jax.default_backend() == "tpu" or FUSED_ATTN_INTERPRET)
+        )
+        # mixed-type QKV decode: BOTH projections in one dual-format Pallas
+        # launch whose output is already the flat q++k++v row (no concat)
+        flat_qkv = None
+        dual_ok = (
+            use_fused and "wqk" in lw and fuse_attn_norm
+            and not cfg.clamp_qkv and B <= 8
+            and (jax.default_backend() == "tpu" or FUSED_EPILOGUE_INTERPRET)
+        )
+        if dual_ok:
+            from ..ops.qmm_fast import qmatmul_fast_dual, supports_dual
+
+            if supports_dual(lw["wqk"], lw["wv"]):
+                wn_raw = None if cfg.norm_plus_one else lw.get("attn_norm")
+                flat_qkv = qmatmul_fast_dual(
+                    h[:, 0], lw["wqk"], lw["wv"], lw["attn_norm_il"],
+                    lw["attn_norm_il_v"], cfg.rms_eps,
+                    interpret=FUSED_EPILOGUE_INTERPRET)
+                q = k = v = None
+        if flat_qkv is not None:
+            pass
+        elif "wqkv" in lw:  # fused projection (models/fuse.py or GGUF attn_qkv)
             nq = nh * cfg.hd
             nk = nv = nhkv * cfg.hd
             if fuse_attn_norm:  # norm folded into the qmm kernel
@@ -881,34 +988,17 @@ def forward(
                 k = k + lw["bk"]
             if "bv" in lw:
                 v = v + lw["bv"]
-        if cfg.clamp_qkv:  # mpt/olmo/dbrx f_clamp_kqv
+        if cfg.clamp_qkv and flat_qkv is None:  # mpt/olmo/dbrx f_clamp_kqv
             q = jnp.clip(q, -cfg.clamp_qkv, cfg.clamp_qkv)
             k = jnp.clip(k, -cfg.clamp_qkv, cfg.clamp_qkv)
             v = jnp.clip(v, -cfg.clamp_qkv, cfg.clamp_qkv)
-        is_swa_layer = bool(
-            cfg.swa_window and (il % cfg.swa_pattern) != cfg.swa_pattern - 1)
-        swa = cfg.swa_window if is_swa_layer else 0
-        # single-token decode hot path: rope + cache attention in ONE Mosaic
-        # launch; the fresh K/V rows collect in fused_kv and are written to
-        # the cache once for all layers after the loop (ops/decode_attn.py;
-        # "norm"-rope models take this path after fuse.permute_rope_neox)
-        use_fused = (
-            T == 1 and tap is None and causal
-            and (not quant_kv or kv_cache["k"].dtype == jnp.int8)
-            and cfg.rope_mode in ("neox", "none")
-            and not cfg.rope_sections and not cfg.alibi_max_bias
-            and nhkv == cfg.n_head_kv_max and nh % nhkv == 0
-            and cfg.hd % 128 == 0 and "attn_q_norm" not in lw
-            and cache_pos is None and write_pos is pos_start
-            and not seq_parallel
-            and (jax.default_backend() == "tpu" or FUSED_ATTN_INTERPRET)
-        )
         if use_fused:
             attn, k_r, v_r = _fused_decode_layer(
                 cfg, q, k, v, kv_cache["k"][il], kv_cache["v"][il],
                 pos_start, nh, nhkv, scale, swa, is_swa_layer, rope,
                 k_scale=kv_cache["k_d"][il] if quant_kv else None,
-                v_scale=kv_cache["v_d"][il] if quant_kv else None)
+                v_scale=kv_cache["v_d"][il] if quant_kv else None,
+                flat=flat_qkv)
             fused_kv.append((il, k_r, v_r))
             if quant_kv:
                 new_k.append((kv_cache["k"][il], kv_cache["k_d"][il]))
@@ -961,12 +1051,12 @@ def forward(
                 new_k.append((k_l, kd_l))
                 new_v.append((v_l, vd_l))
                 S = k_l.shape[1]
-                k_full = _kv_dequant(k_l, kd_l,
-                                     compute_dtype).reshape(B, S, Hmax,
-                                                            cfg.hd)
-                v_full = _kv_dequant(v_l, vd_l,
-                                     compute_dtype).reshape(B, S, Hmax,
-                                                            cfg.hd)
+                # int values pass straight through; _attention dequantizes
+                # in-chunk (flash) or on the small dense path — the bf16
+                # cache never materializes in HBM (SURVEY hard part 4)
+                k_full = k_l.reshape(B, S, Hmax, cfg.hd)
+                v_full = v_l.reshape(B, S, Hmax, cfg.hd)
+                k_sc, v_sc = kd_l, vd_l
             else:
                 k_l = _kv_write(kv_cache["k"][il], k, write_pos)
                 v_l = _kv_write(kv_cache["v"][il], v, write_pos)
@@ -975,13 +1065,14 @@ def forward(
                 S = k_l.shape[1]
                 k_full = k_l.reshape(B, S, Hmax, cfg.hd)
                 v_full = v_l.reshape(B, S, Hmax, cfg.hd)
+                k_sc = v_sc = None
             if nhkv < cfg.n_head_kv_max:
                 k_full = k_full[:, :, :nhkv]
                 v_full = v_full[:, :, :nhkv]
             attn = _attention(
                 cfg, q, k_full, v_full, pos_start, T, swa=swa, scale=scale,
                 logit_softcap=cfg.attn_logit_softcap, causal=causal,
-                cache_pos=cache_pos,
+                cache_pos=cache_pos, k_scale=k_sc, v_scale=v_sc,
             ).astype(compute_dtype)
         if tap is not None:
             tap(f"blk.{il}.attn_output.weight", attn)
@@ -989,16 +1080,36 @@ def forward(
             # bitnet: RMS sub-norm on the attention output BEFORE the output
             # projection (llm_build_bitnet, src/llama-model.cpp:9816-9819)
             attn = rms_norm(attn, lw["attn_sub_norm"], cfg.rms_eps)
-        attn_out = matmul_lora(attn, lw["wo"], lw.get("wo_lora"))
-        if "wo_scale" in lw:
-            attn_out = attn_out * lw["wo_scale"]
-        if "bo" in lw:
-            attn_out = attn_out + lw["bo"]
-        attn_out = attn_out.astype(compute_dtype)
-        if cfg.post_norms:
-            attn_out = _norm(cfg, attn_out, lw["post_attn_norm"])
-        if cfg.swin_norm:  # chameleon: attn_norm applied to output, pre-residual
-            attn_out = _norm(cfg, attn_out, lw["attn_norm"])
+        # decode fast path: wo projection with the residual add IN-KERNEL
+        # (one fewer XLA op per layer off the dispatch-bound decode tail)
+        wo_res = (
+            T == 1 and B <= 8 and tap is None
+            and not any(k in lw for k in ("wo_lora", "wo_scale", "bo"))
+            and not cfg.post_norms and not cfg.swin_norm
+            and not cfg.parallel_residual and cfg.residual_scale == 1.0
+            and isinstance(lw.get("wo"), QTensor) and lw["wo"].fq is not None
+            and (jax.default_backend() == "tpu" or FUSED_EPILOGUE_INTERPRET)
+        )
+        if wo_res:
+            from ..ops.qmm_fast import qmatmul_fast_res, supports_fused_epilogue
+
+            wo_res = supports_fused_epilogue(lw["wo"])
+        if wo_res:
+            attn_out = None
+            h = qmatmul_fast_res(
+                attn, lw["wo"], h,
+                interpret=FUSED_EPILOGUE_INTERPRET).astype(compute_dtype)
+        else:
+            attn_out = matmul_lora(attn, lw["wo"], lw.get("wo_lora"))
+            if "wo_scale" in lw:
+                attn_out = attn_out * lw["wo_scale"]
+            if "bo" in lw:
+                attn_out = attn_out + lw["bo"]
+            attn_out = attn_out.astype(compute_dtype)
+            if cfg.post_norms:
+                attn_out = _norm(cfg, attn_out, lw["post_attn_norm"])
+            if cfg.swin_norm:  # chameleon: attn_norm applied to output, pre-residual
+                attn_out = _norm(cfg, attn_out, lw["attn_norm"])
         fuse_ffn_norm = ("ffn_norm_il" in lw and tap is None
                          and not cfg.parallel_residual)
         if cfg.parallel_residual:
@@ -1006,13 +1117,22 @@ def forward(
             f = a if cfg.shared_ffn_norm else _norm(
                 cfg, h, lw.get("ffn_norm"), lw.get("ffn_norm_b"))
         else:
-            h = h + attn_out * cfg.residual_scale
+            if attn_out is not None:
+                h = h + attn_out * cfg.residual_scale
             f = (_norm(cfg, h, lw.get("ffn_norm"), lw.get("ffn_norm_b"))
                  if (cfg.pre_norms and not cfg.swin_norm
                      and not fuse_ffn_norm) else h)
-        ffn_out = _ffn_out(cfg, lw, f, h_in, compute_dtype, tap, il,
-                           lw["ffn_norm_il"] if fuse_ffn_norm else None)
-        h = (h + attn_out + ffn_out) if cfg.parallel_residual else (h + ffn_out * cfg.residual_scale)
+        ffn_res = (h if (not cfg.parallel_residual
+                         and cfg.residual_scale == 1.0) else None)
+        ffn_out, ffn_consumed = _ffn_out(
+            cfg, lw, f, h_in, compute_dtype, tap, il,
+            lw["ffn_norm_il"] if fuse_ffn_norm else None, ffn_res)
+        if ffn_consumed:
+            h = ffn_out
+        elif cfg.parallel_residual:
+            h = h + attn_out + ffn_out
+        else:
+            h = h + ffn_out * cfg.residual_scale
         if "cvec" in lw:  # control-vector steering (llama-adapter cvec)
             h = h + lw["cvec"].astype(h.dtype)
         if tap is not None:  # per-layer hidden state (cb_eval "l_out" analog)

@@ -135,29 +135,44 @@ def flash_attention_pallas(q, k, v, mask, scale: float, chunk: int = 256,
 
 def flash_attention_cache(qg, k, v, pos_b, T: int, scale: float,
                           swa: int = 0, logit_cap: float = 0.0,
-                          chunk: int = 512):
+                          chunk: int = 512, k_scale=None, v_scale=None):
     """Cache-attention with chunk-local masks (nothing O(T x S) materializes).
 
     qg [B, Hkv, G, T, D] grouped queries; k/v [B, Hkv, S, D]; pos_b [B|1]
     row offsets.  Token t of row b attends slot s iff s <= pos_b + t (and
     within the sliding window when swa > 0).  Returns [B, Hkv, G, T, D] f32.
+
+    k_scale/v_scale [B, S]: per-slot scales when k/v hold int8/int4
+    cache-quantized values — dequantization happens in-chunk by scaling
+    the scores / probabilities (the slot scale factors out of the head_dim
+    contraction), so a bf16 copy of the cache never materializes in HBM.
+    Reference analog: flash-attn over cache-quantized type_k/type_v,
+    llama-graph.cpp:1126-1163 (SURVEY hard part 4).
     """
     B, Hkv, G, T_, D = qg.shape
     S = k.shape[2]
     assert S % chunk == 0, f"S={S} % chunk={chunk}"
     n_chunks = S // chunk
+    quant = k_scale is not None
     qf = qg.astype(jnp.float32) * scale
     pos = jnp.reshape(jnp.asarray(pos_b, jnp.int32), (-1, 1, 1, 1, 1))  # [B|1]
     t_idx = jnp.arange(T, dtype=jnp.int32)[None, None, None, :, None]
 
     kc = k.reshape(B, Hkv, n_chunks, chunk, D).transpose(2, 0, 1, 3, 4)
     vc = v.reshape(B, Hkv, n_chunks, chunk, D).transpose(2, 0, 1, 3, 4)
+    if quant:
+        kd = k_scale.reshape(B, n_chunks, chunk).transpose(1, 0, 2)
+        vd = v_scale.reshape(B, n_chunks, chunk).transpose(1, 0, 2)
+    else:  # dummy chunks keep the scan signature static
+        kd = vd = jnp.zeros((n_chunks, B, chunk), jnp.float32)
 
     def step(carry, inp):
         m_run, l_run, acc, c = carry
-        k_i, v_i = inp
+        k_i, v_i, kd_i, vd_i = inp
         s = jnp.einsum("bhgtd,bhsd->bhgts", qf, k_i.astype(jnp.float32),
                        preferred_element_type=jnp.float32)
+        if quant:  # per-slot K scale factors out of the D contraction
+            s = s * kd_i[:, None, None, None, :]
         if logit_cap:
             s = jnp.tanh(s / logit_cap) * logit_cap
         s_idx = c * chunk + jnp.arange(chunk, dtype=jnp.int32)[None, None, None, None, :]
@@ -169,6 +184,8 @@ def flash_attention_cache(qg, k, v, pos_b, T: int, scale: float,
         alpha = jnp.exp(m_run - m_new)
         p = jnp.exp(s - m_new[..., None])
         l_new = l_run * alpha + p.sum(axis=-1)
+        if quant:  # V scale folds into the probabilities
+            p = p * vd_i[:, None, None, None, :]
         acc_new = acc * alpha[..., None] + jnp.einsum(
             "bhgts,bhsd->bhgtd", p, v_i.astype(jnp.float32),
             preferred_element_type=jnp.float32)
@@ -177,7 +194,8 @@ def flash_attention_cache(qg, k, v, pos_b, T: int, scale: float,
     m0 = jnp.full((B, Hkv, G, T), NEG_INF, jnp.float32)
     l0 = jnp.zeros((B, Hkv, G, T), jnp.float32)
     acc0 = jnp.zeros((B, Hkv, G, T, D), jnp.float32)
-    (m, l, acc, _), _ = jax.lax.scan(step, (m0, l0, acc0, jnp.int32(0)), (kc, vc))
+    (m, l, acc, _), _ = jax.lax.scan(step, (m0, l0, acc0, jnp.int32(0)),
+                                     (kc, vc, kd, vd))
     return acc / jnp.maximum(l, 1e-30)[..., None]
 
 

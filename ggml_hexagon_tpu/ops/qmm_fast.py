@@ -2,9 +2,14 @@
 
 Measured on the target chip (v5e, honest data-closed timings): the XLA
 fused-dequant path materializes dequantized intermediates in HBM for wide
-shapes and lands at 29-136 GB/s effective; a dense bf16 Pallas dot hits the
-full 819 GB/s.  This kernel family closes most of the gap (420+ GB/s for
-4-bit, ~590 GB/s for byte formats) with three ideas:
+shapes and lands at 29-136 GB/s effective; an unscaled nibble-unpack dot
+(tools/kernel_lab.py v6) streams ~1.0 TB/s — the chip's real DMA floor.
+The production kernels land at ~460-550 GB/s for 4-bit and ~425-640 GB/s
+for byte formats; the gap to the DMA floor is the per-weight scale
+multiply, which is VPU-throughput-bound (~2 bf16 ops/lane/cycle — measured
+by ablation: removing the multiplies alone reaches the floor, and every
+restructuring tried — slice-mult, single wide dot, bitcast hi-extract —
+was slower).  Three ideas make the kernels fast:
 
 1. **Interleaved column layout.**  Mosaic cannot lower an element-repeat
    ([N, G] group scales -> [N, K]), but `pltpu.repeat` (a lane-tile) is
@@ -208,6 +213,12 @@ def build_fast_planes(qt: QTensor):
             np.uint8 if on_host else jnp.uint8)
     else:
         fq = v.astype(np.int8 if on_host else jnp.int8)
+    if cfg.offset and cfg.asym == "none":
+        # symmetric-offset formats (Q4_0/Q5_0/Q3_K/Q6_K): the bias plane is
+        # offset * scale — derivable from fs in-kernel (one scalar multiply
+        # on the group-sum side dot), so don't stream a second plane.
+        # Q6_K: 1.25 -> 1.125 B/weight of decode HBM traffic.
+        bias_g = None
     n_pad = fq.shape[0]
     n2 = -(-n_pad // _BN) * _BN
     if n2 != n_pad:
@@ -273,9 +284,21 @@ def _group_scale_bias_np(qt: QTensor):
 # kernels
 # ---------------------------------------------------------------------------
 
+def _offset_bias(cfg: QConfig, fb) -> float:
+    """Non-zero when the group bias is offset*scale and no fb plane is
+    stored (build_fast_planes drops it for symmetric-offset formats — the
+    kernel derives the bias from the scale plane it already streams)."""
+    return float(cfg.offset) if (fb is None and cfg.offset) else 0.0
+
+
+def _needs_xg(cfg: QConfig, fb) -> bool:
+    return fb is not None or bool(_offset_bias(cfg, fb))
+
+
 def _store(nkj: int, o_ref, y, y_once=None):
     """Accumulating store over the K-split axis; y_once (the fused bias
-    term, already a full-K quantity) is added exactly once, at j == 0."""
+    term + residual, already full-K quantities) is added exactly once,
+    at j == 0."""
     if nkj == 1:
         o_ref[:] = y if y_once is None else y + y_once
     else:
@@ -286,6 +309,16 @@ def _store(nkj: int, o_ref, y, y_once=None):
         @pl.when(pl.program_id(1) > 0)
         def _acc():
             o_ref[:] += y
+
+
+def _apply_act(act: str, x):
+    """Gated-FFN activation on the gate half, f32 in/out (ggml LLM_FFN_*)."""
+    if act == "gelu":
+        return 0.5 * x * (1.0 + jnp.tanh(0.7978845608028654
+                                         * (x + 0.044715 * x * x * x)))
+    if act == "relu":
+        return jnp.maximum(x, 0.0)
+    return x * jax.lax.logistic(x)  # silu
 
 
 def _bias_term(xg_ref, b_ref, inv):
@@ -316,27 +349,53 @@ def _normed_x(x_ref, w_ref, eps: float):
     return (xf * inv * w_ref[:].astype(jnp.float32)).astype(jnp.bfloat16), inv
 
 
-def _split_refs(eps, has_bias, rest):
-    """inputs after (x, q, s): [xg, fb] if biased, [wn] if normed, out."""
+def _split_refs(eps, has_xg, has_fb, has_res, rest):
+    """inputs after (x, q, s): [xg] when a group-sum side input is needed,
+    [fb] when a stored bias plane exists, [wn] if normed, [res] if
+    residual-fused, out."""
     i = 0
-    xg_ref = b_ref = w_ref = None
-    if has_bias:
-        xg_ref, b_ref = rest[0], rest[1]
-        i = 2
+    xg_ref = b_ref = w_ref = res_ref = None
+    if has_xg:
+        xg_ref = rest[i]
+        i += 1
+    if has_fb:
+        b_ref = rest[i]
+        i += 1
     if eps is not None:
         w_ref = rest[i]
-    return xg_ref, b_ref, w_ref, rest[-1]
+        i += 1
+    if has_res:
+        res_ref = rest[i]
+    return xg_ref, b_ref, w_ref, res_ref, rest[-1]
 
 
-def _nibble_kernel(reps: int, nkj: int, eps, has_bias: bool, cm: str,
-                   x_ref, q_ref, s_ref, *rest):
-    xg_ref, b_ref, w_ref, o_ref = _split_refs(eps, has_bias, rest)
-    inv = None
+def _kernel_x(act: str, eps, x_ref, w_ref):
+    """The kernel's effective activation: raw block, fused RMS-norm, or the
+    fused act-mul over a doubled (gate ++ up, both pre-interleaved) input.
+    Returns (bf16 x, rsqrt factor or None)."""
+    if act:
+        xw = x_ref[:].astype(jnp.float32)
+        half2 = xw.shape[1] // 2
+        return (_apply_act(act, xw[:, :half2])
+                * xw[:, half2:]).astype(jnp.bfloat16), None
     if w_ref is not None:
-        x, inv = _normed_x(x_ref, w_ref, eps)
-    else:
-        x = x_ref[:]
-    pu = q_ref[:]
+        return _normed_x(x_ref, w_ref, eps)
+    return x_ref[:], None
+
+
+def _epilogue(nkj, o_ref, y, xg_ref, b_ref, off, s_ref, res_ref, inv):
+    once = None
+    if xg_ref is not None:
+        bt = _bias_term(xg_ref, b_ref if b_ref is not None else s_ref, inv)
+        once = off * bt if b_ref is None else bt
+    if res_ref is not None:
+        r = res_ref[:].astype(jnp.float32)
+        once = r if once is None else once + r
+    _store(nkj, o_ref, y, once)
+
+
+def _nibble_y(cm: str, reps: int, x, pu, s_ref):
+    """Split lo/hi scaled MXU dots over a packed-nibble block."""
     if cm:  # coded i-quant nibbles: arithmetic codebook decode in-kernel
         lo = decode_codes(cm, (pu & 15).astype(jnp.int32)).astype(jnp.bfloat16)
         hi = decode_codes(cm, pu.astype(jnp.int32) >> 4).astype(jnp.bfloat16)
@@ -349,29 +408,38 @@ def _nibble_kernel(reps: int, nkj: int, eps, has_bias: bool, cm: str,
     half = x.shape[1] // 2
     xl = x[:, :half]
     xh = x[:, half:]
-    y = (jax.lax.dot_general(xl, lo * sc, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-         + jax.lax.dot_general(xh, hi * sc, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32))
-    _store(nkj, o_ref, y,
-           _bias_term(xg_ref, b_ref, inv) if b_ref is not None else None)
+    return (jax.lax.dot_general(xl, lo * sc, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(xh, hi * sc, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32))
 
 
-def _byte_kernel(reps: int, nkj: int, eps, has_bias: bool,
-                 x_ref, q_ref, s_ref, *rest):
-    xg_ref, b_ref, w_ref, o_ref = _split_refs(eps, has_bias, rest)
-    inv = None
-    if w_ref is not None:
-        x, inv = _normed_x(x_ref, w_ref, eps)
-    else:
-        x = x_ref[:]
+def _byte_y(reps: int, x, q_ref, s_ref):
     w = q_ref[:].astype(jnp.bfloat16)
     sc = pltpu.repeat(s_ref[:], reps, axis=1).astype(jnp.bfloat16)
-    y = jax.lax.dot_general(
+    return jax.lax.dot_general(
         x, w * sc, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    _store(nkj, o_ref, y,
-           _bias_term(xg_ref, b_ref, inv) if b_ref is not None else None)
+
+
+def _nibble_kernel(reps: int, nkj: int, eps, has_xg: bool, has_fb: bool,
+                   off: float, cm: str, act: str, has_res: bool,
+                   x_ref, q_ref, s_ref, *rest):
+    xg_ref, b_ref, w_ref, res_ref, o_ref = _split_refs(
+        eps, has_xg, has_fb, has_res, rest)
+    x, inv = _kernel_x(act, eps, x_ref, w_ref)
+    y = _nibble_y(cm, reps, x, q_ref[:], s_ref)
+    _epilogue(nkj, o_ref, y, xg_ref, b_ref, off, s_ref, res_ref, inv)
+
+
+def _byte_kernel(reps: int, nkj: int, eps, has_xg: bool, has_fb: bool,
+                 off: float, act: str, has_res: bool,
+                 x_ref, q_ref, s_ref, *rest):
+    xg_ref, b_ref, w_ref, res_ref, o_ref = _split_refs(
+        eps, has_xg, has_fb, has_res, rest)
+    x, inv = _kernel_x(act, eps, x_ref, w_ref)
+    y = _byte_y(reps, x, q_ref, s_ref)
+    _epilogue(nkj, o_ref, y, xg_ref, b_ref, off, s_ref, res_ref, inv)
 
 
 def _pick_blocks(B: int, K: int, nibble: bool, gs: int):
@@ -389,28 +457,28 @@ def _pick_blocks(B: int, K: int, nibble: bool, gs: int):
     G = K // gs
     pmax = gs // 2 if nibble else gs
     valid = [p for p in range(1, pmax + 1) if pmax % p == 0]
-    if nibble and B <= 8 and G <= 128:
+    if B <= 8:
         # decode GEMV sweet spot measured on-chip (tools/kernel_lab.py):
         # bn=1024 beats 2048 (485 vs 413 GB/s on the 28672x4096 gate-up
-        # shape); block columns capped at 2048.  The budget here is the
+        # shape), and K-splits forfeit the fused-norm/act kernels (they
+        # need the full K in one block) — so prefer nkj=1 at ANY K and
+        # step bn down until the working set fits.  The budget is the
         # v5e's real VMEM (~128 MB; hardware-validated at 24+ MB of unpack
         # intermediates in round 1) — the conservative 13 MB general-loop
-        # budget would force a K-split, which forfeits the fused-norm
-        # kernel (it needs the full K in one block).
+        # budget below serves prefill shapes.
         import os
 
-        bn = int(os.environ.get("GHT_QMM_BN", "1024"))
+        bn_env = os.environ.get("GHT_QMM_BN")
         nkj_env = os.environ.get("GHT_QMM_NKJ")
-        if nkj_env is not None and int(nkj_env) in valid:
-            return bn, int(nkj_env)
-        for p in valid:
-            cols = (K // 2) // p
-            if cols > 2048:
-                continue
+        if bn_env is not None and nkj_env is not None and int(nkj_env) in valid:
+            return int(bn_env), int(nkj_env)
+        per_col = 12 if nibble else 6  # unpack intermediates + casts
+        for bn in ((int(bn_env),) if bn_env else (1024, 512, 256)):
+            cols = (K // 2) if nibble else K
             fixed = 2 * bn * G * 2 * 2 + B * bn * 4 + K * 4
-            blk = (B * (K // p) * 2 + bn * cols) * 2
-            if fixed + blk + 12 * bn * cols <= 96 * 1024 * 1024:
-                return bn, p
+            blk = (B * K * 2 + bn * cols) * 2
+            if fixed + blk + per_col * bn * cols <= 96 * 1024 * 1024:
+                return bn, 1
     for bn in (512, 256, 128):
         # scale + (possible) bias plane blocks, double-buffered, + out
         fixed = 2 * bn * G * 2 * 2 + B * bn * 4
@@ -425,11 +493,15 @@ def _pick_blocks(B: int, K: int, nibble: bool, gs: int):
 
 
 @functools.partial(jax.jit, static_argnames=("nibble", "G", "nkj", "bn",
-                                             "eps", "interpret", "cm"))
-def _fast_call(x_blk, fq, fs, fb=None, xg=None, wn=None, *, nibble: bool,
-               G: int, nkj: int, bn: int = _BN, eps=None,
-               interpret: bool = False, cm: str = ""):
+                                             "eps", "interpret", "cm", "act",
+                                             "off"))
+def _fast_call(x_blk, fq, fs, fb=None, xg=None, wn=None, res=None, *,
+               nibble: bool, G: int, nkj: int, bn: int = _BN, eps=None,
+               interpret: bool = False, cm: str = "", act: str = "",
+               off: float = 0.0):
     B, K = x_blk.shape
+    if act:  # doubled input: gate ++ up halves, both pre-interleaved
+        K = K // 2
     n2 = fq.shape[0]
     bn = min(bn, n2)  # rows are padded to _BN multiples; small tensors
     cols = fq.shape[1]
@@ -437,32 +509,42 @@ def _fast_call(x_blk, fq, fs, fb=None, xg=None, wn=None, *, nibble: bool,
     bcols = cols // nkj
     reps = bcols // G
     assert (wn is None) == (eps is None) and (wn is None or nkj == 1)
-    assert (fb is None) == (xg is None)
+    assert fb is None or xg is not None
+    assert not (act and (nkj != 1 or wn is not None))
     if nibble or cm:
         kern = functools.partial(_nibble_kernel, reps, nkj, eps,
-                                 fb is not None, cm)
+                                 xg is not None, fb is not None, off, cm,
+                                 act, res is not None)
     else:
         kern = functools.partial(_byte_kernel, reps, nkj, eps,
-                                 fb is not None)
+                                 xg is not None, fb is not None, off,
+                                 act, res is not None)
     group_spec = pl.BlockSpec((bn, G), lambda i, j: (i, 0),
                               memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((B, bk), lambda i, j: (0, j),
+        pl.BlockSpec((B, 2 * bk if act else bk), lambda i, j: (0, j),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((bn, bcols), lambda i, j: (i, j),
                      memory_space=pltpu.VMEM),
         group_spec,
     ]
     args = [x_blk, fq, fs]
-    if fb is not None:  # affine formats: bias plane + group sums in-kernel
+    if xg is not None:  # group-sum side input (stored fb plane OR derived
+        # offset*scale bias — the latter reuses the scale block)
         in_specs.append(pl.BlockSpec((B, G), lambda i, j: (0, 0),
                                      memory_space=pltpu.VMEM))
+        args.append(xg)
+    if fb is not None:
         in_specs.append(group_spec)
-        args.extend([xg, fb])
+        args.append(fb)
     if wn is not None:  # fused RMS-norm (pre-interleaved weight, full-K x)
         in_specs.append(pl.BlockSpec((1, K), lambda i, j: (0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(wn.reshape(1, K))
+    if res is not None:  # fused residual add (decode epilogue)
+        in_specs.append(pl.BlockSpec((B, bn), lambda i, j: (0, i),
+                                     memory_space=pltpu.VMEM))
+        args.append(res)
     return pl.pallas_call(
         kern,
         grid=(n2 // bn, nkj),
@@ -471,7 +553,10 @@ def _fast_call(x_blk, fq, fs, fb=None, xg=None, wn=None, *, nibble: bool,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, n2), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary"),
+            # wide-K byte blocks (Q6_K ffn_down, K=14336) need >16 MB of
+            # scoped VMEM for the cast/scale intermediates
+            vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * K * n2,
             bytes_accessed=int(np.prod(fq.shape)) + 4 * n2 * G,
@@ -518,11 +603,14 @@ def _zeros_cot(p):
     return np.zeros(p.shape, jax.dtypes.float0)
 
 
-def _interleave_x(x2, G: int, gs: int, nibble: bool, nkj: int):
+def _interleave_x(x2, G: int, gs: int, nibble: bool, nkj: int,
+                  pre_il: bool = False):
     """Activation into the kernel's interleaved (and, for K-split nibble
-    blocks, re-paired) column order."""
+    blocks, re-paired) column order.  pre_il: x2 is ALREADY interleaved
+    (the w_gateup_il prefill path) — only the re-pairing applies."""
     B, K = x2.shape
-    x_il = x2.reshape(B, G, gs).swapaxes(1, 2).reshape(B, K)
+    x_il = (x2 if pre_il
+            else x2.reshape(B, G, gs).swapaxes(1, 2).reshape(B, K))
     if nibble and nkj > 1:
         # re-pair: K-block j of the packed plane needs x new-columns
         # [j*bc, (j+1)*bc) ++ [K/2 + j*bc, ...) contiguous in its block
@@ -531,26 +619,33 @@ def _interleave_x(x2, G: int, gs: int, nibble: bool, nkj: int):
     return x_il
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
-def _fast_core(x, planes, gs, nibble, n, interpret, cm=""):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
+def _fast_core(x, planes, gs, nibble, n, interpret, cm="", off=0.0,
+               pre_il=False):
     fq, fs, fb = planes
     B, K = x.shape
     G = K // gs
     bn, nkj = _pick_blocks(B, K, nibble or bool(cm), gs)
-    x_blk = _interleave_x(x, G, gs, nibble or bool(cm), nkj)
-    xg = (jnp.sum(x.reshape(B, G, gs).astype(jnp.float32), axis=2)
-          if fb is not None else None)
+    x_blk = _interleave_x(x, G, gs, nibble or bool(cm), nkj, pre_il)
+    if fb is None and not off:
+        xg = None
+    elif pre_il:  # interleaved order: column r*G + g belongs to group g
+        xg = jnp.sum(x.reshape(B, gs, G).astype(jnp.float32), axis=1)
+    else:
+        xg = jnp.sum(x.reshape(B, G, gs).astype(jnp.float32), axis=2)
     y = _fast_call(x_blk.astype(jnp.bfloat16), fq, fs, fb, xg,
                    nibble=nibble, G=G, nkj=nkj, bn=bn, interpret=interpret,
-                   cm=cm)
+                   cm=cm, off=off)
     return y[:, :n]
 
 
-def _fast_fwd(x, planes, gs, nibble, n, interpret, cm=""):
-    return _fast_core(x, planes, gs, nibble, n, interpret, cm), (x, planes)
+def _fast_fwd(x, planes, gs, nibble, n, interpret, cm="", off=0.0,
+              pre_il=False):
+    return (_fast_core(x, planes, gs, nibble, n, interpret, cm, off, pre_il),
+            (x, planes))
 
 
-def _fast_bwd(gs, nibble, n, interpret, cm, res, g):
+def _fast_bwd(gs, nibble, n, interpret, cm, off, pre_il, res, g):
     x, planes = res
     fq, fs, fb = planes
     B, K = x.shape
@@ -570,10 +665,16 @@ def _fast_bwd(gs, nibble, n, interpret, cm, res, g):
     else:
         w_il = fq.astype(jnp.float32) * jnp.tile(fs.astype(jnp.float32), (1, K // G))
     dx_il = gp @ w_il
-    dx = dx_il.reshape(B, gs, G).swapaxes(1, 2).reshape(B, K)
-    if fb is not None:
-        dxg = gp @ fb.astype(jnp.float32)               # [B, G]
-        dx = dx + jnp.repeat(dxg, gs, axis=1)
+    dx = (dx_il if pre_il
+          else dx_il.reshape(B, gs, G).swapaxes(1, 2).reshape(B, K))
+    fb_eff = fb
+    if fb_eff is None and off:
+        fb_eff = off * fs.astype(jnp.float32)
+    if fb_eff is not None:
+        dxg = gp @ jnp.asarray(fb_eff, jnp.float32)     # [B, G]
+        dbias = (jnp.tile(dxg, (1, gs)) if pre_il
+                 else jnp.repeat(dxg, gs, axis=1))
+        dx = dx + dbias
     return (dx.astype(x.dtype),
             tuple(_zeros_cot(p) for p in planes))
 
@@ -597,6 +698,8 @@ def dequantize_fast(qt: QTensor, dtype=jnp.float32):
         v = jnp.concatenate([p & 15, (p >> 4) & 15], axis=1)
     else:
         v = qt.fq.astype(jnp.int32)
+    if qt.fb is None and cfg.offset:
+        v = v + int(cfg.offset)  # derived bias: w = scale * (q + offset)
     w_il = v.astype(jnp.float32) * jnp.tile(qt.fs.astype(jnp.float32), (1, cfg.gs))
     if qt.fb is not None:
         w_il = w_il + jnp.tile(qt.fb.astype(jnp.float32), (1, cfg.gs))
@@ -606,8 +709,11 @@ def dequantize_fast(qt: QTensor, dtype=jnp.float32):
     return w.astype(dtype)
 
 
-def qmatmul_fast(x, qt: QTensor, out_dtype=jnp.float32, interpret=False):
-    """y = x @ dequant(qt).T via the fast planes.  Requires qt.fq."""
+def qmatmul_fast(x, qt: QTensor, out_dtype=jnp.float32, interpret=False,
+                 pre_interleaved=False):
+    """y = x @ dequant(qt).T via the fast planes.  Requires qt.fq.
+    pre_interleaved: x's columns are already in the kernel's interleaved
+    order (the w_gateup_il prefill path — skips the relayout op)."""
     lead = x.shape[:-1]
     K = x.shape[-1]
     assert K == qt.k and qt.fq is not None
@@ -617,8 +723,324 @@ def qmatmul_fast(x, qt: QTensor, out_dtype=jnp.float32, interpret=False):
     if Bp != B:
         x2 = jnp.pad(x2, ((0, Bp - B), (0, 0)))
     y = _fast_core(x2, (qt.fq, qt.fs, qt.fb), qt.cfg.gs,
-                   _is_nibble(qt.cfg), qt.n, interpret, qt.cfg.code_map)
+                   _is_nibble(qt.cfg), qt.n, interpret, qt.cfg.code_map,
+                   _offset_bias(qt.cfg, qt.fb), pre_interleaved)
     return y[:B].reshape(*lead, qt.n).astype(out_dtype)
+
+
+def _dual_kernel(nba: int, nbb: int, reps_a: int, reps_b: int, eps,
+                 xa_has: bool, fa_has: bool, off_a: float,
+                 xb_has: bool, fb_has: bool, off_b: float,
+                 cm_a: str, cm_b: str,
+                 nib_a: bool, nib_b: bool, *refs):
+    (xa_ref, xb_ref, qa_ref, sa_ref, qb_ref, sb_ref, *rest) = refs
+    o_ref = rest[-1]
+    idx = 0
+    xga = fba = xgb = fbb = wna = wnb = None
+    if xa_has:
+        xga = rest[idx]
+        idx += 1
+    if fa_has:
+        fba = rest[idx]
+        idx += 1
+    if xb_has:
+        xgb = rest[idx]
+        idx += 1
+    if fb_has:
+        fbb = rest[idx]
+        idx += 1
+    if eps is not None:
+        wna, wnb = rest[idx], rest[idx + 1]
+    i = pl.program_id(0)
+
+    @pl.when(i < nba)
+    def _part_a():
+        if eps is not None:
+            x, inv = _normed_x(xa_ref, wna, eps)
+        else:
+            x, inv = xa_ref[:], None
+        y = (_nibble_y(cm_a, reps_a, x, qa_ref[:], sa_ref)
+             if (nib_a or cm_a) else _byte_y(reps_a, x, qa_ref, sa_ref))
+        if xa_has:
+            bt = _bias_term(xga, fba if fba is not None else sa_ref, inv)
+            y = y + (off_a * bt if fba is None else bt)
+        o_ref[:] = y
+
+    @pl.when(i >= nba)
+    def _part_b():
+        if eps is not None:
+            x, inv = _normed_x(xb_ref, wnb, eps)
+        else:
+            x, inv = xb_ref[:], None
+        y = (_nibble_y(cm_b, reps_b, x, qb_ref[:], sb_ref)
+             if (nib_b or cm_b) else _byte_y(reps_b, x, qb_ref, sb_ref))
+        if xb_has:
+            bt = _bias_term(xgb, fbb if fbb is not None else sb_ref, inv)
+            y = y + (off_b * bt if fbb is None else bt)
+        o_ref[:] = y
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "nib_a", "nib_b", "cm_a", "cm_b", "Ga", "Gb", "bn", "eps", "interpret",
+    "off_a", "off_b"))
+def _dual_call(xa, xb, fqa, fsa, fqb, fsb, fba=None, xga=None, fbb=None,
+               xgb=None, wna=None, wnb=None, *, nib_a, nib_b, cm_a, cm_b,
+               Ga, Gb, bn, eps=None, interpret=False,
+               off_a=0.0, off_b=0.0):
+    B, K = xa.shape
+    na2, nb2 = fqa.shape[0], fqb.shape[0]
+    nba, nbb = na2 // bn, nb2 // bn
+    reps_a = fqa.shape[1] // Ga
+    reps_b = fqb.shape[1] // Gb
+    kern = functools.partial(
+        _dual_kernel, nba, nbb, reps_a, reps_b, eps,
+        xga is not None, fba is not None, off_a,
+        xgb is not None, fbb is not None, off_b,
+        cm_a, cm_b, nib_a, nib_b)
+
+    def ia(i):
+        return jnp.minimum(i, nba - 1)
+
+    def ib(i):
+        return jnp.clip(i - nba, 0, nbb - 1)
+
+    full = lambda i: (0, 0)
+    in_specs = [
+        pl.BlockSpec((B, K), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, K), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((bn, fqa.shape[1]), lambda i: (ia(i), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bn, Ga), lambda i: (ia(i), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bn, fqb.shape[1]), lambda i: (ib(i), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bn, Gb), lambda i: (ib(i), 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [xa, xb, fqa, fsa, fqb, fsb]
+    if xga is not None:
+        in_specs.append(pl.BlockSpec((B, Ga), full, memory_space=pltpu.VMEM))
+        args.append(xga)
+    if fba is not None:
+        in_specs.append(pl.BlockSpec((bn, Ga), lambda i: (ia(i), 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(fba)
+    if xgb is not None:
+        in_specs.append(pl.BlockSpec((B, Gb), full, memory_space=pltpu.VMEM))
+        args.append(xgb)
+    if fbb is not None:
+        in_specs.append(pl.BlockSpec((bn, Gb), lambda i: (ib(i), 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(fbb)
+    if eps is not None:
+        in_specs.append(pl.BlockSpec((1, K), full, memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((1, K), full, memory_space=pltpu.VMEM))
+        args.extend([wna.reshape(1, K), wnb.reshape(1, K)])
+    return pl.pallas_call(
+        kern,
+        grid=(nba + nbb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((B, bn), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, na2 + nb2), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * K * (na2 + nb2),
+            bytes_accessed=int(np.prod(fqa.shape)) + int(np.prod(fqb.shape)),
+            transcendentals=0),
+        interpret=interpret,
+    )(*args)
+
+
+def _dual_blocking(qt_a: QTensor, qt_b: QTensor, B: int = 8):
+    """Common (bn, nkj=1) blocking for a dual launch, or None."""
+    if qt_a.fq is None or qt_b.fq is None or qt_a.k != qt_b.k:
+        return None
+    if qt_a.n != qt_a.fq.shape[0] or qt_b.n != qt_b.fq.shape[0]:
+        return None  # padding rows would land mid-output
+    bns = []
+    for qt in (qt_a, qt_b):
+        nib = _is_nibble(qt.cfg) or bool(qt.cfg.code_map)
+        bn, nkj = _pick_blocks(max(8, B), qt.k, nib, qt.cfg.gs)
+        if nkj != 1:
+            return None
+        bns.append(bn)
+    bn = min(bns)
+    if qt_a.n % bn or qt_b.n % bn:
+        bn = 512 if (qt_a.n % 512 == 0 and qt_b.n % 512 == 0) else None
+    return bn
+
+
+def supports_dual(qt_a, qt_b, B: int = 8) -> bool:
+    return (isinstance(qt_a, QTensor) and isinstance(qt_b, QTensor)
+            and _dual_blocking(qt_a, qt_b, B) is not None)
+
+
+def qmatmul_fast_dual(x, qt_a: QTensor, qt_b: QTensor, wn_a_il=None,
+                      wn_b_il=None, eps=None, out_dtype=jnp.float32,
+                      interpret=False):
+    """Two quantized projections of the SAME activation in ONE Pallas
+    launch, outputs row-concatenated: [x @ A' ++ x @ B'].
+
+    Serves the mixed-type fused-QKV decode path (Q4_K wqk + Q6_K attn_v
+    under the Q4_K_M policy): one dispatch instead of two, one shared
+    in-kernel RMS-norm site, and the output IS the flat q++k++v row the
+    fused decode-attention kernel consumes — the per-layer concat op
+    disappears from the decode graph.  Both tensors may be any supported
+    fast format (nibble/coded/byte) with their own group geometry.
+    """
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    assert K == qt_a.k == qt_b.k
+    bn = _dual_blocking(qt_a, qt_b)
+    assert bn is not None
+    B = int(np.prod(lead)) if lead else 1
+    Bp = max(8, -(-B // 8) * 8)
+    x2 = x.reshape(B, K)
+    if Bp != B:
+        x2 = jnp.pad(x2, ((0, Bp - B), (0, 0)))
+    xs, xgs = [], []
+    for qt in (qt_a, qt_b):
+        cfg = qt.cfg
+        G = K // cfg.gs
+        nib = _is_nibble(cfg) or bool(cfg.code_map)
+        x_il = _interleave_x(x2, G, cfg.gs, nib, 1)
+        xs.append(x_il.astype(jnp.bfloat16))
+        if not _needs_xg(cfg, qt.fb):
+            xgs.append(None)
+        elif eps is not None:
+            wn = jnp.asarray(wn_a_il if qt is qt_a else wn_b_il, jnp.float32)
+            xgs.append(jnp.sum(
+                (x_il.astype(jnp.float32) * wn).reshape(Bp, cfg.gs, G),
+                axis=1))
+        else:
+            xgs.append(jnp.sum(
+                x2.reshape(Bp, G, cfg.gs).astype(jnp.float32), axis=2))
+    y = _dual_call(
+        xs[0], xs[1], qt_a.fq, qt_a.fs, qt_b.fq, qt_b.fs,
+        qt_a.fb, xgs[0], qt_b.fb, xgs[1],
+        None if eps is None else jnp.asarray(wn_a_il, jnp.float32),
+        None if eps is None else jnp.asarray(wn_b_il, jnp.float32),
+        nib_a=_is_nibble(qt_a.cfg), nib_b=_is_nibble(qt_b.cfg),
+        cm_a=qt_a.cfg.code_map, cm_b=qt_b.cfg.code_map,
+        Ga=K // qt_a.cfg.gs, Gb=K // qt_b.cfg.gs, bn=bn,
+        eps=None if eps is None else float(eps), interpret=interpret,
+        off_a=_offset_bias(qt_a.cfg, qt_a.fb),
+        off_b=_offset_bias(qt_b.cfg, qt_b.fb))
+    return y[:B].reshape(*lead, qt_a.n + qt_b.n).astype(out_dtype)
+
+
+def supports_fused_epilogue(qt, B: int = 8) -> bool:
+    """True when the decode blocking gives this tensor an nkj == 1 (full-K
+    in one block) kernel — the requirement for the fused act-mul /
+    residual epilogues."""
+    if not isinstance(qt, QTensor) or qt.fq is None:
+        return False
+    nib = _is_nibble(qt.cfg) or bool(qt.cfg.code_map)
+    _, nkj = _pick_blocks(max(8, B), qt.k, nib, qt.cfg.gs)
+    return nkj == 1
+
+
+def interleave_perm(k: int, gs: int) -> np.ndarray:
+    """Public handle on the kernel's column interleave (models/fuse.py
+    pre-permutes gate_up projection ROWS by this so its output feeds the
+    fused act+down kernel with zero relayout ops in the decode graph)."""
+    return _interleave_perm(k, gs)
+
+
+def qmatmul_fast_act(x, qt: QTensor, act: str, res=None,
+                     out_dtype=jnp.float32, interpret=False):
+    """Fused gated-FFN epilogue + quantized matmul (inference decode):
+
+        y = (act(gate) * up) @ dequant(qt).T  [+ res]
+
+    x [..., 2K] is the RAW output of a gate_up projection whose rows were
+    pre-permuted at load so that both halves arrive in qt's interleaved
+    column order (models/fuse.py interleave_gateup_rows) — the act-mul
+    happens in-kernel and the intermediate never exists in HBM, removing
+    the per-layer silu/mul/interleave XLA ops from the decode tail
+    (reference analog: LLM_FFN_SWIGLU fusing inside one graph split,
+    llama-graph.cpp build_ffn).  res [..., n] is an optional residual
+    added in-kernel (h + ffn_out).  Requires an nkj == 1 blocking
+    (supports_fused_epilogue).
+    """
+    lead = x.shape[:-1]
+    K2 = x.shape[-1]
+    K = K2 // 2
+    assert K == qt.k and qt.fq is not None
+    cfg = qt.cfg
+    gs = cfg.gs
+    G = K // gs
+    nibble = _is_nibble(cfg)
+    cm = cfg.code_map
+    B = int(np.prod(lead)) if lead else 1
+    Bp = max(8, -(-B // 8) * 8)
+    bn, nkj = _pick_blocks(Bp, K, nibble or bool(cm), gs)
+    assert nkj == 1, "fused act path requires full-K blocking"
+    x2 = x.reshape(B, K2)
+    if Bp != B:
+        x2 = jnp.pad(x2, ((0, Bp - B), (0, 0)))
+    xg = None
+    if _needs_xg(cfg, qt.fb):
+        # group sums of act(g)*u: recomputed OUTSIDE as one tiny fused XLA
+        # op (read 2K, write G) — in-kernel the period-G strided reduce
+        # would need misaligned lane slices for G % 128 != 0
+        xe = (_apply_act(act, x2[:, :K].astype(jnp.float32))
+              * x2[:, K:].astype(jnp.float32))
+        xg = jnp.sum(xe.reshape(Bp, gs, G), axis=1)
+    if res is not None:
+        res = res.astype(jnp.float32).reshape(B, qt.n)
+        res = jnp.pad(res, ((0, Bp - B), (0, qt.fq.shape[0] - qt.n)))
+    y = _fast_call(x2.astype(jnp.bfloat16), qt.fq, qt.fs, qt.fb, xg, None,
+                   res, nibble=nibble, G=G, nkj=1, bn=bn,
+                   interpret=interpret, cm=cm, act=act,
+                   off=_offset_bias(cfg, qt.fb))
+    return y[:B, :qt.n].reshape(*lead, qt.n).astype(out_dtype)
+
+
+def qmatmul_fast_res(x, qt: QTensor, res, out_dtype=jnp.float32,
+                     interpret=False):
+    """Quantized matmul with an in-kernel residual add (inference decode):
+    y = x @ dequant(qt).T + res — removes the per-layer h + attn_out XLA
+    add from the decode tail.  Requires nkj == 1 (supports_fused_epilogue).
+    """
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    assert K == qt.k and qt.fq is not None
+    cfg = qt.cfg
+    gs = cfg.gs
+    G = K // gs
+    nibble = _is_nibble(cfg)
+    cm = cfg.code_map
+    B = int(np.prod(lead)) if lead else 1
+    Bp = max(8, -(-B // 8) * 8)
+    bn, nkj = _pick_blocks(Bp, K, nibble or bool(cm), gs)
+    assert nkj == 1, "fused residual path requires full-K blocking"
+    x2 = x.reshape(B, K)
+    if Bp != B:
+        x2 = jnp.pad(x2, ((0, Bp - B), (0, 0)))
+    x_il = _interleave_x(x2, G, gs, nibble or bool(cm), 1)
+    xg = (jnp.sum(x2.reshape(Bp, G, gs).astype(jnp.float32), axis=2)
+          if _needs_xg(cfg, qt.fb) else None)
+    res = res.astype(jnp.float32).reshape(B, qt.n)
+    res = jnp.pad(res, ((0, Bp - B), (0, qt.fq.shape[0] - qt.n)))
+    y = _fast_call(x_il.astype(jnp.bfloat16), qt.fq, qt.fs, qt.fb, xg, None,
+                   res, nibble=nibble, G=G, nkj=1, bn=bn,
+                   interpret=interpret, cm=cm,
+                   off=_offset_bias(cfg, qt.fb))
+    return y[:B, :qt.n].reshape(*lead, qt.n).astype(out_dtype)
+
+
+def uninterleave_cols(x, gs: int):
+    """Inverse of the column interleave along the LAST axis of an
+    activation: x[..., j] -> original column order (prefill path of the
+    row-permuted gate_up output, models/llama._dense_ffn)."""
+    K = x.shape[-1]
+    G = K // gs
+    lead = x.shape[:-1]
+    return x.reshape(*lead, gs, G).swapaxes(-1, -2).reshape(*lead, K)
 
 
 def uninterleave_norm(wn_il, gs: int):
@@ -663,7 +1085,7 @@ def qmatmul_fast_normed(x, qt: QTensor, wn_il, eps: float,
     x_il = _interleave_x(x2, G, gs, nibble or bool(cm), 1)
     wn = jnp.asarray(wn_il, jnp.float32)
     xg = None
-    if qt.fb is not None:
+    if _needs_xg(cfg, qt.fb):
         # pre-norm group sums of x*wn; the kernel rescales by its rsqrt.
         # In the interleaved order, column r*G + g belongs to group g, so
         # the sums come straight off the interleaved product — no
@@ -672,5 +1094,5 @@ def qmatmul_fast_normed(x, qt: QTensor, wn_il, eps: float,
                      axis=1)
     y = _fast_call(x_il.astype(jnp.bfloat16), qt.fq, qt.fs, qt.fb, xg, wn,
                    nibble=nibble, G=G, nkj=1, bn=bn, eps=float(eps),
-                   interpret=interpret, cm=cm)
+                   interpret=interpret, cm=cm, off=_offset_bias(cfg, qt.fb))
     return y[:B, :qt.n].reshape(*lead, qt.n).astype(out_dtype)

@@ -86,7 +86,7 @@ def shard_llama_weights(weights: dict, cfg, mesh: Mesh) -> dict:
     specs = {
         "attn_norm": rep, "ffn_norm": rep,
         "wq": col, "wk": col, "wv": col, "wqkv": col,
-        "wo": row, "w_gateup": col,
+        "wo": row, "w_gateup": col, "w_gateup_il": col,
         "ffn_gate": col, "ffn_up": col, "ffn_down": row,
         # MoE: stacked expert tensors row-shard over tp = expert parallelism
         # (tp | n_expert keeps each expert's row block within one shard; the

@@ -205,7 +205,7 @@ class QTensor:
 #: qmm_fast planes exist (MoE "_exps" stacks keep wire: qtensor_rows slices
 #: it; embeddings keep wire: the token gather dequantizes rows)
 _DROPPABLE_KEYS = {"wq", "wk", "wv", "wo", "wqkv", "ffn_gate", "ffn_up",
-                   "ffn_down", "w_gateup", "ffn_gate_shexp", "ffn_up_shexp",
+                   "ffn_down", "w_gateup", "w_gateup_il", "ffn_gate_shexp", "ffn_up_shexp",
                    "ffn_down_shexp"}
 
 

@@ -114,3 +114,42 @@ def test_decode_attention_pallas_matches_dense():
         ref = np.einsum("bhgts,bhsd->bhgtd", p, vt)
         err = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
         assert err < 2e-5, (swa, cap, err)
+
+
+def test_flash_cache_quantized_kv_matches_dequant_oracle():
+    """flash_attention_cache consuming int8 K/V + per-slot scales must match
+    dequantize-then-attend (VERDICT r1 item 4: the bf16 cache never
+    materializes in HBM).  Also exercises the int4 cache flavor."""
+    import jax.numpy as jnp
+    from ggml_hexagon_tpu.ops.attention import flash_attention_cache
+
+    rng = np.random.default_rng(11)
+    B, Hkv, G, T, D, S = 1, 2, 2, 4, 64, 2048
+    qg = jnp.asarray(rng.normal(size=(B, Hkv, G, T, D)).astype(np.float32))
+    kf = rng.normal(size=(B, S, Hkv * D)).astype(np.float32)
+    vf = rng.normal(size=(B, S, Hkv * D)).astype(np.float32)
+    pos = jnp.asarray([S // 2], jnp.int32)
+
+    for bits, it in ((8, np.int8), (4, None)):
+        qmax = 127.0 if bits == 8 else 7.0
+        d_k = np.abs(kf).max(axis=-1) / qmax
+        d_v = np.abs(vf).max(axis=-1) / qmax
+        kq = np.clip(np.round(kf / d_k[..., None]), -qmax, qmax)
+        vq = np.clip(np.round(vf / d_v[..., None]), -qmax, qmax)
+        if it is None:
+            kqj = jnp.asarray(kq, jnp.int4)
+            vqj = jnp.asarray(vq, jnp.int4)
+        else:
+            kqj = jnp.asarray(kq.astype(it))
+            vqj = jnp.asarray(vq.astype(it))
+        k4 = kqj.reshape(B, S, Hkv, D).transpose(0, 2, 1, 3)
+        v4 = vqj.reshape(B, S, Hkv, D).transpose(0, 2, 1, 3)
+        # oracle: dequantize, then the same flash path
+        kd = (kq * d_k[..., None]).reshape(B, S, Hkv, D).transpose(0, 2, 1, 3)
+        vd = (vq * d_v[..., None]).reshape(B, S, Hkv, D).transpose(0, 2, 1, 3)
+        want = np.asarray(flash_attention_cache(
+            qg, jnp.asarray(kd), jnp.asarray(vd), pos, T, 0.125))
+        got = np.asarray(flash_attention_cache(
+            qg, k4, v4, pos, T, 0.125,
+            k_scale=jnp.asarray(d_k), v_scale=jnp.asarray(d_v)))
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)

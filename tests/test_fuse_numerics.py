@@ -140,3 +140,92 @@ def test_fused_decode_path_norm_model_end_to_end():
         llama.FUSED_ATTN_INTERPRET = False
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=0,
                                atol=2e-2)
+
+
+def _tiny_quant(seed=0, nh=4, nkv=2, hd=128, n_layer=2, n_vocab=96,
+                n_ff=512, qtype=None):
+    """Tiny model with REAL Q4_K/Q6_K tensors large enough for fast planes
+    (K multiples of 256) — exercises the fused epilogue decode path."""
+    from ggml_hexagon_tpu.quant import pack as P
+    from ggml_hexagon_tpu.quant.formats import GGMLType
+
+    rng = np.random.default_rng(seed)
+    cfg = LlamaConfig(
+        n_vocab=n_vocab, n_embd=nh * hd, n_layer=n_layer, n_head=nh,
+        n_head_kv=nkv, n_ff=n_ff, rope_mode="neox", head_dim=hd)
+    d = cfg.n_embd
+
+    def q(n, k, t=GGMLType.Q4_K):
+        w = rng.normal(size=(n, k)).astype(np.float32) * 0.05
+        return P.quantize_tensor(w, t).astype_device(fast=True)
+
+    def w(n, k):
+        return jnp.asarray(rng.normal(size=(n, k)) * 0.05, jnp.float32)
+
+    layers = []
+    for il in range(n_layer):
+        layers.append({
+            "attn_norm": jnp.asarray(rng.random(d) + 0.5, jnp.float32),
+            "wq": q(nh * hd, d), "wk": q(nkv * hd, d),
+            # layer 1 gets a mixed-type V (the Q4_K_M policy shape)
+            "wv": q(nkv * hd, d, GGMLType.Q6_K if il else GGMLType.Q4_K),
+            "wo": q(d, nh * hd),
+            "ffn_norm": jnp.asarray(rng.random(d) + 0.5, jnp.float32),
+            "ffn_gate": q(n_ff, d), "ffn_up": q(n_ff, d),
+            "ffn_down": q(d, n_ff, GGMLType.Q6_K if il else GGMLType.Q4_K),
+        })
+    weights = {
+        "tok_embd": w(n_vocab, d),
+        "output_norm": jnp.ones(d, jnp.float32),
+        "output": w(n_vocab, d),
+        "layers": layers,
+    }
+    return cfg, weights
+
+
+def test_fused_epilogue_decode_matches_unfused():
+    """The full fuse pipeline (wqkv/wqk concat + norm planes + gateup row
+    interleave + in-kernel act/residual epilogues) must match the unfused
+    forward within kernel-numerics tolerance on both prefill and decode."""
+    from ggml_hexagon_tpu.models.fuse import fuse_weights
+
+    cfg, weights = _tiny_quant(seed=2)
+    fused = fuse_weights(weights, cfg)
+    assert "w_gateup_il" in fused["layers"][0]
+    assert "wqkv" in fused["layers"][0]          # layer 0: all Q4_K
+    assert "wqk" in fused["layers"][1]           # layer 1: mixed-type V
+    toks = jnp.asarray([[5, 30, 61]], jnp.int32)
+    step = jnp.asarray([[7]], jnp.int32)
+
+    def run(w, epilogue):
+        llama.FUSED_EPILOGUE_INTERPRET = epilogue
+        try:
+            kv = init_kv_cache(cfg, 1, 16)
+            lp, kv = forward(cfg, w, toks, kv, jnp.int32(0))
+            ld, kv = forward(cfg, w, step, kv, jnp.int32(3))
+        finally:
+            llama.FUSED_EPILOGUE_INTERPRET = False
+        return np.asarray(lp), np.asarray(ld)
+
+    lp0, ld0 = run(weights, False)
+    lp1, ld1 = run(fused, True)
+    # in-kernel bf16 rms/act vs the f32 XLA path: measured maxabs ~0.05 on
+    # logits of magnitude ~3 (kernel-numerics tolerance, not a logic bound)
+    np.testing.assert_allclose(lp1, lp0, rtol=0, atol=1e-1)
+    np.testing.assert_allclose(ld1, ld0, rtol=0, atol=1e-1)
+
+
+def test_gateup_il_prefill_path_matches():
+    """The un-interleave prefill branch of the row-permuted gate_up output
+    must be exact vs the plain w_gateup forward (same quantized planes)."""
+    from ggml_hexagon_tpu.models import fuse as F
+
+    cfg, weights = _tiny_quant(seed=3)
+    out = F.fuse_weights(weights, cfg)            # with gateup_il
+    toks = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+    kv0 = init_kv_cache(cfg, 1, 16)
+    l0, _ = forward(cfg, weights, toks, kv0, jnp.int32(0), logits_all=True)
+    kv1 = init_kv_cache(cfg, 1, 16)
+    l1, _ = forward(cfg, out, toks, kv1, jnp.int32(0), logits_all=True)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
+                               rtol=0, atol=1e-1)

@@ -171,7 +171,12 @@ def test_fused_projections_identical(tiny_hf_model, our_model):
         with GGUFReader.open(p) as r:
             cfg, weights = load_llama_weights(r)
     fused = fuse_weights(weights, cfg)
-    assert "wqkv" in fused["layers"][0] and "w_gateup" in fused["layers"][0]
+    l0 = fused["layers"][0]
+    assert "wqkv" in l0
+    # when the decode epilogue qualifies, the fused gate_up is row-permuted
+    # into ffn_down's interleaved order (w_gateup_il); the prefill path
+    # un-interleaves exactly, so bit-identity still holds below
+    assert "w_gateup" in l0 or "w_gateup_il" in l0
     rng = np.random.default_rng(3)
     ids = rng.integers(0, 512, size=(1, 7))
     kv = init_kv_cache(cfg, 1, 8)

@@ -325,3 +325,145 @@ def test_coded_iquant_fast_planes(tname):
     err[:, ~fin.all(axis=1)] = 0.0
     scale = np.abs(np.where(np.isfinite(want), want, 0)).max() + 1e-6
     assert err[np.isfinite(err)].max() / scale < 2e-2
+
+
+# ---------------------------------------------------------------------------
+# fused epilogues (in-kernel act-mul / residual add, decode hot path)
+# ---------------------------------------------------------------------------
+
+def _interleave_half(x, gs):
+    B, K = x.shape
+    G = K // gs
+    return x.reshape(B, G, gs).swapaxes(1, 2).reshape(B, K)
+
+
+@pytest.mark.parametrize("qtype", [GGMLType.Q4_K, GGMLType.Q6_K,
+                                   GGMLType.Q4_0, GGMLType.Q8_0])
+def test_fast_act_epilogue_matches_composition(qtype):
+    """qmatmul_fast_act(gate++up, qt) == qmatmul(silu(gate)*up, qt) [+res]
+    with both halves delivered pre-interleaved (the w_gateup_il contract,
+    models/fuse.interleave_gateup_rows)."""
+    from ggml_hexagon_tpu.ops.qmm_fast import (qmatmul_fast_act,
+                                               supports_fused_epilogue)
+
+    rng = np.random.default_rng(3)
+    N, K = 256, 512
+    w = rng.normal(size=(N, K)).astype(np.float32)
+    qt = P.quantize_tensor(w, qtype).astype_device(fast=True)
+    if not supports_fused_epilogue(qt):
+        pytest.skip("no nkj==1 blocking for this type/shape")
+    g = rng.normal(size=(2, K)).astype(np.float32)
+    u = rng.normal(size=(2, K)).astype(np.float32)
+    res = rng.normal(size=(2, N)).astype(np.float32)
+    gs = qt.cfg.gs
+    x_in = jnp.concatenate([
+        jnp.asarray(_interleave_half(g, gs)),
+        jnp.asarray(_interleave_half(u, gs))], axis=1)
+    xe = jnp.asarray(g / (1 + np.exp(-g)) * u)
+    want = np.asarray(qmatmul_xla(xe, qt)) + res
+    got = np.asarray(qmatmul_fast_act(x_in, qt, "silu",
+                                      res=jnp.asarray(res), interpret=True))
+    assert nmse(got, want) < MUL_MAT_NMSE
+
+
+@pytest.mark.parametrize("qtype", [GGMLType.Q4_K, GGMLType.Q6_K])
+def test_fast_res_epilogue_matches_composition(qtype):
+    from ggml_hexagon_tpu.ops.qmm_fast import (qmatmul_fast_res,
+                                               supports_fused_epilogue)
+
+    rng = np.random.default_rng(4)
+    N, K = 256, 512
+    w = rng.normal(size=(N, K)).astype(np.float32)
+    qt = P.quantize_tensor(w, qtype).astype_device(fast=True)
+    if not supports_fused_epilogue(qt):
+        pytest.skip("no nkj==1 blocking for this type/shape")
+    x = rng.normal(size=(3, K)).astype(np.float32)
+    res = rng.normal(size=(3, N)).astype(np.float32)
+    want = np.asarray(qmatmul_xla(jnp.asarray(x), qt)) + res
+    got = np.asarray(qmatmul_fast_res(jnp.asarray(x), qt,
+                                      jnp.asarray(res), interpret=True))
+    assert nmse(got, want) < MUL_MAT_NMSE
+
+
+def test_uninterleave_cols_roundtrip():
+    from ggml_hexagon_tpu.ops.qmm_fast import uninterleave_cols
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(2, 3, 512)).astype(np.float32)
+    gs = 32
+    x_il = x.reshape(2, 3, 512 // gs, gs).swapaxes(-1, -2).reshape(2, 3, 512)
+    back = np.asarray(uninterleave_cols(jnp.asarray(x_il), gs))
+    np.testing.assert_array_equal(back, x)
+
+
+@pytest.mark.parametrize("tb", [GGMLType.Q6_K, GGMLType.Q4_K, GGMLType.Q8_0])
+def test_fast_dual_matches_two_matmuls(tb):
+    """qmatmul_fast_dual == [x@A.T ++ x@B.T] for mixed-format pairs (the
+    Q4_K wqk + Q6_K attn_v decode shape), with and without fused norm."""
+    from ggml_hexagon_tpu.ops.qmm_fast import (qmatmul_fast_dual,
+                                               supports_dual)
+    from ggml_hexagon_tpu.ops.basic import rms_norm
+
+    rng = np.random.default_rng(7)
+    K = 512
+    na, nb = 1024, 512
+    wa = rng.normal(size=(na, K)).astype(np.float32)
+    wb = rng.normal(size=(nb, K)).astype(np.float32)
+    qa = P.quantize_tensor(wa, GGMLType.Q4_K).astype_device(fast=True)
+    qb = P.quantize_tensor(wb, tb).astype_device(fast=True)
+    if not supports_dual(qa, qb):
+        pytest.skip("no common dual blocking")
+    x = jnp.asarray(rng.normal(size=(2, K)).astype(np.float32))
+    want = np.concatenate(
+        [np.asarray(qmatmul_xla(x, qa)), np.asarray(qmatmul_xla(x, qb))],
+        axis=1)
+    got = np.asarray(qmatmul_fast_dual(x, qa, qb, interpret=True))
+    assert nmse(got, want) < MUL_MAT_NMSE
+
+    # fused-norm flavor (the production decode configuration)
+    wn = (rng.random(K) + 0.5).astype(np.float32)
+    gs_a, gs_b = qa.cfg.gs, qb.cfg.gs
+    wn_a = wn.reshape(K // gs_a, gs_a).T.reshape(K)
+    wn_b = wn.reshape(K // gs_b, gs_b).T.reshape(K)
+    xn = rms_norm(x, jnp.asarray(wn), 1e-5)
+    want_n = np.concatenate(
+        [np.asarray(qmatmul_xla(xn, qa)), np.asarray(qmatmul_xla(xn, qb))],
+        axis=1)
+    got_n = np.asarray(qmatmul_fast_dual(
+        x, qa, qb, jnp.asarray(wn_a), jnp.asarray(wn_b), 1e-5,
+        interpret=True))
+    assert nmse(got_n, want_n) < MUL_MAT_NMSE
+
+
+@pytest.mark.parametrize("B", [2, 16])
+@pytest.mark.parametrize("qtype", [GGMLType.Q4_K, GGMLType.Q6_K])
+def test_pre_interleaved_matches(qtype, B):
+    """qmatmul_fast(pre_interleaved=True) on a pre-interleaved activation
+    must equal the plain call (decode AND K-split blockings)."""
+    rng = np.random.default_rng(9)
+    N, K = 256, 512
+    w = rng.normal(size=(N, K)).astype(np.float32)
+    qt = P.quantize_tensor(w, qtype).astype_device(fast=True)
+    x = rng.normal(size=(B, K)).astype(np.float32)
+    gs = qt.cfg.gs
+    G = K // gs
+    x_il = x.reshape(B, G, gs).transpose(0, 2, 1).reshape(B, K)
+    want = np.asarray(qmatmul_fast(jnp.asarray(x), qt, interpret=True))
+    got = np.asarray(qmatmul_fast(jnp.asarray(x_il), qt, interpret=True,
+                                  pre_interleaved=True))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
+
+
+def test_offset_formats_drop_bias_plane():
+    """Symmetric-offset formats derive bias in-kernel: no fb plane stored,
+    and the kernel still matches the XLA oracle."""
+    rng = np.random.default_rng(10)
+    N, K = 256, 512
+    for qtype in (GGMLType.Q6_K, GGMLType.Q4_0, GGMLType.Q5_0):
+        w = rng.normal(size=(N, K)).astype(np.float32)
+        qt = P.quantize_tensor(w, qtype).astype_device(fast=True)
+        assert qt.fb is None, qtype
+        x = jnp.asarray(rng.normal(size=(2, K)).astype(np.float32))
+        want = np.asarray(qmatmul_xla(x, qt))
+        got = np.asarray(qmatmul_fast(x, qt, interpret=True))
+        assert nmse(got, want) < MUL_MAT_NMSE, qtype

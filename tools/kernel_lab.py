@@ -100,6 +100,37 @@ def nibble_kernel(mode: str, reps: int, x_ref, q_ref, s_ref, o_ref):
                                  preferred_element_type=jnp.float32)
              + jax.lax.dot_general(xh, hi * sc, (((1,), (1,)), ((), ())),
                                    preferred_element_type=jnp.float32))
+    elif mode == "v9":  # slice-mult: no repeat materialization; the scale
+        # tile multiplies rep-slices of the packed plane in place
+        lo = (pu & 15).astype(jnp.int8).astype(jnp.bfloat16)
+        hi = (pu.astype(jnp.int32) >> 4).astype(jnp.bfloat16)
+        sc = s_ref[:].astype(jnp.bfloat16)
+        G = sc.shape[1]
+        lo2 = jnp.concatenate(
+            [lo[:, r * G:(r + 1) * G] * sc for r in range(lo.shape[1] // G)],
+            axis=1)
+        hi2 = jnp.concatenate(
+            [hi[:, r * G:(r + 1) * G] * sc for r in range(hi.shape[1] // G)],
+            axis=1)
+        y = (jax.lax.dot_general(xl, lo2, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+             + jax.lax.dot_general(xh, hi2, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32))
+    elif mode == "v10":  # one dot over the full K (scaled halves concat)
+        lo = (pu & 15).astype(jnp.int8).astype(jnp.bfloat16)
+        hi = (pu.astype(jnp.int32) >> 4).astype(jnp.bfloat16)
+        sc = pltpu.repeat(s_ref[:], reps, axis=1).astype(jnp.bfloat16)
+        w = jnp.concatenate([lo * sc, hi * sc], axis=1)
+        y = jax.lax.dot_general(x, w, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    elif mode == "v12":  # x-half pre-scaled? diagnostic: scale only lo
+        lo = (pu & 15).astype(jnp.int8).astype(jnp.bfloat16)
+        hi = (pu.astype(jnp.int32) >> 4).astype(jnp.bfloat16)
+        sc = pltpu.repeat(s_ref[:], reps, axis=1).astype(jnp.bfloat16)
+        y = (jax.lax.dot_general(xl, lo * sc, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+             + jax.lax.dot_general(xh, hi, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32))
     elif mode == "v6":  # unscaled (diagnostic)
         lo = (pu & 15).astype(jnp.int8).astype(jnp.bfloat16)
         hi = pltpu.bitcast(pu & 0xF0, jnp.int8).astype(jnp.bfloat16)
@@ -189,7 +220,7 @@ def _run_variant(mode, fq, fs, B, K, G, bn, label):
 
         def f(x):
             y = call(x, w)
-            return (y[:, :K] * 1e-6 + x.astype(jnp.float32)).astype(xdt)
+            return (y[:, :1] * 1e-6 + x.astype(jnp.float32)).astype(xdt)
     elif mode in ("v3", "v4", "v8"):
         vals = (fq.astype(np.int8) & 15) - 8
         if mode == "v3":
@@ -249,7 +280,7 @@ def _run_variant(mode, fq, fs, B, K, G, bn, label):
 
         def f(x):
             y = call(x, wq, sp)
-            return (y[:, :K] * 1e-6 + x.astype(jnp.float32)).astype(xdt)
+            return (y[:, :1] * 1e-6 + x.astype(jnp.float32)).astype(xdt)
 
     if mode == "v8":
         x0 = jnp.asarray(rng.integers(-4, 4, (B, K)).astype(np.int8))

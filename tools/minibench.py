@@ -1,0 +1,142 @@
+"""Mini-bench: 8-layer slice of the 8B Q4_K_M decode for fast on-chip
+iteration (the full bench.py builds 32 layers through the tunnel, ~20 min).
+
+Reports per-layer decode time; multiply by 32 and add the lm_head to
+sanity-project tg128.  Uses the exact production load pipeline.  Honest
+timing per docs/performance.md (data-closed chain).
+"""
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layers", type=int, default=8)
+    ap.add_argument("--ctx", type=int, default=1024)
+    ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--no-fuse", action="store_true")
+    ap.add_argument("--kv", default="bf16", choices=["bf16", "q8_0"])
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    import bench as B
+    from ggml_hexagon_tpu.models.llama import (LlamaConfig, forward,
+                                               init_kv_cache)
+
+    print(f"devices: {jax.devices()}", flush=True)
+    rng = np.random.default_rng(0)
+
+    # clone of bench.build_8b with fewer layers
+    real_build = B.build_8b
+
+    def build(rng):
+        cfg, weights = real_build(rng)
+        return cfg, weights
+
+    import ggml_hexagon_tpu.models.llama as L
+
+    full_cfg, _ = None, None
+    # monkeypatch layer count by building manually
+    from dataclasses import replace
+
+    cfg = LlamaConfig(
+        n_vocab=128256, n_embd=4096, n_layer=args.layers, n_head=32,
+        n_head_kv=8, n_ff=14336, rope_theta=500000.0, n_ctx_train=8192)
+    from ggml_hexagon_tpu.quant.formats import GGMLType
+    from ggml_hexagon_tpu.quant.policy import QuantPolicy
+
+    policy = QuantPolicy("Q4_K_M", 32)
+    d = cfg.n_embd
+    layers = []
+    for il in range(args.layers):
+        print(f"  building layer {il}", flush=True)
+        t_v = policy.tensor_type(f"blk.{il}.attn_v.weight", (d, d))
+        t_dn = policy.tensor_type(f"blk.{il}.ffn_down.weight", (d, cfg.n_ff))
+        hq = lambda n, k, t: B.random_qtensor(rng, n, k, t, fast="host")
+        gate = hq(cfg.n_ff, d, GGMLType.Q4_K)
+        up = hq(cfg.n_ff, d, GGMLType.Q4_K)
+        gateup = B.host_concat([gate, up])
+        qkv_parts = [hq(cfg.n_head * cfg.hd, d, GGMLType.Q4_K),
+                     hq(cfg.n_head_kv * cfg.hd, d, GGMLType.Q4_K),
+                     hq(cfg.n_head_kv * cfg.hd, d, t_v)]
+        lw = {
+            "attn_norm": jnp.ones(d, jnp.float32),
+            "wo": hq(d, cfg.n_head * cfg.hd,
+                     GGMLType.Q4_K).astype_device().without_wire(),
+            "ffn_norm": jnp.ones(d, jnp.float32),
+            "ffn_down": hq(d, cfg.n_ff, t_dn).astype_device().without_wire(),
+        }
+        if all(p.cfg == qkv_parts[0].cfg for p in qkv_parts):
+            lw["wqkv"] = B.host_concat(qkv_parts).astype_device().without_wire()
+        else:
+            for key, p in zip(("wq", "wk", "wv"), qkv_parts):
+                lw[key] = p.astype_device().without_wire()
+        lw["w_gateup"] = gateup.astype_device().without_wire()
+        layers.append(lw)
+    weights = {
+        "tok_embd": B.random_qtensor(rng, cfg.n_vocab, d, GGMLType.Q4_K,
+                                     fast=False),
+        "output_norm": jnp.ones(d, jnp.float32),
+        "output": B.random_qtensor(rng, cfg.n_vocab, d,
+                                   GGMLType.Q6_K).without_wire(),
+        "layers": layers,
+    }
+    if not args.no_fuse:
+        from ggml_hexagon_tpu.models.fuse import fuse_weights, permute_rope_neox
+        from ggml_hexagon_tpu.quant.pack import drop_wire_planes
+
+        weights, cfg = permute_rope_neox(weights, cfg)
+        weights = fuse_weights(weights, cfg)
+        weights = drop_wire_planes(weights)
+    l0 = weights["layers"][0]
+    print("layer0 keys:", sorted(l0.keys()), flush=True)
+
+    kv = init_kv_cache(cfg, 1, args.ctx,
+                       "q8_0" if args.kv == "q8_0" else jnp.bfloat16)
+    from functools import partial
+
+    @partial(jax.jit, donate_argnames=("kv",))
+    def decode_step(weights, kv, tok, pos):
+        logits, kv = forward(cfg, weights, tok, kv, pos, logits_all=False)
+        return kv, jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None], pos + 1
+
+    def sync(x):
+        return int(np.asarray(x).reshape(-1)[0])
+
+    tiny = jax.jit(lambda v: v + 1)
+    t = tiny(jnp.int32(0)); sync(t)
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        t = tiny(t); sync(t)
+        rtts.append(time.perf_counter() - t0)
+    rtt = min(rtts)
+    print(f"rtt {rtt*1e3:.1f} ms", flush=True)
+
+    tok = jnp.zeros((1, 1), jnp.int32)
+    pos = jnp.int32(args.ctx // 2)
+    kv, tok, pos = decode_step(weights, kv, tok, pos)
+    sync(tok)
+    best = 1e9
+    for trial in range(3):
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            kv, tok, pos = decode_step(weights, kv, tok, pos)
+        sync(tok)
+        dt = max(time.perf_counter() - t0 - rtt, 1e-9) / args.steps
+        best = min(best, dt)
+        print(f"trial {trial}: {dt*1e3:.3f} ms/step", flush=True)
+    # rough projection: non-layer cost ~= lm_head+embed+norms measured as
+    # (step - layers*per_layer); assume layer cost scales to 32
+    print(f"best {best*1e3:.3f} ms/step ({args.layers} layers)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
