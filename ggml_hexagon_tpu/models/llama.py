@@ -916,7 +916,8 @@ def forward(
         # "norm"-rope models take this path after fuse.permute_rope_neox)
         use_fused = (
             T == 1 and tap is None and causal
-            and (not quant_kv or kv_cache["k"].dtype == jnp.int8)
+            and (not quant_kv
+                 or kv_cache["k"].dtype in (jnp.int8, jnp.int4))
             and cfg.rope_mode in ("neox", "none")
             and not cfg.rope_sections and not cfg.alibi_max_bias
             and nhkv == cfg.n_head_kv_max and nh % nhkv == 0

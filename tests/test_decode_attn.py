@@ -129,6 +129,39 @@ def test_fused_decode_attention_mscale_partial_dims():
     _check(kr, rk, atol=1e-4)
 
 
+def _quant_oracle(qkv, kq, vq, kd, vd, pos_b, Hq, Hkv, D, scale):
+    """Oracle for an int-quantized cache: dequantize rows then run the
+    dense reference (reference analog: flash attention over cache-
+    quantized type_k/type_v, llama-graph.cpp:1126-1163)."""
+    kc = kq.astype(jnp.float32) * kd[:, :, None]
+    vc = vq.astype(jnp.float32) * vd[:, :, None]
+    return _oracle(qkv, kc, vc, pos_b, None, Hq, Hkv, D, scale)
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_fused_decode_attention_quant_kv(bits):
+    """int8/int4 KV dequantized IN-KERNEL via per-row scales folded into
+    scores/probabilities (VERDICT r3 item 5 lifts the int8-only gate)."""
+    Hq, Hkv, D, S = 8, 2, 128, 256
+    scale = 1.0 / np.sqrt(D)
+    rng = np.random.default_rng(11)
+    qkv = jnp.asarray(rng.normal(size=(2, (Hq + 2 * Hkv) * D)), jnp.float32)
+    qmax = 127 if bits == 8 else 7
+    it = jnp.int8 if bits == 8 else jnp.int4
+    kq = jnp.asarray(rng.integers(-qmax, qmax + 1, (2, S, Hkv * D)), it)
+    vq = jnp.asarray(rng.integers(-qmax, qmax + 1, (2, S, Hkv * D)), it)
+    kd = jnp.asarray(rng.random((2, S)) * 0.02 + 0.001, jnp.float32)
+    vd = jnp.asarray(rng.random((2, S)) * 0.02 + 0.001, jnp.float32)
+    pos_b = jnp.asarray([100, 37], jnp.int32)
+    out, kr, vr = fused_decode_attention(
+        qkv, kq, vq, pos_b, None, k_scale=kd, v_scale=vd,
+        Hq=Hq, Hkv=Hkv, D=D, scale=scale, chunk=64, interpret=True)
+    ro, rk, rv = _quant_oracle(qkv, kq, vq, kd, vd, pos_b, Hq, Hkv, D, scale)
+    _check(out, ro)
+    _check(kr, rk, atol=1e-5)
+    _check(vr, rv, atol=1e-6)
+
+
 def test_fused_decode_attention_mqa():
     """Hkv=1 (MQA) and G=Hq."""
     Hq, Hkv, D = 8, 1, 128

@@ -1,0 +1,189 @@
+"""On-hardware kernel-vs-oracle conformance sweep (VERDICT r2 item 4).
+
+Runs COMPILED (not interpret-mode) on the real TPU: every production
+Pallas kernel family against its jnp oracle at test-backend-ops NMSE
+budgets (mul_mat class 5e-4, tests/test-backend-ops.cpp:1982 analog).
+The round-2 incident this guards against: an interim bench measured with
+attention silently skipped — a numerics gate on the device would have
+caught it immediately.  Wired into ci/run.sh under REAL_CHIP=1.
+
+Coverage:
+  - qmatmul_fast: one shape per fast-plane family (nibble / byte /
+    coded-nibble / LUT / ternary / offset-derived-bias)
+  - fused epilogues: normed, residual, act-mul, dual-projection
+  - fused_decode_attention: bf16 KV, int8 KV, int4 KV
+Exit code != 0 on any failure; prints a per-kernel PASS/FAIL table.
+"""
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+FAILS = []
+
+
+def check(name, got, want, budget=5e-4):
+    got = np.asarray(got, np.float64)
+    want = np.asarray(want, np.float64)
+    nmse = float(((got - want) ** 2).sum() / max((want ** 2).sum(), 1e-30))
+    ok = nmse <= budget
+    print(f"{name:42s} nmse={nmse:9.2e}  {'PASS' if ok else 'FAIL'}",
+          flush=True)
+    if not ok:
+        FAILS.append(name)
+
+
+def main():
+    t0 = time.time()
+    import jax
+    import jax.numpy as jnp
+
+    import bench as B
+    from ggml_hexagon_tpu.quant.formats import GGMLType
+    from ggml_hexagon_tpu.ops.qmm_fast import (
+        dequantize_fast, qmatmul_fast, qmatmul_fast_act, qmatmul_fast_dual,
+        qmatmul_fast_normed, qmatmul_fast_res, supports_dual)
+
+    print(f"devices: {jax.devices()}", flush=True)
+    assert jax.default_backend() == "tpu", "conformance sweep needs the TPU"
+    rng = np.random.default_rng(7)
+    n, k = 512, 1024
+    x = jnp.asarray(rng.normal(size=(1, k)) * 0.5, jnp.bfloat16)
+    xf = x.astype(jnp.float32)
+
+    fams = [GGMLType.Q4_0, GGMLType.Q4_K, GGMLType.Q5_0, GGMLType.Q6_K,
+            GGMLType.Q8_0, GGMLType.Q5_K, GGMLType.Q2_K, GGMLType.Q3_K,
+            GGMLType.IQ2_XS, GGMLType.IQ3_XXS, GGMLType.IQ4_NL,
+            GGMLType.TQ2_0]
+    for t in fams:
+        try:
+            qt = B.random_qtensor(rng, n, k, t, fast="host")
+            qt = qt.astype_device()
+            if qt.fq is None:
+                print(f"qmm_fast {t.name:32s} (no fast planes) SKIP",
+                      flush=True)
+                continue
+            w = dequantize_fast(qt)[:n]
+            want = xf @ w.T
+            got = qmatmul_fast(x, qt)
+            check(f"qmm_fast {t.name}", got, want)
+        except Exception as e:  # noqa: BLE001
+            print(f"qmm_fast {t.name}: ERROR {type(e).__name__}: "
+                  f"{str(e)[:100]}", flush=True)
+            FAILS.append(t.name)
+
+    # --- fused epilogues (Q4_K weight; the production decode config) ---
+    eps = 1e-5
+    wn = jnp.asarray(rng.normal(size=(k,)) * 0.1 + 1.0, jnp.float32)
+    qt4 = B.random_qtensor(rng, n, k, GGMLType.Q4_K, fast="host").astype_device()
+    w4 = dequantize_fast(qt4)[:n]
+
+    from ggml_hexagon_tpu.ops.qmm_fast import interleave_perm
+
+    wn_il = wn[np.asarray(interleave_perm(k, qt4.cfg.gs))]
+    inv = jax.lax.rsqrt(jnp.mean(xf * xf) + eps)
+    want = (xf * inv * wn) @ w4.T
+    got = qmatmul_fast_normed(x, qt4, wn_il, eps)
+    check("qmm_fast_normed Q4_K", got, want)
+
+    res = jnp.asarray(rng.normal(size=(1, n)), jnp.float32)
+    want = xf @ w4.T + res
+    got = qmatmul_fast_res(x, qt4, res)
+    check("qmm_fast_res Q4_K", got, want)
+
+    # act-mul epilogue: x2 holds gate++up in qt's interleaved column order
+    x2 = jnp.asarray(rng.normal(size=(1, 2 * k)) * 0.5, jnp.bfloat16)
+    g, u = x2.astype(jnp.float32)[:, :k], x2.astype(jnp.float32)[:, k:]
+    silu = lambda v: v * jax.nn.sigmoid(v)
+    gu_il = (silu(g) * u)
+    # oracle consumes the interleaved product directly (pre_interleaved)
+    from ggml_hexagon_tpu.ops.qmm_fast import uninterleave_cols
+
+    want = uninterleave_cols(gu_il, qt4.cfg.gs) @ w4.T + res
+    got = qmatmul_fast_act(x2, qt4, "silu", res=res)
+    check("qmm_fast_act Q4_K", got, want, budget=2e-3)
+
+    qt6 = B.random_qtensor(rng, 512, k, GGMLType.Q6_K,
+                           fast="host").astype_device()
+    if supports_dual(qt4, qt6):
+        w6 = dequantize_fast(qt6)[:512]
+        want = jnp.concatenate(
+            [(xf * inv * wn) @ w4.T, (xf * inv * wn) @ w6.T], axis=1)
+        got = qmatmul_fast_dual(x, qt4, qt6, wn_il, wn_il, eps)
+        check("qmm_fast_dual Q4_K+Q6_K", got, want)
+
+    # --- fused decode attention vs dense oracle ---
+    from ggml_hexagon_tpu.ops.basic import RopeParams, rope_freqs
+    from ggml_hexagon_tpu.ops.decode_attn import fused_decode_attention
+
+    Hq, Hkv, D, S = 8, 2, 128, 512
+    scale = 1.0 / float(np.sqrt(D))
+    invf = tuple(np.asarray(
+        rope_freqs(RopeParams(n_dims=D, mode="neox"))[0]).tolist())
+    qkv = jnp.asarray(rng.normal(size=(2, (Hq + 2 * Hkv) * D)), jnp.float32)
+    pos_b = jnp.asarray([300, 37], jnp.int32)
+
+    def attn_oracle(qkv, kcf, vcf, k_sc=None, v_sc=None):
+        Bq = qkv.shape[0]
+        half = D // 2
+        ang = pos_b.astype(jnp.float32)[:, None] * jnp.asarray(invf)[None]
+        cos, sin = jnp.cos(ang)[:, None, :], jnp.sin(ang)[:, None, :]
+
+        def rot(t):
+            t1, t2 = t[..., :half], t[..., half:]
+            return jnp.concatenate([t1 * cos - t2 * sin,
+                                    t1 * sin + t2 * cos], -1)
+
+        q = rot(qkv[:, :Hq * D].reshape(Bq, Hq, D).astype(jnp.float32))
+        kk = rot(qkv[:, Hq * D:(Hq + Hkv) * D].reshape(Bq, Hkv, D)
+                 .astype(jnp.float32))
+        vv = qkv[:, (Hq + Hkv) * D:].reshape(Bq, Hkv, D).astype(jnp.float32)
+        kc = kcf.astype(jnp.float32).reshape(Bq, S, Hkv, D)
+        vc = vcf.astype(jnp.float32).reshape(Bq, S, Hkv, D)
+        if k_sc is not None:
+            kc = kc * k_sc[:, :, None, None]
+            vc = vc * v_sc[:, :, None, None]
+        rows = jnp.arange(Bq)
+        kc = kc.at[rows, pos_b].set(kk)
+        vc = vc.at[rows, pos_b].set(vv)
+        qg = q.reshape(Bq, Hkv, Hq // Hkv, D)
+        s = jnp.einsum("bhgd,bshd->bhgs", qg, kc) * scale
+        ok = jnp.arange(S)[None, None, None, :] <= pos_b[:, None, None, None]
+        p = jax.nn.softmax(jnp.where(ok, s, -1e30), axis=-1)
+        return jnp.einsum("bhgs,bshd->bhgd", p, vc).reshape(Bq, Hq * D)
+
+    kc = jnp.asarray(rng.normal(size=(2, S, Hkv * D)), jnp.bfloat16)
+    vc = jnp.asarray(rng.normal(size=(2, S, Hkv * D)), jnp.bfloat16)
+    out, _, _ = fused_decode_attention(qkv, kc, vc, pos_b, invf, Hq=Hq,
+                                       Hkv=Hkv, D=D, scale=scale, chunk=256)
+    check("fused_decode_attention bf16 KV", out, attn_oracle(qkv, kc, vc),
+          budget=2e-4)
+
+    for bits, it in ((8, jnp.int8), (4, jnp.int4)):
+        qmax = 127 if bits == 8 else 7
+        kq = jnp.asarray(rng.integers(-qmax, qmax + 1, (2, S, Hkv * D)), it)
+        vq = jnp.asarray(rng.integers(-qmax, qmax + 1, (2, S, Hkv * D)), it)
+        kd = jnp.asarray(rng.random((2, S)) * 0.02 + 0.001, jnp.float32)
+        vd = jnp.asarray(rng.random((2, S)) * 0.02 + 0.001, jnp.float32)
+        try:
+            out, _, _ = fused_decode_attention(
+                qkv, kq, vq, pos_b, invf, k_scale=kd, v_scale=vd,
+                Hq=Hq, Hkv=Hkv, D=D, scale=scale, chunk=256)
+            check(f"fused_decode_attention int{bits} KV", out,
+                  attn_oracle(qkv, kq, vq, kd, vd), budget=2e-4)
+        except Exception as e:  # noqa: BLE001
+            print(f"fused_decode_attention int{bits} KV: ERROR "
+                  f"{type(e).__name__}: {str(e)[:100]}", flush=True)
+            FAILS.append(f"attn_int{bits}")
+
+    print(f"\nconformance sweep: {len(FAILS)} failures "
+          f"({time.time()-t0:.0f}s)", flush=True)
+    if FAILS:
+        print("FAILED:", FAILS, flush=True)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
