@@ -603,12 +603,38 @@ def _act(cfg, x):
     return silu(x)
 
 
+def _moe_indirect(cfg, lw, f, topv, topi, compute_dtype, interpret):
+    """Gathered top-k expert FFN — the MUL_MAT_ID fast path (ggml.h:1135,
+    build_moe_ffn): only the SELECTED experts' packed planes stream from
+    HBM, so decode cost scales with n_expert_used rather than n_expert."""
+    from ..ops.qmm_fast import qmatmul_fast_indirect
+
+    B, T, d = f.shape
+    Kc = cfg.n_expert_used
+    n_ff_e = cfg.n_ff_exp or cfg.n_ff
+    P = B * T * Kc
+    ids = topi.reshape(P)
+    xp = jnp.repeat(f.reshape(B * T, d).astype(jnp.float32), Kc, axis=0)
+    g = qmatmul_fast_indirect(xp, lw["ffn_gate_exps"], ids, n_ff_e,
+                              interpret=interpret)
+    u = qmatmul_fast_indirect(xp, lw["ffn_up_exps"], ids, n_ff_e,
+                              interpret=interpret)
+    gu = _act(cfg, g.astype(compute_dtype)) * u.astype(compute_dtype)
+    dly = qmatmul_fast_indirect(gu.astype(jnp.float32),
+                                lw["ffn_down_exps"], ids, d,
+                                interpret=interpret)
+    return jnp.sum(dly.reshape(B, T, Kc, d)
+                   * topv[..., None].astype(jnp.float32), axis=2)
+
+
 def _moe_ffn(cfg, lw, f, compute_dtype, tap=None, il=0):
     """Mixture-of-experts FFN (build_moe_ffn analog, SURVEY §A.3).
 
-    Router softmax -> top-k -> optional renorm; experts computed densely
-    (every expert evaluated, unselected ones weighted 0) — static shapes,
-    no gather/scatter; the EP-sharded ragged path is a later optimization.
+    Router softmax -> top-k -> renorm; on the decode fast path the top-k
+    experts are GATHERED (qmm_fast indirect kernel, cost ∝ n_expert_used);
+    prefill / unsupported configs fall back to the dense all-experts
+    evaluation (every expert computed, unselected ones weighted 0 —
+    static shapes, no gather/scatter).
     """
     E, K = cfg.n_expert, cfg.n_expert_used
     n_ff_e = cfg.n_ff_exp or cfg.n_ff
@@ -635,6 +661,15 @@ def _moe_ffn(cfg, lw, f, compute_dtype, tap=None, il=0):
         topv, topi = jax.lax.top_k(probs, K)  # [B,T,K]
         if cfg.norm_topk_prob:
             topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+        interp = FUSED_EPILOGUE_INTERPRET
+        B_tot = int(np.prod(f.shape[:-1]))
+        if (tap is None and B_tot <= 8
+                and (jax.default_backend() == "tpu" or interp)
+                and _supports_moe_indirect(cfg, lw)):
+            out = _moe_indirect(cfg, lw, f, topv, topi, compute_dtype,
+                                interp)
+            return (out.astype(compute_dtype)
+                    + _shared_expert_out(cfg, lw, f, compute_dtype))
         # dense per-token expert weights (0 outside top-k)
         onehot = jax.nn.one_hot(topi, E, dtype=jnp.float32)  # [B,T,K,E]
         w_tok = jnp.einsum("btk,btke->bte", topv, onehot)  # [B,T,E]
@@ -654,16 +689,32 @@ def _moe_ffn(cfg, lw, f, compute_dtype, tap=None, il=0):
             tap(f"blk.{il}.ffn_down_exps.weight", gu)
         dly = matmul(gu, down_e).astype(jnp.float32)
         out = out + dly * w_tok[..., e : e + 1]
-    if "ffn_gate_shexp" in lw:
-        g = _act(cfg, matmul(f, lw["ffn_gate_shexp"]).astype(compute_dtype))
-        u = matmul(f, lw["ffn_up_shexp"]).astype(compute_dtype)
-        sh = matmul(g * u, lw["ffn_down_shexp"]).astype(jnp.float32)
-        if "ffn_gate_inp_shexp" in lw:  # qwen2moe: sigmoid-gated shared expert
-            sg = jax.nn.sigmoid(matmul(f, lw["ffn_gate_inp_shexp"]).astype(jnp.float32))
-            sh = sg * sh
-        # deepseek-class: shared experts added unconditionally
-        out = out + sh
+    out = out + _shared_expert_out(cfg, lw, f, compute_dtype)
     return out.astype(compute_dtype)
+
+
+def _shared_expert_out(cfg, lw, f, compute_dtype):
+    """Shared-expert branch (deepseek/qwen2moe), added to the routed sum."""
+    if "ffn_gate_shexp" not in lw:
+        return jnp.zeros((), compute_dtype)
+    g = _act(cfg, matmul(f, lw["ffn_gate_shexp"]).astype(compute_dtype))
+    u = matmul(f, lw["ffn_up_shexp"]).astype(compute_dtype)
+    sh = matmul(g * u, lw["ffn_down_shexp"]).astype(jnp.float32)
+    if "ffn_gate_inp_shexp" in lw:  # qwen2moe: sigmoid-gated shared expert
+        sg = jax.nn.sigmoid(
+            matmul(f, lw["ffn_gate_inp_shexp"]).astype(jnp.float32))
+        sh = sg * sh
+    # deepseek-class: shared experts added unconditionally
+    return sh.astype(compute_dtype)
+
+
+def _supports_moe_indirect(cfg, lw) -> bool:
+    from ..ops.qmm_fast import supports_indirect
+
+    n_ff_e = cfg.n_ff_exp or cfg.n_ff
+    return (supports_indirect(lw.get("ffn_gate_exps"), n_ff_e)
+            and supports_indirect(lw.get("ffn_up_exps"), n_ff_e)
+            and supports_indirect(lw.get("ffn_down_exps"), cfg.n_embd))
 
 
 def _dense_ffn(cfg, lw, f, compute_dtype, tap=None, il=0, norm_il=None,

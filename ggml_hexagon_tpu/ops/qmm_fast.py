@@ -1033,6 +1033,118 @@ def qmatmul_fast_res(x, qt: QTensor, res, out_dtype=jnp.float32,
     return y[:B, :qt.n].reshape(*lead, qt.n).astype(out_dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("nibble", "G", "bn", "npe",
+                                             "interpret", "cm", "off"))
+def _indirect_call(ids, x_blk, fq, fs, fb=None, xg=None, *, nibble: bool,
+                   G: int, bn: int, npe: int, interpret: bool = False,
+                   cm: str = "", off: float = 0.0):
+    """Gathered-expert fast matmul: grid (P, npe//bn); the scalar-prefetched
+    ids [P] drive the weight-plane index maps so only the SELECTED experts'
+    rows ever stream from HBM (MUL_MAT_ID, ggml.h:1135)."""
+    P8, K = x_blk.shape
+    P = P8 // 8
+    nb = npe // bn  # blocks per expert
+    bcols = fq.shape[1]
+    if nibble or cm:
+        kern_inner = functools.partial(
+            _nibble_kernel, (K // 2) // G,
+            1, None, xg is not None, fb is not None, off, cm, "", False)
+    else:
+        kern_inner = functools.partial(
+            _byte_kernel, K // G, 1, None, xg is not None, fb is not None,
+            off, "", False)
+
+    def kern(ids_ref, *refs):
+        kern_inner(*refs)
+
+    wmap = lambda p, j, ids_ref: (ids_ref[p] * nb + j, 0)
+    in_specs = [
+        pl.BlockSpec((8, K), lambda p, j, ids_ref: (p, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bn, fq.shape[1]), wmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((bn, G), wmap, memory_space=pltpu.VMEM),
+    ]
+    args = [x_blk, fq, fs]
+    if xg is not None:
+        in_specs.append(pl.BlockSpec((8, G), lambda p, j, ids_ref: (p, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(xg)
+    if fb is not None:
+        in_specs.append(pl.BlockSpec((bn, G), wmap,
+                                     memory_space=pltpu.VMEM))
+        args.append(fb)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(P, nb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((8, bn), lambda p, j, ids_ref: (p, j),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((P * 8, npe), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * P8 * K * npe,
+            bytes_accessed=P * nb * bn * bcols + P * npe * G // bn,
+            transcendentals=0),
+        interpret=interpret,
+    )(jnp.asarray(ids, jnp.int32), *args)
+
+
+def supports_indirect(qt, npe: int, B: int = 8) -> bool:
+    """True when qt (stacked [E*npe, k] expert planes) can serve the
+    gathered-expert fast path: fast planes present, an nkj == 1 blocking,
+    and a row block that divides the per-expert row count."""
+    if not isinstance(qt, QTensor) or qt.fq is None or npe <= 0:
+        return False
+    nib = _is_nibble(qt.cfg) or bool(qt.cfg.code_map)
+    bn, nkj = _pick_blocks(max(8, B), qt.k, nib, qt.cfg.gs)
+    if nkj != 1:
+        return False
+    return any(npe % b == 0 for b in (bn, 512, 256, 128) if b <= bn)
+
+
+def qmatmul_fast_indirect(x, qt: QTensor, ids, npe: int,
+                          out_dtype=jnp.float32, interpret=False):
+    """MUL_MAT_ID analog: y[p] = x[p] @ dequant(W_{ids[p]}).T where qt
+    stacks E experts' rows [(E*npe), k] and ids [P] selects one expert per
+    input row.  Only the selected experts' planes stream from HBM — decode
+    cost scales with n_expert_used, not n_expert (the reference's indirect
+    matmul over 3-D stacked expert tensors, ggml/include/ggml.h:1135 and
+    build_moe_ffn, src/llama-graph.cpp; CUDA analog: mmq id path).
+
+    P is padded to the kernel's 8-row sublane tile internally; returns
+    [P, npe].
+    """
+    P, K = x.shape
+    assert K == qt.k and qt.fq is not None
+    cfg = qt.cfg
+    gs = cfg.gs
+    G = K // gs
+    nibble = _is_nibble(cfg)
+    cm = cfg.code_map
+    bn0, nkj = _pick_blocks(8, K, nibble or bool(cm), gs)
+    assert nkj == 1, "indirect path requires full-K blocking"
+    bn = next(b for b in (bn0, 512, 256, 128) if b <= bn0 and npe % b == 0)
+    x_il = _interleave_x(x.reshape(P, K), G, gs, nibble or bool(cm), 1)
+    # one 8-row sublane tile per pair (the weight row block is the real
+    # HBM traffic; the 8x activation pad is noise)
+    x8 = jnp.broadcast_to(x_il[:, None, :], (P, 8, K)).reshape(P * 8, K)
+    xg = None
+    if _needs_xg(cfg, qt.fb):
+        xg1 = jnp.sum(x.reshape(P, G, gs).astype(jnp.float32), axis=2)
+        xg = jnp.broadcast_to(xg1[:, None, :], (P, 8, G)).reshape(P * 8, G)
+    y = _indirect_call(ids, x8.astype(jnp.bfloat16), qt.fq, qt.fs, qt.fb,
+                       xg, nibble=nibble, G=G, bn=bn, npe=npe,
+                       interpret=interpret, cm=cm,
+                       off=_offset_bias(cfg, qt.fb))
+    return y.reshape(P, 8, npe)[:, 0, :].astype(out_dtype)
+
+
 def uninterleave_cols(x, gs: int):
     """Inverse of the column interleave along the LAST axis of an
     activation: x[..., j] -> original column order (prefill path of the

@@ -467,3 +467,43 @@ def test_offset_formats_drop_bias_plane():
         want = np.asarray(qmatmul_xla(x, qt))
         got = np.asarray(qmatmul_fast(x, qt, interpret=True))
         assert nmse(got, want) < MUL_MAT_NMSE, qtype
+
+
+@pytest.mark.parametrize("qtype", [GGMLType.Q4_K, GGMLType.Q6_K,
+                                   GGMLType.Q8_0, GGMLType.Q4_0])
+def test_qmatmul_fast_indirect_matches_oracle(qtype):
+    """MUL_MAT_ID analog (gathered expert matmul): y[p] = x[p] @ W_{id[p]}.T
+    streaming only the selected experts' plane rows (ggml.h:1135)."""
+    from ggml_hexagon_tpu.ops.qmm_fast import (qmatmul_fast_indirect,
+                                               supports_indirect)
+
+    rng = np.random.default_rng(9)
+    E, npe, K = 4, 256, 512
+    w = rng.normal(size=(E * npe, K)).astype(np.float32)
+    qt = P.quantize_tensor(w, qtype).astype_device()
+    assert supports_indirect(qt, npe)
+    x = rng.normal(size=(5, K)).astype(np.float32)
+    ids = np.array([2, 0, 3, 2, 1], np.int32)
+    got = np.asarray(qmatmul_fast_indirect(
+        jnp.asarray(x, jnp.float32), qt, jnp.asarray(ids), npe,
+        interpret=True))
+    wd = np.asarray(qmatmul_xla(jnp.eye(K, dtype=jnp.float32), qt)).T
+    want = np.stack([x[p] @ wd[ids[p] * npe:(ids[p] + 1) * npe].T
+                     for p in range(5)])
+    assert nmse(got, want) < MUL_MAT_NMSE
+
+
+def test_qmatmul_fast_indirect_duplicate_and_single():
+    from ggml_hexagon_tpu.ops.qmm_fast import qmatmul_fast_indirect
+
+    rng = np.random.default_rng(10)
+    E, npe, K = 3, 128, 256
+    w = rng.normal(size=(E * npe, K)).astype(np.float32)
+    qt = P.quantize_tensor(w, GGMLType.Q4_K).astype_device()
+    x = rng.normal(size=(2, K)).astype(np.float32)
+    ids = np.array([1, 1], np.int32)  # duplicate expert selection
+    got = np.asarray(qmatmul_fast_indirect(
+        jnp.asarray(x), qt, jnp.asarray(ids), npe, interpret=True))
+    wd = np.asarray(qmatmul_xla(jnp.eye(K, dtype=jnp.float32), qt)).T
+    want = x @ wd[npe:2 * npe].T
+    assert nmse(got, want) < MUL_MAT_NMSE

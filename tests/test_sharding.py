@@ -167,3 +167,46 @@ def test_seq_parallel_kv_matches_replicated():
                                rtol=2e-2, atol=2e-2)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_moe_ep_all_to_all_routing():
+    """Expert-parallel MoE with REAL token routing: experts' quantized
+    planes shard over 'ep' (each device holds E/ep experts), activations
+    ride lax.all_to_all, and the result matches the replicated dense
+    build_moe_ffn evaluation."""
+    import ggml_hexagon_tpu.models.llama as L
+    from ggml_hexagon_tpu.models.llama import LlamaConfig
+    from ggml_hexagon_tpu.parallel.moe import (make_ep_mesh, moe_ffn_ep,
+                                               shard_experts_ep)
+    from ggml_hexagon_tpu.quant import pack as P_
+    from ggml_hexagon_tpu.quant.formats import GGMLType
+
+    rng = np.random.default_rng(5)
+    d, n_ff_e, E, ep = 256, 256, 8, 4
+    cfg = LlamaConfig(n_vocab=64, n_embd=d, n_layer=1, n_head=2,
+                      n_head_kv=2, n_ff=n_ff_e, n_expert=E,
+                      n_expert_used=2, n_ff_exp=n_ff_e)
+
+    def qt(n, k):
+        return P_.quantize_tensor(
+            rng.normal(size=(n, k)).astype(np.float32) * 0.1,
+            GGMLType.Q8_0).astype_device(fast=False)
+
+    lw = {
+        "ffn_gate_inp": jnp.asarray(rng.normal(size=(E, d)) * 0.1,
+                                    jnp.float32),
+        "ffn_gate_exps": qt(E * n_ff_e, d),
+        "ffn_up_exps": qt(E * n_ff_e, d),
+        "ffn_down_exps": qt(E * d, n_ff_e),
+    }
+    B, T = 4, 2  # batch shards over ep
+    f = jnp.asarray(rng.normal(size=(B, T, d)) * 0.5, jnp.float32)
+
+    mesh = make_ep_mesh(ep)
+    lw_sh = shard_experts_ep(lw, mesh)
+    got = np.asarray(moe_ffn_ep(cfg, lw_sh, f, mesh))
+
+    want = np.asarray(L._moe_ffn(cfg, lw, f.astype(jnp.float32),
+                                 jnp.float32))
+    nm = float(((got - want) ** 2).sum() / (want ** 2).sum())
+    assert nm < 5e-4, nm
