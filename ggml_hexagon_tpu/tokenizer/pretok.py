@@ -170,8 +170,11 @@ def regex_split(text: str, patterns: list) -> list[str]:
             for m in pat.finditer(f):
                 if m.start() > pos:
                     out.append(f[pos : m.start()])
-                if m.end() > m.start():
-                    out.append(m.group())
+                # zero-width matches (pure-lookahead sets like superbpe's
+                # digit grouper) stay as EMPTY fragments, exactly like the
+                # reference splitter (unicode.cpp:670 keeps every match
+                # span; empty words tokenize to nothing downstream)
+                out.append(m.group())
                 pos = m.end()
             if pos < len(f):
                 out.append(f[pos:])
