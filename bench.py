@@ -234,4 +234,7 @@ def main():
 
 if __name__ == "__main__":
     sys.path.insert(0, ".")
+    from ggml_hexagon_tpu.utils.jaxcache import enable as _jc
+
+    _jc()
     main()

@@ -422,7 +422,10 @@ def make_handler(server: InferenceServer):
             return json.loads(self.rfile.read(n) or b"{}")
 
         # endpoints reachable without an API key (server.cpp public_endpoints)
-        PUBLIC = ("/health", "/v1/health", "/models", "/v1/models")
+        # the webui page itself is public like the reference's (the API
+        # calls it makes still carry the key requirement)
+        PUBLIC = ("/health", "/v1/health", "/models", "/v1/models",
+                  "/", "/index.html")
 
         def _authed(self) -> bool:
             if not server.api_key or self.path.split("?")[0] in self.PUBLIC:
@@ -444,7 +447,16 @@ def make_handler(server: InferenceServer):
         def do_GET(self):
             if not self._authed():
                 return
-            if self.path in ("/health", "/v1/health"):
+            if self.path in ("/", "/index.html"):
+                from .webui import INDEX_HTML
+
+                body = INDEX_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path in ("/health", "/v1/health"):
                 self._json(200, {"status": "ok"})
             elif self.path in ("/models", "/v1/models"):
                 self._json(200, server.models_json())

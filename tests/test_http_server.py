@@ -187,3 +187,15 @@ def test_chat_completion_tool_calls_wire():
         assert json.loads(tc["function"]["arguments"]) == {"city": "Paris"}
     finally:
         httpd.shutdown()
+
+
+def test_webui_served_at_root(http_server):
+    """The built-in chat page (server/webui.py) serves at / — the
+    reference's examples/server/webui analog, closing SURVEY §2.9."""
+    import urllib.request
+
+    with urllib.request.urlopen(http_server + "/", timeout=30) as r:
+        assert r.status == 200
+        assert "text/html" in r.headers["Content-Type"]
+        body = r.read().decode()
+    assert "/v1/chat/completions" in body and "<form" in body

@@ -14,6 +14,9 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
+from ggml_hexagon_tpu.utils.jaxcache import enable as _jc
+_jc()
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

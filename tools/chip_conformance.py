@@ -21,6 +21,9 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+from ggml_hexagon_tpu.utils.jaxcache import enable as _jc
+_jc()
+
 FAILS = []
 
 

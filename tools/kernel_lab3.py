@@ -2,6 +2,9 @@
 import sys, time
 
 sys.path.insert(0, ".")
+
+from ggml_hexagon_tpu.utils.jaxcache import enable as _jc
+_jc()
 import jax
 import jax.numpy as jnp
 import numpy as np

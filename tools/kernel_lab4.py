@@ -30,6 +30,9 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+from ggml_hexagon_tpu.utils.jaxcache import enable as _jc
+_jc()
+
 
 def timed_chain(f, x0, label, nbytes, n_chain=64, trials=3):
     import functools as ft

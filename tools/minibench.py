@@ -13,6 +13,9 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+from ggml_hexagon_tpu.utils.jaxcache import enable as _jc
+_jc()
+
 
 def main():
     ap = argparse.ArgumentParser()

@@ -30,8 +30,34 @@ REF_BIN = "/tmp/lcpp_build/bin"
 VOCAB_GGUF = "/root/reference/models/ggml-vocab-llama-spm.gguf"
 
 
-def build_base_gguf(path: str, seed: int = 0):
-    """Tiny llama (8M params) with the real llama-spm 32k vocab, f32."""
+def synth_corpus(n_words: int = 4000, seed: int = 0) -> str:
+    """Deterministic pseudo-text with Markov structure (sharp logits after
+    a few hundred training steps — unlike uniform random words)."""
+    rng = np.random.default_rng(seed)
+    words = ("the of and to in is was he for it with as his on be at by "
+             "i this had not are but from or have an they which one you "
+             "were her all she there would their we him been has when "
+             "who will more no if out so said what up its about into "
+             "than them can only other new some could time these two "
+             "may then do first any my now such like our over man me").split()
+    n = len(words)
+    # sparse row-stochastic transition matrix: 4 successors per word
+    succ = rng.integers(0, n, size=(n, 4))
+    out = [int(rng.integers(0, n))]
+    for _ in range(n_words - 1):
+        out.append(int(succ[out[-1], rng.integers(0, 4)]))
+    return " ".join(words[i] for i in out)
+
+
+def build_base_gguf(path: str, seed: int = 0, train_steps: int = 0):
+    """Tiny llama (8M params) with the real llama-spm 32k vocab, f32.
+
+    train_steps > 0: train on the synthetic Markov corpus first (CPU
+    torch, minutes) so the parity gates run on SHARP logits — near-uniform
+    logits are the easiest case for hiding dequant bias (VERDICT r2
+    weak-point 5), and greedy token-identity only means something when the
+    argmax margin is real.
+    """
     import transformers
     import torch
 
@@ -49,6 +75,30 @@ def build_base_gguf(path: str, seed: int = 0):
         rope_theta=10000.0, tie_word_embeddings=False)
     torch.manual_seed(seed)
     model = transformers.LlamaForCausalLM(cfg)
+    if train_steps:
+        from ggml_hexagon_tpu.tokenizer import Vocab, build_tokenizer
+
+        with GGUFReader.open(VOCAB_GGUF) as r:
+            tok = build_tokenizer(Vocab.from_gguf(r.metadata))
+        ids = tok.encode(synth_corpus(20000, seed))
+        ids = torch.tensor(ids, dtype=torch.long)
+        print(f"training {train_steps} steps on {len(ids)} tokens...",
+              flush=True)
+        opt = torch.optim.AdamW(model.parameters(), lr=3e-3)
+        g = torch.Generator().manual_seed(seed)
+        model.train()
+        T = 128
+        for step in range(train_steps):
+            starts = torch.randint(0, len(ids) - T - 1, (8,), generator=g)
+            batch = torch.stack([ids[s:s + T + 1] for s in starts])
+            out = model(input_ids=batch[:, :-1], labels=batch[:, 1:])
+            opt.zero_grad()
+            out.loss.backward()
+            opt.step()
+            if step % 100 == 0 or step == train_steps - 1:
+                print(f"  step {step}: loss {float(out.loss):.3f}",
+                      flush=True)
+        model.eval()
     sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
     convert_hf_llama(sd, cfg, path, qtype=GGMLType.F32,
                      tokenizer_fields=tok_fields)
@@ -124,12 +174,15 @@ def main():
     ap.add_argument("--tmp", default="/tmp/parity")
     ap.add_argument("--qtypes", nargs="+",
                     default=["Q8_0", "Q4_0", "Q4_K_M", "Q6_K"])
+    ap.add_argument("--train", type=int, default=500,
+                    help="pre-train the tiny model this many steps so the "
+                         "gates run on sharp logits (0 = round-2 behavior)")
     args = ap.parse_args()
     os.makedirs(args.tmp, exist_ok=True)
-    base = os.path.join(args.tmp, "base_f32.gguf")
+    base = os.path.join(args.tmp, f"base_f32_t{args.train}.gguf")
     if not os.path.exists(base):
         print("building base model...", flush=True)
-        build_base_gguf(base)
+        build_base_gguf(base, train_steps=args.train)
 
     # corpus: deterministic pseudo-text from common words
     corpus = os.path.join(args.tmp, "corpus.txt")

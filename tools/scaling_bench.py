@@ -17,6 +17,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from ggml_hexagon_tpu.utils.jaxcache import enable as _jc
+_jc()
+
 
 def main():
     ap = argparse.ArgumentParser()

@@ -12,6 +12,9 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
+from ggml_hexagon_tpu.utils.jaxcache import enable as _jc
+_jc()
+
 
 def main():
     import functools as ft
