@@ -21,27 +21,30 @@ from ggml_hexagon_tpu.utils.jaxcache import enable as _jc
 _jc()
 
 
-def timed_chain(f, x0, label, nbytes, n_chain=64, trials=3):
+def timed_chain(f, x0, label, nbytes, n_chain=64, trials=3, consts=()):
+    """consts: large operands passed as explicit jit ARGUMENTS — closure-
+    captured planes above ~100 MB blow the remote_compile body limit
+    (HTTP 413) on the tunneled backend."""
     import functools as ft
 
     import jax
 
-    def loop(n, x):
-        return jax.lax.fori_loop(0, n, lambda i, xx: f(xx), x)
+    def loop(n, x, *cs):
+        return jax.lax.fori_loop(0, n, lambda i, xx: f(xx, *cs), x)
 
     g1 = jax.jit(ft.partial(loop, 1))
     gN = jax.jit(ft.partial(loop, n_chain))
-    float(np.asarray(g1(x0)).reshape(-1)[0])
-    float(np.asarray(gN(x0)).reshape(-1)[0])
+    float(np.asarray(g1(x0, *consts)).reshape(-1)[0])
+    float(np.asarray(gN(x0, *consts)).reshape(-1)[0])
     rtt = 1e9
     for _ in range(5):
         t0 = time.perf_counter()
-        float(np.asarray(g1(x0)).reshape(-1)[0])
+        float(np.asarray(g1(x0, *consts)).reshape(-1)[0])
         rtt = min(rtt, time.perf_counter() - t0)
     best = 1e9
     for _ in range(trials):
         t0 = time.perf_counter()
-        float(np.asarray(gN(x0)).reshape(-1)[0])
+        float(np.asarray(gN(x0, *consts)).reshape(-1)[0])
         best = min(best, time.perf_counter() - t0)
     per = max((best - rtt) / (n_chain - 1), 1e-9)
     gbs = nbytes / per / 1e9 if nbytes else 0.0
@@ -184,14 +187,15 @@ def main():
         out_w = qt(128256, d, GGMLType.Q6_K)
         x0 = jnp.asarray(rng.normal(size=(1, d)), jnp.bfloat16)
 
-        def f_head(x):
-            y = qmatmul_fast(x, out_w)
+        def f_head(x, w):
+            y = qmatmul_fast(x, w)
             return (y[:, :x.shape[1]] * 1e-6 + x.astype(jnp.float32)).astype(
                 jnp.bfloat16)
 
-        results["lm_head"] = timed_chain(jax.jit(f_head), x0,
+        results["lm_head"] = timed_chain(f_head, x0,
                                          "lm_head (Q6K 128256x4096)",
-                                         plane_bytes(out_w))
+                                         plane_bytes(out_w),
+                                         consts=(out_w,))
 
     # --- summary ---
     per_layer = sum(results.get(k, 0.0) for k in
