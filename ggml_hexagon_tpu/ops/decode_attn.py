@@ -89,7 +89,7 @@ def _kernel(Hq: int, Hkv: int, D: int, S: int, chunk: int, scale: float,
 
     @pl.when(c == 0)
     def _init():
-        qkv = qkv_ref[:].astype(jnp.float32)  # [1, (Hq+2*Hkv)*D]
+        qkv = qkv_ref[0].astype(jnp.float32)  # [1, (Hq+2*Hkv)*D]
         q = qkv[0, : Hq * D].reshape(Hq, D)
         k = qkv[0, Hq * D : (Hq + Hkv) * D].reshape(Hkv, D)
         v = qkv[0, (Hq + Hkv) * D :].reshape(Hkv, D)
@@ -104,8 +104,8 @@ def _kernel(Hq: int, Hkv: int, D: int, S: int, chunk: int, scale: float,
         vf = v.reshape(1, Hkv * D)
         kf_s[:] = kf
         vf_s[:] = vf
-        k_out[:] = kf
-        v_out[:] = vf
+        k_out[0] = kf
+        v_out[0] = vf
         m_s[:] = jnp.full_like(m_s[:], NEG_INF)
         l_s[:] = jnp.zeros_like(l_s[:])
         acc_s[:] = jnp.zeros_like(acc_s[:])
@@ -123,7 +123,7 @@ def _kernel(Hq: int, Hkv: int, D: int, S: int, chunk: int, scale: float,
             # scaling for V below) — the bf16 cache never exists in HBM.
             # (llama.cpp analog: flash-attn over cache-quantized K/V,
             # llama-graph.cpp:1126-1163 with type_k/type_v.)
-            s = s * kd_ref[:]  # [1, chunk] broadcast over rows
+            s = s * kd_ref[0]  # [1, chunk] broadcast over rows
         if logit_cap:
             s = jnp.tanh(s / logit_cap) * logit_cap
         idx = c * chunk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -138,7 +138,7 @@ def _kernel(Hq: int, Hkv: int, D: int, S: int, chunk: int, scale: float,
         p = jnp.exp(s - m_new)
         l_new = l * alpha + p.sum(axis=-1, keepdims=True)
         if quant:  # V scale folds into the probabilities (per-row)
-            p = p * vd_ref[:]
+            p = p * vd_ref[0]
         acc_s[:] = acc_s[:] * alpha + jax.lax.dot_general(
             p, vc_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -166,7 +166,7 @@ def _kernel(Hq: int, Hkv: int, D: int, S: int, chunk: int, scale: float,
         # extract each row-group's own head block from the dense product
         parts = [o[h * G : (h + 1) * G, h * D : (h + 1) * D]
                  for h in range(Hkv)]
-        out_ref[:] = jnp.concatenate(parts, axis=0).reshape(1, Hq * D)
+        out_ref[0] = jnp.concatenate(parts, axis=0).reshape(1, Hq * D)
 
 
 @functools.partial(
@@ -212,37 +212,41 @@ def fused_decode_attention(qkv, k_cache, v_cache, pos, inv_freq, *,
         last = jnp.maximum((pos_ref[b] + chunk - 1) // chunk - 1, 0)
         return (b, jnp.minimum(c, last), 0)
 
+    # per-row operands ride as 3-D [B, 1, W] so every block's last two
+    # dims equal the array's ((1, W) blocks of a [B, W] array violate the
+    # Mosaic sublane rule for B > 1 — caught by the on-chip conformance
+    # sweep; B=1 bench never exercised it)
     in_specs = [
         pl.BlockSpec((1, invf.shape[1]), lambda b, c, pr: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, qkv.shape[1]), lambda b, c, pr: (b, 0),
+        pl.BlockSpec((1, 1, qkv.shape[1]), lambda b, c, pr: (b, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, chunk, Hkv * D), chunk_idx,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, chunk, Hkv * D), chunk_idx,
                      memory_space=pltpu.VMEM),
     ]
-    args = [pos_b, invf, qkv, k_cache, v_cache]
+    args = [pos_b, invf, qkv[:, None, :], k_cache, v_cache]
     if quant:
         def scale_idx(b, c, pos_ref):
             last = jnp.maximum((pos_ref[b] + chunk - 1) // chunk - 1, 0)
-            return (b, jnp.minimum(c, last))
+            return (b, 0, jnp.minimum(c, last))
 
-        in_specs.append(pl.BlockSpec((1, chunk), scale_idx,
+        in_specs.append(pl.BlockSpec((1, 1, chunk), scale_idx,
                                      memory_space=pltpu.VMEM))
-        in_specs.append(pl.BlockSpec((1, chunk), scale_idx,
+        in_specs.append(pl.BlockSpec((1, 1, chunk), scale_idx,
                                      memory_space=pltpu.VMEM))
-        args.extend([k_scale, v_scale])
+        args.extend([k_scale[:, None, :], v_scale[:, None, :]])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, NC),
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((1, Hq * D), lambda b, c, pr: (b, 0),
+            pl.BlockSpec((1, 1, Hq * D), lambda b, c, pr: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hkv * D), lambda b, c, pr: (b, 0),
+            pl.BlockSpec((1, 1, Hkv * D), lambda b, c, pr: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hkv * D), lambda b, c, pr: (b, 0),
+            pl.BlockSpec((1, 1, Hkv * D), lambda b, c, pr: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -258,10 +262,10 @@ def fused_decode_attention(qkv, k_cache, v_cache, pos, inv_freq, *,
         kern,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((B, Hq * D), jnp.float32),
-            jax.ShapeDtypeStruct((B, Hkv * D), jnp.float32),
-            jax.ShapeDtypeStruct((B, Hkv * D), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, Hq * D), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, Hkv * D), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, Hkv * D), jnp.float32),
         ),
         interpret=interpret,
     )(*args)
-    return out, k_r, v_r
+    return out[:, 0], k_r[:, 0], v_r[:, 0]

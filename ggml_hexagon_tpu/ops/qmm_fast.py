@@ -415,6 +415,17 @@ def _nibble_y(cm: str, reps: int, x, pu, s_ref):
 
 
 def _byte_y(reps: int, x, q_ref, s_ref):
+    if x.shape[0] <= 8:
+        # decode GEMV: the f32 route measures 890 GB/s vs bf16's 669 on
+        # the 28672x4096 Q6_K-class shape at bn=2048 (tools/kernel_lab4.py
+        # r3) — i8->f32 cast + f32 scale-mult pipeline better under the
+        # DMA than the bf16 chain, and the f32 MXU rate is irrelevant at
+        # B<=8.  Prefill keeps the bf16 operands (8x MXU rate matters).
+        w = q_ref[:].astype(jnp.float32)
+        sc = pltpu.repeat(s_ref[:], reps, axis=1).astype(jnp.float32)
+        return jax.lax.dot_general(
+            x.astype(jnp.float32), w * sc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
     w = q_ref[:].astype(jnp.bfloat16)
     sc = pltpu.repeat(s_ref[:], reps, axis=1).astype(jnp.bfloat16)
     return jax.lax.dot_general(
@@ -472,8 +483,10 @@ def _pick_blocks(B: int, K: int, nibble: bool, gs: int):
         nkj_env = os.environ.get("GHT_QMM_NKJ")
         if bn_env is not None and nkj_env is not None and int(nkj_env) in valid:
             return int(bn_env), int(nkj_env)
-        per_col = 12 if nibble else 6  # unpack intermediates + casts
-        for bn in ((int(bn_env),) if bn_env else (1024, 512, 256)):
+        per_col = 12 if nibble else 8  # unpack/cast intermediates (byte:
+        # the f32 decode route, measured viable at bn=2048 K=4096)
+        cand = (1024, 512, 256) if nibble else (2048, 1024, 512, 256)
+        for bn in ((int(bn_env),) if bn_env else cand):
             cols = (K // 2) if nibble else K
             fixed = 2 * bn * G * 2 * 2 + B * bn * 4 + K * 4
             blk = (B * K * 2 + bn * cols) * 2
@@ -504,6 +517,12 @@ def _fast_call(x_blk, fq, fs, fb=None, xg=None, wn=None, res=None, *,
         K = K // 2
     n2 = fq.shape[0]
     bn = min(bn, n2)  # rows are padded to _BN multiples; small tensors
+    while n2 % bn:
+        # the grid drops a non-dividing remainder block (rows silently
+        # uncomputed — caught by the on-chip conformance sweep on the
+        # 128512-row lm_head); n2 is always a _BN=512 multiple, so
+        # halving terminates at a valid block size
+        bn //= 2
     cols = fq.shape[1]
     bk = K // nkj
     bcols = cols // nkj

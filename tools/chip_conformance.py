@@ -166,17 +166,29 @@ def main():
 
     for bits, it in ((8, jnp.int8), (4, jnp.int4)):
         qmax = 127 if bits == 8 else 7
-        kq = jnp.asarray(rng.integers(-qmax, qmax + 1, (2, S, Hkv * D)), it)
-        vq = jnp.asarray(rng.integers(-qmax, qmax + 1, (2, S, Hkv * D)), it)
         kd = jnp.asarray(rng.random((2, S)) * 0.02 + 0.001, jnp.float32)
         vd = jnp.asarray(rng.random((2, S)) * 0.02 + 0.001, jnp.float32)
         try:
+            kq = jnp.asarray(rng.integers(-qmax, qmax + 1, (2, S, Hkv * D)),
+                             it)
+            vq = jnp.asarray(rng.integers(-qmax, qmax + 1, (2, S, Hkv * D)),
+                             it)
+            jax.block_until_ready((kq, vq))
             out, _, _ = fused_decode_attention(
                 qkv, kq, vq, pos_b, invf, k_scale=kd, v_scale=vd,
                 Hq=Hq, Hkv=Hkv, D=D, scale=scale, chunk=256)
             check(f"fused_decode_attention int{bits} KV", out,
                   attn_oracle(qkv, kq, vq, kd, vd), budget=2e-4)
         except Exception as e:  # noqa: BLE001
+            if bits == 4 and "UNIMPLEMENTED" in str(e):
+                # this tunneled runtime cannot materialize int4 arrays at
+                # all (device_put/astype -> UNIMPLEMENTED; see the verify
+                # skill); the int4 path is conformance-tested in
+                # interpret mode (tests/test_decode_attn.py) and works on
+                # runtimes with int4 support
+                print("fused_decode_attention int4 KV: SKIP "
+                      "(runtime lacks int4 arrays)", flush=True)
+                continue
             print(f"fused_decode_attention int{bits} KV: ERROR "
                   f"{type(e).__name__}: {str(e)[:100]}", flush=True)
             FAILS.append(f"attn_int{bits}")

@@ -212,8 +212,73 @@ def main():
     n2 = -(-args.n // 512) * 512
     for bn in args.bn:
         for mode in args.modes:
-            run(mode, args.batch, n2, K, G, bn)
+            if mode == "nfma":
+                run_fma(args.batch, n2, K, G, bn)
+            else:
+                run(mode, args.batch, n2, K, G, bn)
 
 
 if __name__ == "__main__":
     main()
+
+
+# --- appended r3b: FMA bias-tile variant (candidate to replace the xg
+# side-dot: if Mosaic emits FMA for w*sc + fb_til, the affine bias is
+# FREE and the group-sum side input disappears) ---
+
+def nibble_fma_kernel(reps, x_ref, q_ref, s_ref, b_ref, o_ref):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    x = x_ref[:]
+    half = x.shape[1] // 2
+    xl, xh = x[:, :half], x[:, half:]
+    pu = q_ref[:]
+    lo = (pu & 15).astype(jnp.int8).astype(jnp.bfloat16)
+    hi = (pu.astype(jnp.int32) >> 4).astype(jnp.bfloat16)
+    sc = pltpu.repeat(s_ref[:], reps, axis=1).astype(jnp.bfloat16)
+    fb = pltpu.repeat(b_ref[:], reps, axis=1).astype(jnp.bfloat16)
+    o_ref[:] = (jax.lax.dot_general(xl, lo * sc + fb,
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(xh, hi * sc + fb,
+                                      (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.float32))
+
+
+def run_fma(B, n2, K, G, bn):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(1)
+    sp = jnp.asarray(rng.random((n2, G), np.float32) * 2e-3, jnp.bfloat16)
+    bp = jnp.asarray(rng.random((n2, G), np.float32) * 1e-3, jnp.bfloat16)
+    wq = jnp.asarray(rng.integers(0, 256, (n2, K // 2)).astype(np.uint8))
+    call = pl.pallas_call(
+        functools.partial(nibble_fma_kernel, (K // 2) // G),
+        grid=(n2 // bn,),
+        in_specs=[
+            pl.BlockSpec((B, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, K // 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, G), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, G), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, bn), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n2), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )
+    x0 = jnp.asarray(rng.normal(size=(B, K)), jnp.bfloat16)
+
+    def f(x):
+        y = call(x, wq, sp, bp)
+        return (y[:, :1] * 1e-6 + x.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    timed_chain(jax.jit(f), x0, f"nfma n={n2} K={K} bn={bn} B={B}",
+                n2 * K // 2 + n2 * G * 4)
