@@ -225,6 +225,48 @@ def interleave_gateup_rows(weights: dict, cfg) -> dict:
     return out
 
 
+def attach_ffn_fused_layout(weights: dict, cfg) -> dict:
+    """Prepare layers for the whole-FFN megakernel (ops/ffn_fused.py):
+    permute wo's and ffn_down's OUTPUT rows by interleave_perm(d, 32) so
+    the hidden state streams through the kernel in the il32 layout with
+    zero in-kernel relayouts.  The permutation is applied IN PLACE (no
+    plane duplication); prefill/fallback paths un-permute the projection
+    outputs with one cheap XLA relayout (models/llama.py, flag "ffp")."""
+    from ..ops.ffn_fused import supports_ffn_fused
+    from ..ops.qmm_fast import interleave_perm
+
+    if (getattr(cfg, "norm_type", "rms") != "rms"
+            or getattr(cfg, "act", "silu") not in ("silu", "gelu", "relu")
+            or getattr(cfg, "post_norms", False)
+            or getattr(cfg, "swin_norm", False)
+            or getattr(cfg, "parallel_residual", False)
+            or getattr(cfg, "residual_scale", 1.0) != 1.0
+            or not getattr(cfg, "pre_norms", True)):
+        return weights
+    d = cfg.n_embd
+    out = dict(weights)
+    out["layers"] = []
+    for lw in weights["layers"]:
+        new = dict(lw)
+        wo = lw.get("wo")
+        gu = lw.get("w_gateup_il")
+        dn = lw.get("ffn_down")
+        if (isinstance(wo, QTensor) and isinstance(gu, QTensor)
+                and isinstance(dn, QTensor)
+                and "ffn_norm_il" in lw
+                and not any(k in lw for k in (
+                    "wo_lora", "wo_scale", "bo", "attn_sub_norm",
+                    "ffn_down_lora", "ffn_down_b", "ffn_down_scale",
+                    "ffn_sub_norm", "cvec", "ffn_gate_inp"))
+                and supports_ffn_fused(wo, gu, dn, d, dn.k)):
+            perm = interleave_perm(d, 32)
+            new["wo"] = wo.take_rows(perm)
+            new["ffn_down"] = dn.take_rows(perm)
+            new["ffp"] = True
+        out["layers"].append(new)
+    return out
+
+
 def fuse_weights(weights: dict, cfg) -> dict:
     """Return weights with wqkv / w_gateup fused where possible, plus
     pre-interleaved norm planes for in-kernel norm+matmul fusion."""
@@ -256,4 +298,5 @@ def fuse_weights(weights: dict, cfg) -> dict:
                 new["w_gateup"] = fused
                 del new["ffn_gate"], new["ffn_up"]
         out["layers"].append(new)
-    return interleave_gateup_rows(attach_norm_planes(out, cfg), cfg)
+    return attach_ffn_fused_layout(
+        interleave_gateup_rows(attach_norm_planes(out, cfg), cfg), cfg)

@@ -740,9 +740,11 @@ def _dense_ffn(cfg, lw, f, compute_dtype, tap=None, il=0, norm_il=None,
             gu2 = matmul(f, gu_il)
         dn = lw["ffn_down"]
         ng = dn.k
+        ffp = bool(lw.get("ffp"))  # down rows carry the megakernel's il32
+        # output permutation; non-megakernel paths un-permute the output
         B_tot = int(np.prod(gu2.shape[:-1]))
         interp = FUSED_EPILOGUE_INTERPRET
-        if (tap is None and B_tot <= 8 and dn.fq is not None
+        if (tap is None and B_tot <= 8 and dn.fq is not None and not ffp
                 and (jax.default_backend() == "tpu" or interp)):
             from ..ops.qmm_fast import qmatmul_fast_act
 
@@ -762,11 +764,16 @@ def _dense_ffn(cfg, lw, f, compute_dtype, tap=None, il=0, norm_il=None,
                 and (jax.default_backend() == "tpu" or interp)):
             out = qmatmul_fast(gu_il2, dn, interpret=interp,
                                pre_interleaved=True)
+            if ffp:
+                out = uninterleave_cols(out, 32)
             return out.astype(compute_dtype), False
         gu = uninterleave_cols(gu_il2, dn.cfg.gs)
         if tap is not None:
             tap(f"blk.{il}.ffn_down.weight", gu)
-        return matmul(gu, dn).astype(compute_dtype), False
+        out = matmul(gu, dn).astype(compute_dtype)
+        if ffp:
+            out = uninterleave_cols(out, 32)
+        return out, False
     if "ffn_gate" not in lw and "w_gateup" not in lw:
         # no-gate FFN (gpt2 class): down(act(up x + b)) + b
         if tap is not None:
@@ -1128,6 +1135,23 @@ def forward(
             ).astype(compute_dtype)
         if tap is not None:
             tap(f"blk.{il}.attn_output.weight", attn)
+        # whole-FFN megakernel: wo+residual -> RMSNorm -> gate_up -> act
+        # -> down+residual in ONE Pallas launch (ops/ffn_fused.py); the
+        # hidden state streams through in the il32 layout baked into the
+        # row-permuted wo/ffn_down planes (fuse.attach_ffn_fused_layout)
+        if (lw.get("ffp") and T == 1 and B <= 8 and tap is None
+                and "attn_sub_norm" not in lw
+                and (jax.default_backend() == "tpu"
+                     or FUSED_EPILOGUE_INTERPRET)):
+            from ..ops.ffn_fused import ffn_fused
+
+            h = ffn_fused(
+                attn[:, 0].astype(jnp.float32), h[:, 0].astype(jnp.float32),
+                lw["wo"], lw["w_gateup_il"], lw["ffn_down"],
+                lw["ffn_norm_il"], cfg.rms_eps, act=cfg.act,
+                out_dtype=compute_dtype,
+                interpret=FUSED_EPILOGUE_INTERPRET)[:, None]
+            continue
         if "attn_sub_norm" in lw:
             # bitnet: RMS sub-norm on the attention output BEFORE the output
             # projection (llm_build_bitnet, src/llama-model.cpp:9816-9819)
@@ -1135,7 +1159,7 @@ def forward(
         # decode fast path: wo projection with the residual add IN-KERNEL
         # (one fewer XLA op per layer off the dispatch-bound decode tail)
         wo_res = (
-            T == 1 and B <= 8 and tap is None
+            T == 1 and B <= 8 and tap is None and not lw.get("ffp")
             and not any(k in lw for k in ("wo_lora", "wo_scale", "bo"))
             and not cfg.post_norms and not cfg.swin_norm
             and not cfg.parallel_residual and cfg.residual_scale == 1.0
@@ -1153,6 +1177,12 @@ def forward(
                 interpret=FUSED_EPILOGUE_INTERPRET).astype(compute_dtype)
         else:
             attn_out = matmul_lora(attn, lw["wo"], lw.get("wo_lora"))
+            if lw.get("ffp"):
+                # ffp layers carry row-permuted wo (megakernel layout);
+                # prefill/fallback un-permutes the output once
+                from ..ops.qmm_fast import uninterleave_cols
+
+                attn_out = uninterleave_cols(attn_out, 32)
             if "wo_scale" in lw:
                 attn_out = attn_out * lw["wo_scale"]
             if "bo" in lw:

@@ -75,10 +75,10 @@ def _kernel(Hq: int, Hkv: int, D: int, S: int, chunk: int, scale: float,
             rope: bool, quant: bool,
             *refs):
     if quant:
-        (pos_ref, invf_ref, qkv_ref, kc_ref, vc_ref, kd_ref, vd_ref,
+        (pos_ref, cs_ref, qkv_ref, kc_ref, vc_ref, kd_ref, vd_ref,
          out_ref, k_out, v_out, qblk_s, kf_s, vf_s, m_s, l_s, acc_s) = refs
     else:
-        (pos_ref, invf_ref, qkv_ref, kc_ref, vc_ref,
+        (pos_ref, cs_ref, qkv_ref, kc_ref, vc_ref,
          out_ref, k_out, v_out, qblk_s, kf_s, vf_s, m_s, l_s, acc_s) = refs
         kd_ref = vd_ref = None
     G = Hq // Hkv
@@ -94,9 +94,13 @@ def _kernel(Hq: int, Hkv: int, D: int, S: int, chunk: int, scale: float,
         k = qkv[0, Hq * D : (Hq + Hkv) * D].reshape(Hkv, D)
         v = qkv[0, (Hq + Hkv) * D :].reshape(Hkv, D)
         if rope:
-            angle = pos.astype(jnp.float32) * invf_ref[:]  # [1, n_dims/2]
-            cos = jnp.cos(angle) * mscale
-            sin = jnp.sin(angle) * mscale
+            # cos/sin arrive precomputed (XLA computes them ONCE per step
+            # — they're identical across the 32 layers; in-kernel
+            # transcendentals cost ~5us/launch, attn_lab r3); the YaRN
+            # mscale is folded in by the caller
+            cs = cs_ref[0]  # [1, n_dims]
+            cos = cs[:, : n_dims // 2]
+            sin = cs[:, n_dims // 2 :]
             q = _rope_neox(q, cos, sin, n_dims)
             k = _rope_neox(k, cos, sin, n_dims)
         qblk_s[:] = _block_diag(q * scale, Hkv, D)
@@ -174,15 +178,18 @@ def _kernel(Hq: int, Hkv: int, D: int, S: int, chunk: int, scale: float,
     static_argnames=("Hq", "Hkv", "D", "scale", "mscale", "swa", "logit_cap",
                      "n_dims", "chunk", "interpret"))
 def fused_decode_attention(qkv, k_cache, v_cache, pos, inv_freq, *,
-                           k_scale=None, v_scale=None,
+                           k_scale=None, v_scale=None, cos_sin=None,
                            Hq: int, Hkv: int, D: int, scale: float,
                            mscale: float = 1.0, swa: int = 0,
                            logit_cap: float = 0.0, n_dims: int = 0,
-                           chunk: int = 512, interpret: bool = False):
+                           chunk: int = 1024, interpret: bool = False):
     """qkv [B, (Hq+2*Hkv)*D] f32 (projection output, pre-rope);
     k_cache/v_cache [B, S, Hkv*D] flat caches holding slots < pos (the
     fresh row is NOT read — write it after this call); pos scalar or [B];
     inv_freq [n_dims/2] f32 (None -> caller already roped q/k);
+    cos_sin [B, n_dims] f32 precomputed mscale-folded cos++sin rows
+    (models/llama.forward computes them ONCE per step — identical across
+    layers; when None they're derived here from inv_freq per call);
     k_scale/v_scale [B, S] f32 per-row scales when the cache is
     int8-quantized (dequantized in-kernel by scaling scores /
     probabilities — the bf16 cache never exists in HBM).
@@ -194,14 +201,19 @@ def fused_decode_attention(qkv, k_cache, v_cache, pos, inv_freq, *,
     B = qkv.shape[0]
     S = k_cache.shape[1]
     chunk = min(chunk, S)
-    rope = inv_freq is not None
+    rope = inv_freq is not None or cos_sin is not None
     quant = k_scale is not None
     n_dims = n_dims or D
     NC = -(-S // chunk)
     pos_b = jnp.broadcast_to(jnp.reshape(jnp.asarray(pos, jnp.int32), (-1,)),
                              (B,))
-    invf = (jnp.asarray(inv_freq, jnp.float32).reshape(1, n_dims // 2)
-            if rope else jnp.zeros((1, max(n_dims // 2, 1)), jnp.float32))
+    if rope and cos_sin is None:
+        ang = (pos_b[:, None].astype(jnp.float32)
+               * jnp.asarray(inv_freq, jnp.float32)[None, :])
+        cos_sin = jnp.concatenate([jnp.cos(ang), jnp.sin(ang)],
+                                  axis=1) * mscale
+    if cos_sin is None:
+        cos_sin = jnp.zeros((B, 2 * (n_dims // 2)), jnp.float32)
     kern = functools.partial(
         _kernel, Hq, Hkv, D, S, chunk, scale, mscale, swa, logit_cap,
         n_dims, rope, quant)
@@ -217,7 +229,7 @@ def fused_decode_attention(qkv, k_cache, v_cache, pos, inv_freq, *,
     # Mosaic sublane rule for B > 1 — caught by the on-chip conformance
     # sweep; B=1 bench never exercised it)
     in_specs = [
-        pl.BlockSpec((1, invf.shape[1]), lambda b, c, pr: (0, 0),
+        pl.BlockSpec((1, 1, cos_sin.shape[1]), lambda b, c, pr: (b, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, qkv.shape[1]), lambda b, c, pr: (b, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -226,7 +238,7 @@ def fused_decode_attention(qkv, k_cache, v_cache, pos, inv_freq, *,
         pl.BlockSpec((1, chunk, Hkv * D), chunk_idx,
                      memory_space=pltpu.VMEM),
     ]
-    args = [pos_b, invf, qkv[:, None, :], k_cache, v_cache]
+    args = [pos_b, cos_sin[:, None, :], qkv[:, None, :], k_cache, v_cache]
     if quant:
         def scale_idx(b, c, pos_ref):
             last = jnp.maximum((pos_ref[b] + chunk - 1) // chunk - 1, 0)

@@ -60,10 +60,19 @@ def main():
             GGMLType.Q8_0, GGMLType.Q5_K, GGMLType.Q2_K, GGMLType.Q3_K,
             GGMLType.IQ2_XS, GGMLType.IQ3_XXS, GGMLType.IQ4_NL,
             GGMLType.TQ2_0]
+    from ggml_hexagon_tpu.quant.pack import QCONFIGS, quantize_tensor
+
     for t in fams:
         try:
-            qt = B.random_qtensor(rng, n, k, t, fast="host")
-            qt = qt.astype_device()
+            cfgq = QCONFIGS[t]
+            if cfgq.code_map or cfgq.lut:
+                # coded-alphabet / LUT formats need REAL quantization
+                # (random plane bytes aren't valid code words)
+                w0 = rng.normal(size=(n, k)).astype(np.float32) * 0.1
+                qt = quantize_tensor(w0, t).astype_device()
+            else:
+                qt = B.random_qtensor(rng, n, k, t, fast="host")
+                qt = qt.astype_device()
             if qt.fq is None:
                 print(f"qmm_fast {t.name:32s} (no fast planes) SKIP",
                       flush=True)
@@ -112,10 +121,47 @@ def main():
                            fast="host").astype_device()
     if supports_dual(qt4, qt6):
         w6 = dequantize_fast(qt6)[:512]
+        # each side's norm weight pre-interleaved with ITS OWN group
+        # geometry (Q6_K gs=16 != Q4_K gs=32 — attach_norm_planes does
+        # the same per-tensor)
+        wn_il6 = wn[np.asarray(interleave_perm(k, qt6.cfg.gs))]
         want = jnp.concatenate(
             [(xf * inv * wn) @ w4.T, (xf * inv * wn) @ w6.T], axis=1)
-        got = qmatmul_fast_dual(x, qt4, qt6, wn_il, wn_il, eps)
+        got = qmatmul_fast_dual(x, qt4, qt6, wn_il, wn_il6, eps)
         check("qmm_fast_dual Q4_K+Q6_K", got, want)
+
+    # --- whole-FFN megakernel vs unfused composition ---
+    from ggml_hexagon_tpu.ops.ffn_fused import ffn_fused, supports_ffn_fused
+    from ggml_hexagon_tpu.ops.qmm_fast import uninterleave_cols
+
+    D2, NFF2 = 4096, 512
+    eps2 = 1e-5
+    woq = B.random_qtensor(rng, D2, D2, GGMLType.Q4_K,
+                           fast="host").astype_device()
+    guq = B.random_qtensor(rng, 2 * NFF2, D2, GGMLType.Q4_K,
+                           fast="host").astype_device()
+    dnq = B.random_qtensor(rng, D2, NFF2, GGMLType.Q4_K,
+                           fast="host").astype_device()
+    pdc = np.asarray(interleave_perm(NFF2, dnq.cfg.gs))
+    gu_il2 = guq.take_rows(np.concatenate([pdc, NFF2 + pdc]))
+    pd2 = np.asarray(interleave_perm(D2, 32))
+    wo_p = woq.take_rows(pd2)
+    dn_p = dnq.take_rows(pd2)
+    wn2 = jnp.asarray(rng.normal(size=(D2,)) * 0.1 + 1.0, jnp.float32)
+    attn2 = jnp.asarray(rng.normal(size=(1, D2)) * 0.3, jnp.float32)
+    hh = jnp.asarray(rng.normal(size=(1, D2)) * 0.5, jnp.float32)
+    if supports_ffn_fused(wo_p, gu_il2, dn_p, D2, NFF2):
+        got = ffn_fused(attn2, hh, wo_p, gu_il2, dn_p,
+                        wn2[pd2], eps2, out_dtype=jnp.float32)
+        h2o = attn2 @ dequantize_fast(woq)[:D2].T + hh
+        invo = jax.lax.rsqrt(jnp.mean(h2o * h2o, axis=1, keepdims=True)
+                             + eps2)
+        xbo = h2o * invo * wn2
+        g2o = xbo @ dequantize_fast(guq)[:2 * NFF2].T
+        siluo = (g2o[:, :NFF2] * jax.nn.sigmoid(g2o[:, :NFF2])
+                 * g2o[:, NFF2:])
+        want = siluo @ dequantize_fast(dnq)[:D2].T + h2o
+        check("ffn_fused megakernel Q4_K", got, want)
 
     # --- fused decode attention vs dense oracle ---
     from ggml_hexagon_tpu.ops.basic import RopeParams, rope_freqs
@@ -180,7 +226,8 @@ def main():
             check(f"fused_decode_attention int{bits} KV", out,
                   attn_oracle(qkv, kq, vq, kd, vd), budget=2e-4)
         except Exception as e:  # noqa: BLE001
-            if bits == 4 and "UNIMPLEMENTED" in str(e):
+            if bits == 4 and ("UNIMPLEMENTED" in str(e)
+                              or isinstance(e, RecursionError)):
                 # this tunneled runtime cannot materialize int4 arrays at
                 # all (device_put/astype -> UNIMPLEMENTED; see the verify
                 # skill); the int4 path is conformance-tested in

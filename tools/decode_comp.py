@@ -183,6 +183,37 @@ def main():
                 jax.jit(f_dn), x0, f"down+act+res ({lab} 4096x14336)",
                 plane_bytes(dn))
 
+    if want("ffn"):
+        from ggml_hexagon_tpu.ops.ffn_fused import ffn_fused, supports_ffn_fused
+
+        for t, lab in ((GGMLType.Q4_K, "Q4K"), (GGMLType.Q6_K, "Q6K")):
+            wo0 = B.random_qtensor(rng, d, d, GGMLType.Q4_K,
+                                   fast="host").astype_device()
+            gu0 = B.random_qtensor(rng, 2 * n_ff, d, GGMLType.Q4_K,
+                                   fast="host").astype_device()
+            dn0 = B.random_qtensor(rng, d, n_ff, t,
+                                   fast="host").astype_device()
+            pdc = np.asarray(interleave_perm(n_ff, dn0.cfg.gs))
+            gu_il = gu0.take_rows(
+                np.concatenate([pdc, n_ff + pdc])).without_wire()
+            pd = np.asarray(interleave_perm(d, 32))
+            wo_p = wo0.take_rows(pd).without_wire()
+            dn_p = dn0.take_rows(pd).without_wire()
+            assert supports_ffn_fused(wo_p, gu_il, dn_p, d, n_ff)
+            nb = (plane_bytes(wo_p) + plane_bytes(gu_il)
+                  + plane_bytes(dn_p))
+            x0 = jnp.asarray(rng.normal(size=(1, 2 * d)), jnp.float32)
+
+            def f_ffn(x, wo_p=wo_p, gu_il=gu_il, dn_p=dn_p):
+                y = ffn_fused(x[:, :d], x[:, d:], wo_p, gu_il, dn_p,
+                              wn_il, eps, out_dtype=jnp.float32)
+                return jnp.concatenate(
+                    [x[:, :d], y * 1e-6 + x[:, d:]], axis=1)
+
+            results[f"ffn_{lab}"] = timed_chain(
+                jax.jit(f_ffn), x0,
+                f"FFN megakernel (wo+gu+{lab} down)", nb)
+
     if want("lm_head"):
         out_w = qt(128256, d, GGMLType.Q6_K)
         x0 = jnp.asarray(rng.normal(size=(1, d)), jnp.bfloat16)

@@ -218,8 +218,6 @@ def main():
                 run(mode, args.batch, n2, K, G, bn)
 
 
-if __name__ == "__main__":
-    main()
 
 
 # --- appended r3b: FMA bias-tile variant (candidate to replace the xg
@@ -282,3 +280,7 @@ def run_fma(B, n2, K, G, bn):
 
     timed_chain(jax.jit(f), x0, f"nfma n={n2} K={K} bn={bn} B={B}",
                 n2 * K // 2 + n2 * G * 4)
+
+
+if __name__ == "__main__":
+    main()
