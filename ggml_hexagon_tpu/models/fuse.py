@@ -262,7 +262,10 @@ def attach_ffn_fused_layout(weights: dict, cfg) -> dict:
             perm = interleave_perm(d, 32)
             new["wo"] = wo.take_rows(perm)
             new["ffn_down"] = dn.take_rows(perm)
-            new["ffp"] = True
+            # key PRESENCE is the flag: None is an empty pytree
+            # subtree, so the marker stays STATIC under jit (a bool
+            # leaf would trace and break `if lw.get("ffp")`)
+            new["ffp"] = None
         out["layers"].append(new)
     return out
 

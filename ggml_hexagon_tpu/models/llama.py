@@ -740,7 +740,7 @@ def _dense_ffn(cfg, lw, f, compute_dtype, tap=None, il=0, norm_il=None,
             gu2 = matmul(f, gu_il)
         dn = lw["ffn_down"]
         ng = dn.k
-        ffp = bool(lw.get("ffp"))  # down rows carry the megakernel's il32
+        ffp = "ffp" in lw  # down rows carry the megakernel's il32
         # output permutation; non-megakernel paths un-permute the output
         B_tot = int(np.prod(gu2.shape[:-1]))
         interp = FUSED_EPILOGUE_INTERPRET
@@ -1139,7 +1139,7 @@ def forward(
         # -> down+residual in ONE Pallas launch (ops/ffn_fused.py); the
         # hidden state streams through in the il32 layout baked into the
         # row-permuted wo/ffn_down planes (fuse.attach_ffn_fused_layout)
-        if (lw.get("ffp") and T == 1 and B <= 8 and tap is None
+        if ("ffp" in lw and T == 1 and B <= 8 and tap is None
                 and "attn_sub_norm" not in lw
                 and (jax.default_backend() == "tpu"
                      or FUSED_EPILOGUE_INTERPRET)):
@@ -1159,7 +1159,7 @@ def forward(
         # decode fast path: wo projection with the residual add IN-KERNEL
         # (one fewer XLA op per layer off the dispatch-bound decode tail)
         wo_res = (
-            T == 1 and B <= 8 and tap is None and not lw.get("ffp")
+            T == 1 and B <= 8 and tap is None and "ffp" not in lw
             and not any(k in lw for k in ("wo_lora", "wo_scale", "bo"))
             and not cfg.post_norms and not cfg.swin_norm
             and not cfg.parallel_residual and cfg.residual_scale == 1.0
@@ -1177,7 +1177,7 @@ def forward(
                 interpret=FUSED_EPILOGUE_INTERPRET).astype(compute_dtype)
         else:
             attn_out = matmul_lora(attn, lw["wo"], lw.get("wo_lora"))
-            if lw.get("ffp"):
+            if "ffp" in lw:
                 # ffp layers carry row-permuted wo (megakernel layout);
                 # prefill/fallback un-permutes the output once
                 from ..ops.qmm_fast import uninterleave_cols
