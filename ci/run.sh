@@ -71,9 +71,14 @@ print("pipeline OK")
 EOF
 
 if [[ "${REAL_CHIP:-0}" == "1" ]]; then
-  echo "== [extra] bench on real chip =="
+  echo "== [extra] on-hardware kernel-vs-oracle conformance sweep =="
   unset JAX_PLATFORMS
-  timeout 900 python bench.py
+  # every Pallas kernel family vs its jnp oracle, COMPILED on the TPU
+  # (test-backend-ops device-side philosophy; would have caught the
+  # round-2 attention-skip incident and round-3's remainder-block bug)
+  timeout 1800 python tools/chip_conformance.py
+  echo "== [extra] bench on real chip =="
+  timeout 1800 python bench.py
 fi
 
 echo "CI PASSED"

@@ -232,9 +232,19 @@ def attach_ffn_fused_layout(weights: dict, cfg) -> dict:
     zero in-kernel relayouts.  The permutation is applied IN PLACE (no
     plane duplication); prefill/fallback paths un-permute the projection
     outputs with one cheap XLA relayout (models/llama.py, flag "ffp")."""
+    import os
+
     from ..ops.ffn_fused import supports_ffn_fused
     from ..ops.qmm_fast import interleave_perm
 
+    # OFF by default: the same-process A/B (tools/minibench.py --ab-ffp)
+    # measured the megakernel at 3.264 vs the 3-launch split's 3.172
+    # ms/step on the 8-layer slice — XLA already queues the split
+    # launches back-to-back, and the megakernel's phase serialization +
+    # bias-tile dot cost more than two launch overheads.  Kept as an
+    # opt-in for future runtimes where dispatch is costlier.
+    if os.environ.get("GHT_FFN_FUSED", "0") != "1":
+        return weights
     if (getattr(cfg, "norm_type", "rms") != "rms"
             or getattr(cfg, "act", "silu") not in ("silu", "gelu", "relu")
             or getattr(cfg, "post_norms", False)

@@ -205,10 +205,12 @@ def supports_ffn_fused(wo, gu_il, dn, d: int, n_ff: int) -> bool:
 def _ffn_call(x_a, xg_a, h_res, wn_il, wofq, wofs, wofb, gufq, gufs, gufb,
               dnfq, dnfs, dnfb, *, d, n_ff, G, Gc, eps, act,
               dn_nibble, dn_cm, dn_off, interpret=False):
+    import os
+
     B = x_a.shape[0]
     bnA = 512
-    bnB = 1024
-    bnC = 512
+    bnB = int(os.environ.get("GHT_FFN_BNB", "1024"))
+    bnC = int(os.environ.get("GHT_FFN_BNC", "512"))
     nA = d // bnA
     nB = (2 * n_ff) // bnB
     nC = d // bnC

@@ -88,3 +88,58 @@ def test_ffn_fused_batch_pad(setup):
     want = _reference(wo, gu, dn, wn, attn3, h3)
     assert got.shape == (3, D)
     assert nmse(got, want) < 5e-4
+
+
+def test_ffn_fused_model_integration(monkeypatch):
+    """Opt-in integration: GHT_FFN_FUSED=1 routes decode through the
+    megakernel; logits must match the split path (interpret mode)."""
+    import ggml_hexagon_tpu.models.llama as L
+    from ggml_hexagon_tpu.models.fuse import fuse_weights
+    from ggml_hexagon_tpu.models.llama import (LlamaConfig, forward,
+                                               init_kv_cache)
+
+    rng = np.random.default_rng(7)
+    d, nff = 4096, 512
+    cfg = LlamaConfig(n_vocab=64, n_embd=d, n_layer=1, n_head=4,
+                      n_head_kv=2, n_ff=nff, rope_mode="neox")
+
+    def qt(n, k):
+        return P.quantize_tensor(
+            rng.normal(size=(n, k)).astype(np.float32) * 0.02,
+            GGMLType.Q4_K).astype_device()
+
+    hd = d // 4
+    base = {
+        "tok_embd": jnp.asarray(rng.normal(size=(64, d)) * 0.02,
+                                jnp.float32),
+        "output_norm": jnp.ones(d, jnp.float32),
+        "output": qt(64, d),
+        "layers": [{
+            "attn_norm": jnp.ones(d, jnp.float32),
+            "ffn_norm": jnp.ones(d, jnp.float32),
+            "wq": qt(4 * hd, d), "wk": qt(2 * hd, d), "wv": qt(2 * hd, d),
+            "wo": qt(d, 4 * hd),
+            "ffn_gate": qt(nff, d), "ffn_up": qt(nff, d),
+            "ffn_down": qt(d, nff),
+        }],
+    }
+    kv = init_kv_cache(cfg, 1, 16)
+    tok = jnp.asarray([[5]], jnp.int32)
+    old = L.FUSED_EPILOGUE_INTERPRET, L.FUSED_ATTN_INTERPRET
+    try:
+        L.FUSED_EPILOGUE_INTERPRET = L.FUSED_ATTN_INTERPRET = True
+        monkeypatch.setenv("GHT_FFN_FUSED", "1")
+        wf = fuse_weights({**base, "layers": [dict(base["layers"][0])]},
+                          cfg)
+        assert "ffp" in wf["layers"][0], "megakernel layout not attached"
+        lf, _ = forward(cfg, wf, tok, kv, jnp.int32(0))
+        monkeypatch.setenv("GHT_FFN_FUSED", "0")
+        ws = fuse_weights({**base, "layers": [dict(base["layers"][0])]},
+                          cfg)
+        assert "ffp" not in ws["layers"][0]
+        ls, _ = forward(cfg, ws, tok, kv, jnp.int32(0))
+    finally:
+        L.FUSED_EPILOGUE_INTERPRET, L.FUSED_ATTN_INTERPRET = old
+    a = np.asarray(lf, np.float64)
+    b = np.asarray(ls, np.float64)
+    assert ((a - b) ** 2).sum() / (b ** 2).sum() < 5e-4

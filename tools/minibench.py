@@ -24,6 +24,11 @@ def main():
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--no-fuse", action="store_true")
     ap.add_argument("--kv", default="bf16", choices=["bf16", "q8_0"])
+    ap.add_argument("--ab-ffp", action="store_true",
+                    help="time BOTH the FFN-megakernel path and the "
+                         "3-launch split path in ONE process (device "
+                         "state varies ~10%% across runs; same-process "
+                         "A/B is the only honest comparison)")
     args = ap.parse_args()
 
     import jax
@@ -101,6 +106,22 @@ def main():
     l0 = weights["layers"][0]
     print("layer0 keys:", sorted(l0.keys()), flush=True)
 
+    weights_b = None
+    if args.ab_ffp:
+        # split-path twin: strip the ffp markers and un-permute wo/down
+        from ggml_hexagon_tpu.ops.qmm_fast import interleave_perm
+
+        inv = np.argsort(interleave_perm(cfg.n_embd, 32))
+        wb = dict(weights)
+        wb["layers"] = []
+        for lw in weights["layers"]:
+            nl = {k: v for k, v in lw.items() if k != "ffp"}
+            if "ffp" in lw:
+                nl["wo"] = lw["wo"].take_rows(inv)
+                nl["ffn_down"] = lw["ffn_down"].take_rows(inv)
+            wb["layers"].append(nl)
+        weights_b = wb
+
     kv = init_kv_cache(cfg, 1, args.ctx,
                        "q8_0" if args.kv == "q8_0" else jnp.bfloat16)
     from functools import partial
@@ -123,22 +144,34 @@ def main():
     rtt = min(rtts)
     print(f"rtt {rtt*1e3:.1f} ms", flush=True)
 
-    tok = jnp.zeros((1, 1), jnp.int32)
-    pos = jnp.int32(args.ctx // 2)
-    kv, tok, pos = decode_step(weights, kv, tok, pos)
-    sync(tok)
-    best = 1e9
-    for trial in range(3):
-        t0 = time.perf_counter()
-        for _ in range(args.steps):
-            kv, tok, pos = decode_step(weights, kv, tok, pos)
+    def time_variant(w, label):
+        nonlocal kv
+        tok = jnp.zeros((1, 1), jnp.int32)
+        pos = jnp.int32(args.ctx // 2)
+        kv, tok, pos = decode_step(w, kv, tok, pos)
         sync(tok)
-        dt = max(time.perf_counter() - t0 - rtt, 1e-9) / args.steps
-        best = min(best, dt)
-        print(f"trial {trial}: {dt*1e3:.3f} ms/step", flush=True)
-    # rough projection: non-layer cost ~= lm_head+embed+norms measured as
-    # (step - layers*per_layer); assume layer cost scales to 32
-    print(f"best {best*1e3:.3f} ms/step ({args.layers} layers)", flush=True)
+        best = 1e9
+        for trial in range(3):
+            t0 = time.perf_counter()
+            for _ in range(args.steps):
+                kv, tok, pos = decode_step(w, kv, tok, pos)
+            sync(tok)
+            dt = max(time.perf_counter() - t0 - rtt, 1e-9) / args.steps
+            best = min(best, dt)
+            print(f"  {label} trial {trial}: {dt*1e3:.3f} ms/step",
+                  flush=True)
+        print(f"best {label}: {best*1e3:.3f} ms/step ({args.layers} layers)",
+              flush=True)
+        return best
+
+    a = time_variant(weights, "ffp" if weights_b is not None else "default")
+    if weights_b is not None:
+        b = time_variant(weights_b, "split")
+        # interleave a second pass of each to cancel drift
+        a2 = time_variant(weights, "ffp#2")
+        b2 = time_variant(weights_b, "split#2")
+        print(f"A/B: megakernel {min(a, a2)*1e3:.3f} vs split "
+              f"{min(b, b2)*1e3:.3f} ms/step", flush=True)
 
 
 if __name__ == "__main__":
