@@ -173,6 +173,68 @@ def _kernel(Hq: int, Hkv: int, D: int, S: int, chunk: int, scale: float,
         out_ref[0] = jnp.concatenate(parts, axis=0).reshape(1, Hq * D)
 
 
+def _kernel_single(Hq: int, Hkv: int, D: int, S: int, chunk: int,
+                   scale: float, mscale: float, swa: int, logit_cap: float,
+                   n_dims: int, rope: bool, quant: bool, *refs):
+    """One-chunk specialization (NC == 1, cache fits a single block):
+    direct softmax, no running max/denominator bookkeeping — saves the
+    alpha/exp update chain the streaming form pays per chunk."""
+    if quant:
+        (pos_ref, cs_ref, qkv_ref, kc_ref, vc_ref, kd_ref, vd_ref,
+         out_ref, k_out, v_out, qblk_s, kf_s, vf_s, m_s, l_s, acc_s) = refs
+    else:
+        (pos_ref, cs_ref, qkv_ref, kc_ref, vc_ref,
+         out_ref, k_out, v_out, qblk_s, kf_s, vf_s, m_s, l_s, acc_s) = refs
+        kd_ref = vd_ref = None
+    G = Hq // Hkv
+    b = pl.program_id(0)
+    pos = pos_ref[b]
+    qkv = qkv_ref[0].astype(jnp.float32)
+    q = qkv[0, : Hq * D].reshape(Hq, D)
+    k = qkv[0, Hq * D : (Hq + Hkv) * D].reshape(Hkv, D)
+    v = qkv[0, (Hq + Hkv) * D :].reshape(Hkv, D)
+    if rope:
+        cs = cs_ref[0]
+        cos = cs[:, : n_dims // 2]
+        sin = cs[:, n_dims // 2 :]
+        q = _rope_neox(q, cos, sin, n_dims)
+        k = _rope_neox(k, cos, sin, n_dims)
+    kf = k.reshape(1, Hkv * D)
+    vf = v.reshape(1, Hkv * D)
+    k_out[0] = kf
+    v_out[0] = vf
+    qblk = _block_diag(q * scale, Hkv, D)
+    s = jax.lax.dot_general(qblk, kc_ref[0].astype(jnp.float32),
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    if quant:
+        s = s * kd_ref[0]
+    s_self = jax.lax.dot_general(qblk, kf, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    if logit_cap:
+        s = jnp.tanh(s / logit_cap) * logit_cap
+        s_self = jnp.tanh(s_self / logit_cap) * logit_cap
+    idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    ok = idx < pos
+    if swa:
+        ok = jnp.logical_and(ok, pos - idx < swa)
+    s = jnp.where(ok, s, NEG_INF)
+    m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), s_self)
+    p = jnp.exp(s - m)
+    p_self = jnp.exp(s_self - m)
+    l = jnp.sum(p, axis=-1, keepdims=True) + p_self
+    if quant:
+        p = p * vd_ref[0]
+    acc = jax.lax.dot_general(p, vc_ref[0].astype(jnp.float32),
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    acc = acc + p_self * vf
+    o = acc / jnp.maximum(l, 1e-30)
+    parts = [o[h * G : (h + 1) * G, h * D : (h + 1) * D]
+             for h in range(Hkv)]
+    out_ref[0] = jnp.concatenate(parts, axis=0).reshape(1, Hq * D)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("Hq", "Hkv", "D", "scale", "mscale", "swa", "logit_cap",
@@ -215,7 +277,8 @@ def fused_decode_attention(qkv, k_cache, v_cache, pos, inv_freq, *,
     if cos_sin is None:
         cos_sin = jnp.zeros((B, 2 * (n_dims // 2)), jnp.float32)
     kern = functools.partial(
-        _kernel, Hq, Hkv, D, S, chunk, scale, mscale, swa, logit_cap,
+        _kernel_single if NC == 1 else _kernel,
+        Hq, Hkv, D, S, chunk, scale, mscale, swa, logit_cap,
         n_dims, rope, quant)
 
     def chunk_idx(b, c, pos_ref):

@@ -71,7 +71,8 @@ def _check(got, want, atol=2e-2):
 
 
 @pytest.mark.parametrize("swa,cap", [(0, 0.0), (64, 0.0), (0, 30.0)])
-def test_fused_decode_attention_matches_oracle(swa, cap):
+@pytest.mark.parametrize("chunk", [64, 512])  # streaming + single-pass
+def test_fused_decode_attention_matches_oracle(swa, cap, chunk):
     Hq, Hkv, D = 8, 2, 128
     scale = 1.0 / np.sqrt(D)
     inv_freq = tuple(np.asarray(
@@ -79,7 +80,7 @@ def test_fused_decode_attention_matches_oracle(swa, cap):
     qkv, kc, vc, pos_b = _setup()
     out, kr, vr = fused_decode_attention(
         qkv, kc, vc, pos_b, inv_freq, Hq=Hq, Hkv=Hkv, D=D, scale=scale,
-        swa=swa, logit_cap=cap, chunk=64, interpret=True)
+        swa=swa, logit_cap=cap, chunk=chunk, interpret=True)
     ro, rk, rv = _oracle(qkv, kc, vc, pos_b, inv_freq, Hq, Hkv, D, scale,
                          swa, cap)
     _check(out, ro)
@@ -155,7 +156,9 @@ def test_fused_decode_attention_quant_kv(bits):
     pos_b = jnp.asarray([100, 37], jnp.int32)
     out, kr, vr = fused_decode_attention(
         qkv, kq, vq, pos_b, None, k_scale=kd, v_scale=vd,
-        Hq=Hq, Hkv=Hkv, D=D, scale=scale, chunk=64, interpret=True)
+        Hq=Hq, Hkv=Hkv, D=D, scale=scale,
+        chunk=64 if bits == 8 else 512,  # streaming vs single-pass
+        interpret=True)
     ro, rk, rv = _quant_oracle(qkv, kq, vq, kd, vd, pos_b, Hq, Hkv, D, scale)
     _check(out, ro)
     _check(kr, rk, atol=1e-5)
