@@ -540,6 +540,56 @@ def cmd_quantize(args):
     return 0
 
 
+
+def cmd_finetune(args):
+    """Finetune a GGUF model on a text corpus: LoRA (default) or full-
+    weight AdamW (--full, the complete ggml-opt analog)."""
+    import numpy as np
+
+    from .gguf import GGUFReader
+    from .models.llama import load_llama_weights
+    from .tokenizer import Vocab, build_tokenizer
+
+    with GGUFReader.open(args.model) as r:
+        cfg, weights = load_llama_weights(r)
+        vocab = Vocab.from_gguf(r.metadata)
+    tok = build_tokenizer(vocab)
+    text = open(args.file).read()
+    ids = np.asarray(tok.encode(text), np.int32)
+    T = args.ctx_size
+    if len(ids) < T + 1:
+        print("corpus too small for ctx size", file=sys.stderr)
+        return 1
+    rng = np.random.default_rng(args.seed)
+    if args.full:
+        from .runtime.finetune import FullTrainer
+
+        tr = FullTrainer(cfg, weights, lr=args.lr,
+                         weight_decay=args.weight_decay)
+    else:
+        from .runtime.finetune import LoraTrainer
+
+        tr = LoraTrainer(cfg, weights, rank=args.rank, alpha=args.alpha,
+                         lr=args.lr)
+    for step in range(args.steps):
+        starts = rng.integers(0, len(ids) - T - 1, args.batch)
+        batch = np.stack([ids[s:s + T + 1] for s in starts])
+        loss = tr.step(batch)
+        if step % args.log_every == 0 or step == args.steps - 1:
+            print(f"step {step}: loss {loss:.4f}", flush=True)
+    if args.full:
+        from .quant.formats import GGMLType
+
+        qt = getattr(GGMLType, args.out_type) if args.out_type else None
+        md = {k: v for k, v in GGUFReader.open(args.model).metadata.items()
+              if k.startswith("tokenizer.")}
+        tr.export_gguf(args.output, qtype=qt, metadata=md)
+    else:
+        tr.export_adapter(args.output)
+    print(f"wrote {args.output}")
+    return 0
+
+
 def cmd_perplexity(args):
     import jax.numpy as jnp
 
@@ -951,6 +1001,25 @@ def build_parser():
     q.add_argument("ftype")
     q.add_argument("--imatrix")
     q.set_defaults(fn=cmd_quantize)
+
+    ft = sub.add_parser("finetune",
+                        help="finetune on a corpus (LoRA or --full AdamW)")
+    ft.add_argument("-m", "--model", required=True)
+    ft.add_argument("-f", "--file", required=True)
+    ft.add_argument("-o", "--output", required=True)
+    ft.add_argument("--full", action="store_true",
+                    help="full-weight AdamW over dense masters (ggml-opt)")
+    ft.add_argument("--steps", type=int, default=100)
+    ft.add_argument("--batch", type=int, default=4)
+    ft.add_argument("-c", "--ctx-size", type=int, default=128)
+    ft.add_argument("--lr", type=float, default=1e-4)
+    ft.add_argument("--weight-decay", type=float, default=0.01)
+    ft.add_argument("--rank", type=int, default=8)
+    ft.add_argument("--alpha", type=float, default=16.0)
+    ft.add_argument("--out-type", help="re-quantize exported weights (--full)")
+    ft.add_argument("--seed", type=int, default=0)
+    ft.add_argument("--log-every", type=int, default=10)
+    ft.set_defaults(fn=cmd_finetune)
 
     pp = sub.add_parser("perplexity",
                         help="perplexity / benchmark scoring over a file")

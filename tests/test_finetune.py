@@ -50,3 +50,60 @@ def test_lora_finetune_overfits(model, tmp_path):
     b, _ = forward(cfg, w2, ids, init_kv_cache(cfg, 1, 8, jnp.float32), 0,
                    logits_all=True, compute_dtype=jnp.float32)
     assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_full_weight_training_loss_falls_and_exports(tmp_path):
+    """Full-weight AdamW (the complete ggml-opt analog): loss falls on a
+    repeating corpus, and the trained masters export to a GGUF that the
+    normal load/forward pipeline reads back."""
+    import jax.numpy as jnp
+
+    from ggml_hexagon_tpu.gguf import GGUFReader
+    from ggml_hexagon_tpu.models.llama import (LlamaConfig, forward,
+                                               init_kv_cache,
+                                               load_llama_weights)
+    from ggml_hexagon_tpu.quant import pack as P
+    from ggml_hexagon_tpu.quant.formats import GGMLType
+    from ggml_hexagon_tpu.runtime.finetune import FullTrainer
+
+    rng = np.random.default_rng(0)
+    d, nff, V = 256, 512, 97
+    cfg = LlamaConfig(n_vocab=V, n_embd=d, n_layer=2, n_head=4,
+                      n_head_kv=2, n_ff=nff)
+
+    def qt(n, k):
+        return P.quantize_tensor(
+            rng.normal(size=(n, k)).astype(np.float32) * 0.05,
+            GGMLType.Q8_0).astype_device()
+
+    layers = []
+    for _ in range(2):
+        layers.append({
+            "attn_norm": jnp.ones(d, jnp.float32),
+            "ffn_norm": jnp.ones(d, jnp.float32),
+            "wq": qt(d, d), "wk": qt(d // 2, d), "wv": qt(d // 2, d),
+            "wo": qt(d, d),
+            "ffn_gate": qt(nff, d), "ffn_up": qt(nff, d),
+            "ffn_down": qt(d, nff),
+        })
+    weights = {
+        "tok_embd": jnp.asarray(rng.normal(size=(V, d)) * 0.05, jnp.float32),
+        "output_norm": jnp.ones(d, jnp.float32),
+        "output": qt(V, d),
+        "layers": layers,
+    }
+    tr = FullTrainer(cfg, weights, lr=3e-3)
+    toks = np.tile(np.arange(0, 32, dtype=np.int32), 3)[None, :64]
+    losses = [tr.step(toks) for _ in range(12)]
+    assert losses[-1] < losses[0] * 0.7, losses
+
+    out = str(tmp_path / "trained.gguf")
+    tr.export_gguf(out, metadata={"tokenizer.ggml.model": "llama",
+                                  "tokenizer.ggml.tokens": [f"t{i}" for i in range(V)],
+                                  "tokenizer.ggml.scores": [0.0] * V,
+                                  "tokenizer.ggml.token_type": [1] * V})
+    with GGUFReader.open(out) as r:
+        cfg2, w2 = load_llama_weights(r)
+    kv = init_kv_cache(cfg2, 1, 8)
+    logits, _ = forward(cfg2, w2, jnp.asarray(toks[:, :4]), kv, jnp.int32(0))
+    assert np.isfinite(np.asarray(logits)).all()

@@ -1,0 +1,164 @@
+"""Probe: does Mosaic lower small-LUT gathers (jnp.take) inside a Pallas
+kernel on this runtime, and at what cost?  Decides the wire-density
+i-quant plane design (VERDICT r2 item 3): if an in-kernel 256-entry LUT
+gather is cheap, IQ2-family planes can store raw 8-bit grid INDICES
+(1.06x wire density); otherwise they expand to 2-bit code planes at load.
+
+Also measures the 2-bit-unpack alternative for the same logical work.
+"""
+import functools
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from ggml_hexagon_tpu.utils.jaxcache import enable as _jc
+_jc()
+
+
+def timed_chain(f, x0, label, nbytes, n_chain=64, trials=3):
+    import functools as ft
+
+    import jax
+
+    def loop(n, x):
+        return jax.lax.fori_loop(0, n, lambda i, xx: f(xx), x)
+
+    g1 = jax.jit(ft.partial(loop, 1))
+    gN = jax.jit(ft.partial(loop, n_chain))
+    float(np.asarray(g1(x0)).reshape(-1)[0])
+    float(np.asarray(gN(x0)).reshape(-1)[0])
+    rtt = 1e9
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(np.asarray(g1(x0)).reshape(-1)[0])
+        rtt = min(rtt, time.perf_counter() - t0)
+    best = 1e9
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        float(np.asarray(gN(x0)).reshape(-1)[0])
+        best = min(best, time.perf_counter() - t0)
+    per = max((best - rtt) / (n_chain - 1), 1e-9)
+    print(f"{label:44s} {per*1e6:9.1f} us  {nbytes/per/1e9:7.1f} GB/s",
+          flush=True)
+    return per
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    print(f"devices: {jax.devices()}", flush=True)
+    rng = np.random.default_rng(0)
+    n2, K = 28672, 4096
+    G = K // 32
+    bn = 1024
+    B = 8
+    # IQ2-style: one u8 grid index per 8 weights -> idx plane [n2, K/8]
+    idx = jnp.asarray(rng.integers(0, 256, (n2, K // 8)).astype(np.uint8))
+    # signs: one u8 mask per 8 weights
+    sgn = jnp.asarray(rng.integers(0, 256, (n2, K // 8)).astype(np.uint8))
+    # 2-bit code plane alternative: [n2, K/4] (4 codes per byte)
+    cod = jnp.asarray(rng.integers(0, 256, (n2, K // 4)).astype(np.uint8))
+    sp = jnp.asarray(rng.random((n2, G), np.float32) * 2e-3, jnp.bfloat16)
+    lut_np = rng.integers(0, 1 << 16, 256).astype(np.int32)
+
+    def gather_kernel(lut_ref, x_ref, i_ref, s_ref, o_ref):
+        # idx -> u16 selector via VMEM LUT gather; then 2-bit fields
+        sel = jnp.take(lut_ref[0], i_ref[:].astype(jnp.int32), axis=0)
+        # expand each selector's 8 2-bit fields is the real kernel's job;
+        # here one field suffices to measure the gather cost shape
+        c0 = (sel & 3).astype(jnp.bfloat16)
+        sc = pltpu.repeat(s_ref[:], (K // 8) // G, axis=1).astype(
+            jnp.bfloat16)
+        o_ref[:] = jax.lax.dot_general(
+            x_ref[:, : K // 8], c0 * sc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def unpack2_kernel(x_ref, c_ref, s_ref, o_ref):
+        # 2-bit codes, arithmetic iq2 map {0,8,25,43}, no gather
+        p = c_ref[:].astype(jnp.int32)
+        sc = pltpu.repeat(s_ref[:], (K // 4) // G, axis=1).astype(
+            jnp.bfloat16)
+        acc = None
+        for shift in range(4):
+            c = (p >> (2 * shift)) & 3
+            mag = jnp.where(c < 2, 8 * c, jnp.where(c == 2, 25, 43)).astype(
+                jnp.bfloat16)
+            y = jax.lax.dot_general(
+                x_ref[:, shift * (K // 4):(shift + 1) * (K // 4)], mag * sc,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = y if acc is None else acc + y
+        o_ref[:] = acc
+
+    x0 = jnp.asarray(rng.normal(size=(B, K)), jnp.bfloat16)
+    lut = jnp.asarray(lut_np).reshape(1, 256)
+
+    try:
+        call = pl.pallas_call(
+            gather_kernel, grid=(n2 // bn,),
+            in_specs=[
+                pl.BlockSpec((1, 256), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((B, K), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bn, K // 8), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bn, G), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((B, bn), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, n2), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )
+
+        def f(x):
+            y = call(lut, x, idx, sp)
+            return (y[:, :1] * 1e-6 + x.astype(jnp.float32)).astype(
+                jnp.bfloat16)
+
+        timed_chain(jax.jit(f), x0, "LUT-gather (256xu16, idx/8w)",
+                    n2 * K // 8)
+    except Exception as e:  # noqa: BLE001
+        print(f"LUT-gather: FAILED {type(e).__name__}: {str(e)[:160]}",
+              flush=True)
+
+    try:
+        call2 = pl.pallas_call(
+            unpack2_kernel, grid=(n2 // bn,),
+            in_specs=[
+                pl.BlockSpec((B, K), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bn, K // 4), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bn, G), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((B, bn), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, n2), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )
+
+        def f2(x):
+            y = call2(x, cod, sp)
+            return (y[:, :1] * 1e-6 + x.astype(jnp.float32)).astype(
+                jnp.bfloat16)
+
+        timed_chain(jax.jit(f2), x0, "2-bit arith unpack (4 dots)",
+                    n2 * K // 4)
+    except Exception as e:  # noqa: BLE001
+        print(f"2-bit unpack: FAILED {type(e).__name__}: {str(e)[:160]}",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
