@@ -399,43 +399,87 @@ def _epilogue(nkj, o_ref, y, xg_ref, b_ref, off, s_ref, res_ref, inv):
     _store(nkj, o_ref, y, once)
 
 
-def _nibble_y(cm: str, reps: int, x, pu, s_ref):
-    """Split lo/hi scaled MXU dots over a packed-nibble block."""
-    if cm:  # coded i-quant nibbles: arithmetic codebook decode in-kernel
-        lo = decode_codes(cm, (pu & 15).astype(jnp.int32)).astype(jnp.bfloat16)
-        hi = decode_codes(cm, pu.astype(jnp.int32) >> 4).astype(jnp.bfloat16)
-    else:
-        # lo nibble stays in the 8-bit domain (u8 & mask is the one
-        # sub-32-bit op Mosaic lowers): ~25% faster than the i32 route
-        lo = (pu & 15).astype(jnp.int8).astype(jnp.bfloat16)
-        hi = (pu.astype(jnp.int32) >> 4).astype(jnp.bfloat16)  # p<256
-    sc = pltpu.repeat(s_ref[:], reps, axis=1).astype(jnp.bfloat16)
+def _n_slices(cols: int, G: int, bn: int, per_col: int = 12) -> int:
+    """Decode packed blocks in sequential column slices sized so the
+    unpack/cast/mult intermediates stay ~<=25 MB — past that Mosaic
+    spills and the kernel collapses (measured r3: the K=14336 ffn_down
+    block at bn=512 runs 3.7x faster split in two; the B=512 prefill
+    gate-up shape at bn=2048 runs 2.3x faster split in two, while
+    bn=1024 prefers unsliced — all consistent with this budget).  Slices
+    stay scale-tile-period-aligned (csl % G == 0)."""
+    budget = 25 * 1024 * 1024
+    target = max(512, budget // (per_col * bn))
+    if cols <= target:
+        return 1
+    for n in (2, 4, 7, 8, 14, 16, 28, 32, 56):
+        if cols % n == 0 and cols // n <= target and (cols // n) % G == 0:
+            return n
+    return 1
+
+
+def _nibble_y(cm: str, reps: int, x, pu_ref, s_ref):
+    """Split lo/hi scaled MXU dots over a packed-nibble block, processed
+    in sequential column slices (see _n_slices)."""
+    cols = pu_ref.shape[1]
+    G = s_ref.shape[1]
+    nsl = _n_slices(cols, G, pu_ref.shape[0])
+    csl = cols // nsl
     half = x.shape[1] // 2
-    xl = x[:, :half]
-    xh = x[:, half:]
-    return (jax.lax.dot_general(xl, lo * sc, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(xh, hi * sc, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32))
+    acc = None
+    for s in range(nsl):
+        pu = pu_ref[:, s * csl:(s + 1) * csl]
+        if cm:  # coded i-quant nibbles: arithmetic codebook decode
+            lo = decode_codes(cm, (pu & 15).astype(jnp.int32)).astype(
+                jnp.bfloat16)
+            hi = decode_codes(cm, pu.astype(jnp.int32) >> 4).astype(
+                jnp.bfloat16)
+        else:
+            # lo nibble stays in the 8-bit domain (u8 & mask is the one
+            # sub-32-bit op Mosaic lowers): ~25% faster than the i32 route
+            lo = (pu & 15).astype(jnp.int8).astype(jnp.bfloat16)
+            hi = (pu.astype(jnp.int32) >> 4).astype(jnp.bfloat16)  # p<256
+        sc = pltpu.repeat(s_ref[:], csl // G, axis=1).astype(jnp.bfloat16)
+        xl = x[:, s * csl:(s + 1) * csl]
+        xh = x[:, half + s * csl:half + (s + 1) * csl]
+        y = (jax.lax.dot_general(xl, lo * sc, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+             + jax.lax.dot_general(xh, hi * sc, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32))
+        acc = y if acc is None else acc + y
+    return acc
 
 
 def _byte_y(reps: int, x, q_ref, s_ref):
-    if x.shape[0] <= 8:
-        # decode GEMV: the f32 route measures 890 GB/s vs bf16's 669 on
-        # the 28672x4096 Q6_K-class shape at bn=2048 (tools/kernel_lab4.py
-        # r3) — i8->f32 cast + f32 scale-mult pipeline better under the
-        # DMA than the bf16 chain, and the f32 MXU rate is irrelevant at
-        # B<=8.  Prefill keeps the bf16 operands (8x MXU rate matters).
-        w = q_ref[:].astype(jnp.float32)
-        sc = pltpu.repeat(s_ref[:], reps, axis=1).astype(jnp.float32)
-        return jax.lax.dot_general(
-            x.astype(jnp.float32), w * sc, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-    w = q_ref[:].astype(jnp.bfloat16)
-    sc = pltpu.repeat(s_ref[:], reps, axis=1).astype(jnp.bfloat16)
-    return jax.lax.dot_general(
-        x, w * sc, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    cols = q_ref.shape[1]
+    G = s_ref.shape[1]
+    # very wide byte blocks (Q6_K ffn_down class) slice like the nibble
+    # kernel (see _n_slices); moderate widths measured best unsliced
+    nsl = _n_slices(cols, G, q_ref.shape[0], 8) if cols > 8192 else 1
+    csl = cols // nsl
+    decode = x.shape[0] <= 8
+    acc = None
+    for sl in range(nsl):
+        q = q_ref[:, sl * csl:(sl + 1) * csl]
+        xs = x[:, sl * csl:(sl + 1) * csl]
+        if decode:
+            # decode GEMV: the f32 route measures 890 GB/s vs bf16's 669
+            # on the 28672x4096 Q6_K-class shape at bn=2048
+            # (tools/kernel_lab4.py r3); the f32 MXU rate is irrelevant
+            # at B<=8.  Prefill keeps bf16 operands (8x MXU rate).
+            w = q.astype(jnp.float32)
+            sc = pltpu.repeat(s_ref[:], csl // G, axis=1).astype(
+                jnp.float32)
+            y = jax.lax.dot_general(
+                xs.astype(jnp.float32), w * sc, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            w = q.astype(jnp.bfloat16)
+            sc = pltpu.repeat(s_ref[:], csl // G, axis=1).astype(
+                jnp.bfloat16)
+            y = jax.lax.dot_general(xs, w * sc, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        acc = y if acc is None else acc + y
+    return acc
 
 
 def _nibble_kernel(reps: int, nkj: int, eps, has_xg: bool, has_fb: bool,
@@ -444,7 +488,7 @@ def _nibble_kernel(reps: int, nkj: int, eps, has_xg: bool, has_fb: bool,
     xg_ref, b_ref, w_ref, res_ref, o_ref = _split_refs(
         eps, has_xg, has_fb, has_res, rest)
     x, inv = _kernel_x(act, eps, x_ref, w_ref)
-    y = _nibble_y(cm, reps, x, q_ref[:], s_ref)
+    y = _nibble_y(cm, reps, x, q_ref, s_ref)
     _epilogue(nkj, o_ref, y, xg_ref, b_ref, off, s_ref, res_ref, inv)
 
 
@@ -497,6 +541,26 @@ def _pick_blocks(B: int, K: int, nibble: bool, gs: int):
             blk = (B * K * 2 + bn * cols) * 2
             if fixed + blk + per_col * bn * cols <= 96 * 1024 * 1024:
                 return bn, 1
+    # prefill-preferred pass: full-K blocks with LARGE row blocks — the
+    # in-kernel column slicing (_n_slices) bounds the unpack intermediates,
+    # so VMEM no longer forces K-splits (r3 lab, B=512 gate-up shape:
+    # bn=2048+2 slices 454us vs the old bn=512 K-split 1057us; 57% -> 75%+
+    # MFU class)
+    import os as _os
+
+    cols_full = (K // 2) if nibble else K
+    per_col = 12 if nibble else 8
+    skip_fullk = _os.environ.get("GHT_QMM_NO_PREFILL_FULLK") == "1"
+    for bn in () if skip_fullk else (2048, 1024, 512):
+        nsl = _n_slices(cols_full, G, bn, per_col)
+        csl = cols_full // nsl
+        if csl % G:
+            continue
+        blk = B * K * 2 + bn * cols_full * 2
+        scratch = per_col * bn * csl
+        fixed = 2 * bn * G * 2 * 2 + B * bn * 4
+        if fixed + blk + scratch <= 96 * 1024 * 1024:
+            return bn, 1
     for bn in (512, 256, 128):
         # scale + (possible) bias plane blocks, double-buffered, + out
         fixed = 2 * bn * G * 2 * 2 + B * bn * 4
@@ -783,7 +847,7 @@ def _dual_kernel(nba: int, nbb: int, reps_a: int, reps_b: int, eps,
             x, inv = _normed_x(xa_ref, wna, eps)
         else:
             x, inv = xa_ref[:], None
-        y = (_nibble_y(cm_a, reps_a, x, qa_ref[:], sa_ref)
+        y = (_nibble_y(cm_a, reps_a, x, qa_ref, sa_ref)
              if (nib_a or cm_a) else _byte_y(reps_a, x, qa_ref, sa_ref))
         if xa_has:
             bt = _bias_term(xga, fba if fba is not None else sa_ref, inv)
@@ -796,7 +860,7 @@ def _dual_kernel(nba: int, nbb: int, reps_a: int, reps_b: int, eps,
             x, inv = _normed_x(xb_ref, wnb, eps)
         else:
             x, inv = xb_ref[:], None
-        y = (_nibble_y(cm_b, reps_b, x, qb_ref[:], sb_ref)
+        y = (_nibble_y(cm_b, reps_b, x, qb_ref, sb_ref)
              if (nib_b or cm_b) else _byte_y(reps_b, x, qb_ref, sb_ref))
         if xb_has:
             bt = _bias_term(xgb, fbb if fbb is not None else sb_ref, inv)

@@ -90,11 +90,14 @@ def test_qmatmul_fast_batch1_and_3d(fixtures):
     assert nmse(out3.reshape(4, -1), np.asarray(qmatmul_xla(jnp.asarray(x), qt))) < MUL_MAT_NMSE
 
 
-def test_qmatmul_fast_kblocked_prefill():
-    """Large-batch + wide-K path: K-blocked accumulation with the nibble
-    re-pairing (exercises nkj > 1)."""
+def test_qmatmul_fast_kblocked_prefill(monkeypatch):
+    """K-blocked accumulation with the nibble re-pairing (nkj > 1) — the
+    fallback for shapes whose full-K blocks exceed VMEM even sliced
+    (forced here via env; round 3's sliced full-K pass covers the common
+    prefill shapes)."""
     from ggml_hexagon_tpu.ops.qmm_fast import _pick_blocks
 
+    monkeypatch.setenv("GHT_QMM_NO_PREFILL_FULLK", "1")
     rng = np.random.default_rng(3)
     N, K, B = 256, 8192, 512
     assert _pick_blocks(B, K, True, 32)[1] > 1  # the split engages
@@ -211,7 +214,7 @@ def test_qmatmul_fast_normed_matches_unfused(fixtures):
     assert out3.shape == (2, 2, qt.n)
 
 
-def test_qmatmul_fast_normed_kblocked_fallback():
+def test_qmatmul_fast_normed_kblocked_fallback(monkeypatch):
     """When the shape needs a K-split (nkj>1) the fused entry must fall
     back to the separate-norm path and stay correct."""
     from ggml_hexagon_tpu.models.fuse import _norm_il
@@ -219,6 +222,7 @@ def test_qmatmul_fast_normed_kblocked_fallback():
     from ggml_hexagon_tpu.ops.qmm_fast import (_pick_blocks,
                                                qmatmul_fast_normed)
 
+    monkeypatch.setenv("GHT_QMM_NO_PREFILL_FULLK", "1")
     rng = np.random.default_rng(11)
     N, K, B = 256, 8192, 512
     assert _pick_blocks(B, K, True, 32)[1] > 1
