@@ -427,7 +427,9 @@ def _kv_dequant(q, d, dtype):
     return (q.astype(jnp.float32) * d[..., None]).astype(dtype)
 
 
-FLASH_THRESHOLD = 2048  # cache sizes past this use the memory-linear path
+FLASH_THRESHOLD = 1024  # cache sizes from here up use the memory-linear
+# flash path: at S=1024 the dense path materializes ~67 MB of scores +
+# probs per layer in HBM during prefill (~0.2 ms/layer of pure traffic)
 
 
 def _attention(cfg: LlamaConfig, q, k_all, v_all, pos_start, T, swa: int = 0,
@@ -627,7 +629,8 @@ def _moe_indirect(cfg, lw, f, topv, topi, compute_dtype, interpret):
                    * topv[..., None].astype(jnp.float32), axis=2)
 
 
-def _moe_ffn(cfg, lw, f, compute_dtype, tap=None, il=0):
+def _moe_ffn(cfg, lw, f, compute_dtype, tap=None, il=0,
+             force_dense=False):
     """Mixture-of-experts FFN (build_moe_ffn analog, SURVEY §A.3).
 
     Router softmax -> top-k -> renorm; on the decode fast path the top-k
@@ -663,7 +666,7 @@ def _moe_ffn(cfg, lw, f, compute_dtype, tap=None, il=0):
             topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
         interp = FUSED_EPILOGUE_INTERPRET
         B_tot = int(np.prod(f.shape[:-1]))
-        if (tap is None and B_tot <= 8
+        if (not force_dense and tap is None and B_tot <= 8
                 and (jax.default_backend() == "tpu" or interp)
                 and _supports_moe_indirect(cfg, lw)):
             out = _moe_indirect(cfg, lw, f, topv, topi, compute_dtype,

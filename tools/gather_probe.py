@@ -160,5 +160,93 @@ def main():
               flush=True)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--2d" not in sys.argv:
     main()
+
+
+def probe_2d():
+    """Second round: Mosaic said 'Only 2D gather is supported' — try the
+    natural decode form: row-gather of a [256, 8] grid table (each index
+    expands to 8 weight values, exactly iq2xxs_grid's shape)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(0)
+    n2, K = 28672, 4096
+    G = K // 32
+    bn = 1024
+    B = 8
+    idx = jnp.asarray(rng.integers(0, 256, (n2, K // 8)).astype(np.uint8))
+    sp = jnp.asarray(rng.random((n2, G), np.float32) * 2e-3, jnp.bfloat16)
+    grid_np = rng.integers(0, 44, (256, 8)).astype(np.int8)
+
+    variants = {}
+
+    def v_rowgather(g_ref, x_ref, i_ref, s_ref, o_ref):
+        # vals[i, j, :] = grid[idx[i, j], :] -> reshape [bn, K]
+        vals = jnp.take(g_ref[:], i_ref[:].astype(jnp.int32), axis=0)
+        w = vals.reshape(i_ref.shape[0], -1).astype(jnp.bfloat16)
+        sc = pltpu.repeat(s_ref[:], (K // 8 * 8) // G // 8, axis=1)
+        # scale layout ignored — cost-shape probe only
+        o_ref[:] = jax.lax.dot_general(
+            x_ref[:], w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    variants["rowgather [256,8] take axis0"] = (v_rowgather, (256, 8))
+
+    def v_talongaxis(g_ref, x_ref, i_ref, s_ref, o_ref):
+        # take_along_axis form: table broadcast along rows
+        ii = i_ref[:].astype(jnp.int32)
+        tbl = g_ref[:]  # [256, 128]
+        # gather columns of a [bn, 256]-style view is not natural; probe
+        # take_along_axis on axis 1 with a per-row table slice
+        out = jnp.take_along_axis(
+            jnp.broadcast_to(tbl[None, :, 0], (ii.shape[0], 256)),
+            ii[:, :256], axis=1)
+        o_ref[:] = jax.lax.dot_general(
+            x_ref[:, :256], out.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    variants["take_along_axis axis1"] = (v_talongaxis, (256, 128))
+
+    for label, (kern, gshape) in variants.items():
+        try:
+            gtab = jnp.asarray(
+                rng.integers(0, 44, gshape).astype(np.int8))
+            call = pl.pallas_call(
+                kern, grid=(n2 // bn,),
+                in_specs=[
+                    pl.BlockSpec(gshape, lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((B, K), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((bn, K // 8), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((bn, G), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((B, bn), lambda i: (0, i),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((B, n2), jnp.float32),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+            )
+            x0 = jnp.asarray(rng.normal(size=(B, K)), jnp.bfloat16)
+
+            def f(x, call=call, gtab=gtab):
+                y = call(gtab, x, idx, sp)
+                return (y[:, :1] * 1e-6 + x.astype(jnp.float32)).astype(
+                    jnp.bfloat16)
+
+            timed_chain(jax.jit(f), x0, label, n2 * K // 8)
+        except Exception as e:  # noqa: BLE001
+            print(f"{label}: FAILED {type(e).__name__}: {str(e)[:140]}",
+                  flush=True)
+
+
+if __name__ == "__main__" and "--2d" in sys.argv:
+    probe_2d()
+    sys.exit(0)

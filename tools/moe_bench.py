@@ -20,7 +20,7 @@ from ggml_hexagon_tpu.utils.jaxcache import enable as _jc
 _jc()
 
 
-def timed_chain(f, x0, label, n_chain=32, trials=3):
+def timed_chain(f, x0, label, n_chain=16, trials=3):
     import functools as ft
 
     import jax
@@ -87,15 +87,10 @@ def main():
         return (y * 1e-6 + x.astype(jnp.float32)).astype(jnp.bfloat16)
 
     def run_dense(x):
-        # force the dense all-experts path (the pre-round-3 behavior)
-        import ggml_hexagon_tpu.models.llama as LL
-
-        old = LL._supports_moe_indirect
-        LL._supports_moe_indirect = lambda cfg, lw: False
-        try:
-            y = LL._moe_ffn(cfg, lw, x, jnp.bfloat16)
-        finally:
-            LL._supports_moe_indirect = old
+        # force the dense all-experts path (the pre-round-3 behavior);
+        # NOTE: an explicit flag, not a monkeypatch — jit traces lazily,
+        # so a patch restored before the first call never takes effect
+        y = L._moe_ffn(cfg, lw, x, jnp.bfloat16, force_dense=True)
         return (y * 1e-6 + x.astype(jnp.float32)).astype(jnp.bfloat16)
 
     t_ind = timed_chain(run_indirect,
