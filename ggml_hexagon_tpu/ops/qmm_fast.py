@@ -326,14 +326,12 @@ def _apply_act(act: str, x):
     return x * jax.lax.logistic(x)  # silu
 
 
-def _bias_term(xg_ref, b_ref, inv):
+def _bias_term(xg, b_ref, inv):
     """Affine-format group bias, fused in-kernel: the bias contribution is
     sum_c x[:,c] * fb[n, g(c)] = (group-sums of x) @ fb^T — a [B,G]x[bn,G]
-    side dot of negligible MXU cost.  The group sums ride in as a tiny
-    input (Mosaic can't lane-split-reshape in-kernel; XLA fuses the reduce
-    into the interleave producer outside).  With fused norm, xg holds the
-    PRE-norm sums of x*wn and `inv` (the in-kernel rsqrt) rescales them."""
-    xg = xg_ref[:].astype(jnp.float32)
+    side dot of negligible MXU cost.  xg is an ARRAY: either the tiny
+    side input (xg_mode 1, pre-norm sums rescaled by `inv`) or computed
+    in-kernel (mode 2) from the effective activation."""
     if inv is not None:
         xg = xg * inv
     return jax.lax.dot_general(
@@ -355,8 +353,9 @@ def _normed_x(x_ref, w_ref, eps: float):
 
 
 def _split_refs(eps, has_xg, has_fb, has_res, rest):
-    """inputs after (x, q, s): [xg] when a group-sum side input is needed,
-    [fb] when a stored bias plane exists, [wn] if normed, [res] if
+    """inputs after (x, q, s): [xg] when a group-sum side INPUT rides in
+    (xg_mode 1 — in-kernel computation, mode 2, takes no input), [fb]
+    when a stored bias plane exists, [wn] if normed, [res] if
     residual-fused, out."""
     i = 0
     xg_ref = b_ref = w_ref = res_ref = None
@@ -388,10 +387,23 @@ def _kernel_x(act: str, eps, x_ref, w_ref):
     return x_ref[:], None
 
 
-def _epilogue(nkj, o_ref, y, xg_ref, b_ref, off, s_ref, res_ref, inv):
+def _kernel_xg(xg_mode, gs, x, xg_ref):
+    """Group sums for the bias side-dot: mode 1 reads the tiny side
+    input; mode 2 computes them IN-KERNEL from the (interleaved,
+    post-norm/act) activation — a lane-aligned [B, gs, G] reduce, valid
+    when G % 128 == 0 — which removes one XLA dispatch per decode matmul
+    (the per-layer tail ops the composition couldn't attribute)."""
+    if xg_mode == 2:
+        B2, K2 = x.shape
+        G2 = K2 // gs
+        return jnp.sum(x.astype(jnp.float32).reshape(B2, gs, G2), axis=1)
+    return None if xg_ref is None else xg_ref[:].astype(jnp.float32)
+
+
+def _epilogue(nkj, o_ref, y, xg, b_ref, off, s_ref, res_ref, inv):
     once = None
-    if xg_ref is not None:
-        bt = _bias_term(xg_ref, b_ref if b_ref is not None else s_ref, inv)
+    if xg is not None:
+        bt = _bias_term(xg, b_ref if b_ref is not None else s_ref, inv)
         once = off * bt if b_ref is None else bt
     if res_ref is not None:
         r = res_ref[:].astype(jnp.float32)
@@ -482,24 +494,30 @@ def _byte_y(reps: int, x, q_ref, s_ref):
     return acc
 
 
-def _nibble_kernel(reps: int, nkj: int, eps, has_xg: bool, has_fb: bool,
-                   off: float, cm: str, act: str, has_res: bool,
-                   x_ref, q_ref, s_ref, *rest):
+def _nibble_kernel(reps: int, nkj: int, eps, xg_mode: int, gs: int,
+                   has_fb: bool, off: float, cm: str, act: str,
+                   has_res: bool, x_ref, q_ref, s_ref, *rest):
     xg_ref, b_ref, w_ref, res_ref, o_ref = _split_refs(
-        eps, has_xg, has_fb, has_res, rest)
+        eps, xg_mode == 1, has_fb, has_res, rest)
     x, inv = _kernel_x(act, eps, x_ref, w_ref)
+    xg = _kernel_xg(xg_mode, gs, x, xg_ref)
+    if xg_mode == 2:
+        inv = None  # mode-2 sums come from the post-norm activation
     y = _nibble_y(cm, reps, x, q_ref, s_ref)
-    _epilogue(nkj, o_ref, y, xg_ref, b_ref, off, s_ref, res_ref, inv)
+    _epilogue(nkj, o_ref, y, xg, b_ref, off, s_ref, res_ref, inv)
 
 
-def _byte_kernel(reps: int, nkj: int, eps, has_xg: bool, has_fb: bool,
-                 off: float, act: str, has_res: bool,
+def _byte_kernel(reps: int, nkj: int, eps, xg_mode: int, gs: int,
+                 has_fb: bool, off: float, act: str, has_res: bool,
                  x_ref, q_ref, s_ref, *rest):
     xg_ref, b_ref, w_ref, res_ref, o_ref = _split_refs(
-        eps, has_xg, has_fb, has_res, rest)
+        eps, xg_mode == 1, has_fb, has_res, rest)
     x, inv = _kernel_x(act, eps, x_ref, w_ref)
+    xg = _kernel_xg(xg_mode, gs, x, xg_ref)
+    if xg_mode == 2:
+        inv = None
     y = _byte_y(reps, x, q_ref, s_ref)
-    _epilogue(nkj, o_ref, y, xg_ref, b_ref, off, s_ref, res_ref, inv)
+    _epilogue(nkj, o_ref, y, xg, b_ref, off, s_ref, res_ref, inv)
 
 
 def _pick_blocks(B: int, K: int, nibble: bool, gs: int):
@@ -576,11 +594,11 @@ def _pick_blocks(B: int, K: int, nibble: bool, gs: int):
 
 @functools.partial(jax.jit, static_argnames=("nibble", "G", "nkj", "bn",
                                              "eps", "interpret", "cm", "act",
-                                             "off"))
+                                             "off", "xg_mode"))
 def _fast_call(x_blk, fq, fs, fb=None, xg=None, wn=None, res=None, *,
                nibble: bool, G: int, nkj: int, bn: int = _BN, eps=None,
                interpret: bool = False, cm: str = "", act: str = "",
-               off: float = 0.0):
+               off: float = 0.0, xg_mode: int | None = None):
     B, K = x_blk.shape
     if act:  # doubled input: gate ++ up halves, both pre-interleaved
         K = K // 2
@@ -597,15 +615,19 @@ def _fast_call(x_blk, fq, fs, fb=None, xg=None, wn=None, res=None, *,
     bcols = cols // nkj
     reps = bcols // G
     assert (wn is None) == (eps is None) and (wn is None or nkj == 1)
-    assert fb is None or xg is not None
     assert not (act and (nkj != 1 or wn is not None))
+    if xg_mode is None:
+        xg_mode = 1 if xg is not None else 0
+    assert fb is None or xg_mode != 0
+    assert xg_mode != 1 or xg is not None
+    gs = K // G
     if nibble or cm:
         kern = functools.partial(_nibble_kernel, reps, nkj, eps,
-                                 xg is not None, fb is not None, off, cm,
+                                 xg_mode, gs, fb is not None, off, cm,
                                  act, res is not None)
     else:
         kern = functools.partial(_byte_kernel, reps, nkj, eps,
-                                 xg is not None, fb is not None, off,
+                                 xg_mode, gs, fb is not None, off,
                                  act, res is not None)
     group_spec = pl.BlockSpec((bn, G), lambda i, j: (i, 0),
                               memory_space=pltpu.VMEM)
@@ -715,15 +737,20 @@ def _fast_core(x, planes, gs, nibble, n, interpret, cm="", off=0.0,
     G = K // gs
     bn, nkj = _pick_blocks(B, K, nibble or bool(cm), gs)
     x_blk = _interleave_x(x, G, gs, nibble or bool(cm), nkj, pre_il)
+    xg = None
     if fb is None and not off:
-        xg = None
+        mode = 0
+    elif nkj == 1 and G % 128 == 0:
+        mode = 2  # lane-aligned: group sums computed in-kernel
     elif pre_il:  # interleaved order: column r*G + g belongs to group g
+        mode = 1
         xg = jnp.sum(x.reshape(B, gs, G).astype(jnp.float32), axis=1)
     else:
+        mode = 1
         xg = jnp.sum(x.reshape(B, G, gs).astype(jnp.float32), axis=2)
     y = _fast_call(x_blk.astype(jnp.bfloat16), fq, fs, fb, xg,
                    nibble=nibble, G=G, nkj=nkj, bn=bn, interpret=interpret,
-                   cm=cm, off=off)
+                   cm=cm, off=off, xg_mode=mode)
     return y[:, :n]
 
 
@@ -817,10 +844,12 @@ def qmatmul_fast(x, qt: QTensor, out_dtype=jnp.float32, interpret=False,
 
 
 def _dual_kernel(nba: int, nbb: int, reps_a: int, reps_b: int, eps,
-                 xa_has: bool, fa_has: bool, off_a: float,
-                 xb_has: bool, fb_has: bool, off_b: float,
+                 xa_mode: int, gs_a: int, fa_has: bool, off_a: float,
+                 xb_mode: int, gs_b: int, fb_has: bool, off_b: float,
                  cm_a: str, cm_b: str,
                  nib_a: bool, nib_b: bool, *refs):
+    xa_has = xa_mode == 1
+    xb_has = xb_mode == 1
     (xa_ref, xb_ref, qa_ref, sa_ref, qb_ref, sb_ref, *rest) = refs
     o_ref = rest[-1]
     idx = 0
@@ -849,8 +878,11 @@ def _dual_kernel(nba: int, nbb: int, reps_a: int, reps_b: int, eps,
             x, inv = xa_ref[:], None
         y = (_nibble_y(cm_a, reps_a, x, qa_ref, sa_ref)
              if (nib_a or cm_a) else _byte_y(reps_a, x, qa_ref, sa_ref))
-        if xa_has:
-            bt = _bias_term(xga, fba if fba is not None else sa_ref, inv)
+        if xa_mode:
+            xg_a = _kernel_xg(
+                xa_mode, gs_a, x, xga)
+            bt = _bias_term(xg_a, fba if fba is not None else sa_ref,
+                            None if xa_mode == 2 else inv)
             y = y + (off_a * bt if fba is None else bt)
         o_ref[:] = y
 
@@ -862,8 +894,11 @@ def _dual_kernel(nba: int, nbb: int, reps_a: int, reps_b: int, eps,
             x, inv = xb_ref[:], None
         y = (_nibble_y(cm_b, reps_b, x, qb_ref, sb_ref)
              if (nib_b or cm_b) else _byte_y(reps_b, x, qb_ref, sb_ref))
-        if xb_has:
-            bt = _bias_term(xgb, fbb if fbb is not None else sb_ref, inv)
+        if xb_mode:
+            xg_b = _kernel_xg(
+                xb_mode, gs_b, x, xgb)
+            bt = _bias_term(xg_b, fbb if fbb is not None else sb_ref,
+                            None if xb_mode == 2 else inv)
             y = y + (off_b * bt if fbb is None else bt)
         o_ref[:] = y
 
@@ -880,10 +915,20 @@ def _dual_call(xa, xb, fqa, fsa, fqb, fsb, fba=None, xga=None, fbb=None,
     nba, nbb = na2 // bn, nb2 // bn
     reps_a = fqa.shape[1] // Ga
     reps_b = fqb.shape[1] // Gb
+    gs_a = K // Ga
+    gs_b = K // Gb
+    xa_mode = (0 if (xga is None and fba is None and not off_a)
+               else (2 if Ga % 128 == 0 else 1))
+    xb_mode = (0 if (xgb is None and fbb is None and not off_b)
+               else (2 if Gb % 128 == 0 else 1))
+    if xa_mode == 2:
+        xga = None
+    if xb_mode == 2:
+        xgb = None
     kern = functools.partial(
         _dual_kernel, nba, nbb, reps_a, reps_b, eps,
-        xga is not None, fba is not None, off_a,
-        xgb is not None, fbb is not None, off_b,
+        xa_mode, gs_a, fba is not None, off_a,
+        xb_mode, gs_b, fbb is not None, off_b,
         cm_a, cm_b, nib_a, nib_b)
 
     def ia(i):
@@ -996,7 +1041,8 @@ def qmatmul_fast_dual(x, qt_a: QTensor, qt_b: QTensor, wn_a_il=None,
         nib = _is_nibble(cfg) or bool(cfg.code_map)
         x_il = _interleave_x(x2, G, cfg.gs, nib, 1)
         xs.append(x_il.astype(jnp.bfloat16))
-        if not _needs_xg(cfg, qt.fb):
+        if not _needs_xg(cfg, qt.fb) or G % 128 == 0:
+            # aligned G: the kernel computes its own group sums (mode 2)
             xgs.append(None)
         elif eps is not None:
             wn = jnp.asarray(wn_a_il if qt is qt_a else wn_b_il, jnp.float32)
@@ -1071,20 +1117,26 @@ def qmatmul_fast_act(x, qt: QTensor, act: str, res=None,
     if Bp != B:
         x2 = jnp.pad(x2, ((0, Bp - B), (0, 0)))
     xg = None
+    mode = 0
     if _needs_xg(cfg, qt.fb):
-        # group sums of act(g)*u: recomputed OUTSIDE as one tiny fused XLA
-        # op (read 2K, write G) — in-kernel the period-G strided reduce
-        # would need misaligned lane slices for G % 128 != 0
-        xe = (_apply_act(act, x2[:, :K].astype(jnp.float32))
-              * x2[:, K:].astype(jnp.float32))
-        xg = jnp.sum(xe.reshape(Bp, gs, G), axis=1)
+        if G % 128 == 0:
+            mode = 2  # in-kernel group sums of the act product
+        else:
+            # misaligned G (e.g. 448 for K=14336): group sums of act(g)*u
+            # recomputed OUTSIDE as one tiny fused XLA op (read 2K,
+            # write G) — in-kernel the period-G strided reduce would
+            # need misaligned lane slices
+            mode = 1
+            xe = (_apply_act(act, x2[:, :K].astype(jnp.float32))
+                  * x2[:, K:].astype(jnp.float32))
+            xg = jnp.sum(xe.reshape(Bp, gs, G), axis=1)
     if res is not None:
         res = res.astype(jnp.float32).reshape(B, qt.n)
         res = jnp.pad(res, ((0, Bp - B), (0, qt.fq.shape[0] - qt.n)))
     y = _fast_call(x2.astype(jnp.bfloat16), qt.fq, qt.fs, qt.fb, xg, None,
                    res, nibble=nibble, G=G, nkj=1, bn=bn,
                    interpret=interpret, cm=cm, act=act,
-                   off=_offset_bias(cfg, qt.fb))
+                   off=_offset_bias(cfg, qt.fb), xg_mode=mode)
     return y[:B, :qt.n].reshape(*lead, qt.n).astype(out_dtype)
 
 
@@ -1110,14 +1162,20 @@ def qmatmul_fast_res(x, qt: QTensor, res, out_dtype=jnp.float32,
     if Bp != B:
         x2 = jnp.pad(x2, ((0, Bp - B), (0, 0)))
     x_il = _interleave_x(x2, G, gs, nibble or bool(cm), 1)
-    xg = (jnp.sum(x2.reshape(Bp, G, gs).astype(jnp.float32), axis=2)
-          if _needs_xg(cfg, qt.fb) else None)
+    xg = None
+    mode = 0
+    if _needs_xg(cfg, qt.fb):
+        if G % 128 == 0:
+            mode = 2
+        else:
+            mode = 1
+            xg = jnp.sum(x2.reshape(Bp, G, gs).astype(jnp.float32), axis=2)
     res = res.astype(jnp.float32).reshape(B, qt.n)
     res = jnp.pad(res, ((0, Bp - B), (0, qt.fq.shape[0] - qt.n)))
     y = _fast_call(x_il.astype(jnp.bfloat16), qt.fq, qt.fs, qt.fb, xg, None,
                    res, nibble=nibble, G=G, nkj=1, bn=bn,
                    interpret=interpret, cm=cm,
-                   off=_offset_bias(cfg, qt.fb))
+                   off=_offset_bias(cfg, qt.fb), xg_mode=mode)
     return y[:B, :qt.n].reshape(*lead, qt.n).astype(out_dtype)
 
 
@@ -1133,13 +1191,15 @@ def _indirect_call(ids, x_blk, fq, fs, fb=None, xg=None, *, nibble: bool,
     P = P8 // 8
     nb = npe // bn  # blocks per expert
     bcols = fq.shape[1]
+    xg_mode = 1 if xg is not None else 0
+    gs = K // G
     if nibble or cm:
         kern_inner = functools.partial(
             _nibble_kernel, (K // 2) // G,
-            1, None, xg is not None, fb is not None, off, cm, "", False)
+            1, None, xg_mode, gs, fb is not None, off, cm, "", False)
     else:
         kern_inner = functools.partial(
-            _byte_kernel, K // G, 1, None, xg is not None, fb is not None,
+            _byte_kernel, K // G, 1, None, xg_mode, gs, fb is not None,
             off, "", False)
 
     def kern(ids_ref, *refs):
@@ -1285,14 +1345,19 @@ def qmatmul_fast_normed(x, qt: QTensor, wn_il, eps: float,
     x_il = _interleave_x(x2, G, gs, nibble or bool(cm), 1)
     wn = jnp.asarray(wn_il, jnp.float32)
     xg = None
+    mode = 0
     if _needs_xg(cfg, qt.fb):
-        # pre-norm group sums of x*wn; the kernel rescales by its rsqrt.
-        # In the interleaved order, column r*G + g belongs to group g, so
-        # the sums come straight off the interleaved product — no
-        # un-interleave op in the graph.
-        xg = jnp.sum((x_il.astype(jnp.float32) * wn).reshape(Bp, gs, G),
-                     axis=1)
+        if G % 128 == 0:
+            mode = 2  # in-kernel group sums of the POST-norm activation
+        else:
+            # pre-norm group sums of x*wn; the kernel rescales by rsqrt.
+            # In the interleaved order, column r*G + g belongs to group
+            # g, so the sums come straight off the interleaved product.
+            mode = 1
+            xg = jnp.sum(
+                (x_il.astype(jnp.float32) * wn).reshape(Bp, gs, G), axis=1)
     y = _fast_call(x_il.astype(jnp.bfloat16), qt.fq, qt.fs, qt.fb, xg, wn,
                    nibble=nibble, G=G, nkj=1, bn=bn, eps=float(eps),
-                   interpret=interpret, cm=cm, off=_offset_bias(cfg, qt.fb))
+                   interpret=interpret, cm=cm, off=_offset_bias(cfg, qt.fb),
+                   xg_mode=mode)
     return y[:B, :qt.n].reshape(*lead, qt.n).astype(out_dtype)
