@@ -211,16 +211,28 @@ def main():
     kv, tok, pos = decode_step(weights, kv, tok, pos)
     sync(tok)
     N_DEC = 128
+    # physical ceiling: streaming the weights once per token at the
+    # measured 1.02 TB/s DMA floor.  Faster "measurements" mean the
+    # tunnel's data fetch returned before execution (observed when a
+    # second process shares the tunnel) — retry, never report them.
+    ceiling = N_DEC * nbytes / 1.02e12
     best = 0.0
-    for trial in range(3):
+    for trial in range(6):
         t0 = time.perf_counter()
         for _ in range(N_DEC):
             kv, tok, pos = decode_step(weights, kv, tok, pos)
         sync(tok)
         dt = max(time.perf_counter() - t0 - rtt, 1e-9)
+        if dt < 0.8 * ceiling:
+            log(f"trial {trial}: INVALID ({N_DEC/dt:.1f} t/s exceeds the "
+                f"DMA-floor ceiling — tunnel sync anomaly), retrying")
+            time.sleep(30)
+            continue
         tps = N_DEC / dt
         log(f"trial {trial}: tg128 {tps:.2f} t/s")
         best = max(best, tps)
+        if trial >= 2 and best > 0:
+            break
 
     baseline = 132.19  # reference tg128 LLaMA-7B Q4_0, CUDA GPU
     print(json.dumps({
