@@ -197,14 +197,35 @@ def main():
     kv, tok, pos = prefill_step(weights, kv, prompt, jnp.int32(0))
     sync(tok)
     best_pp = 0.0
-    for trial in range(3):
+    ttft_512 = []
+    for trial in range(5):
         kv2 = init_kv_cache(cfg, 1, S_MAX)  # fresh (kv was donated)
         t0 = time.perf_counter()
         kv, tok, pos = prefill_step(weights, kv2, prompt, jnp.int32(0))
         sync(tok)
         t_pp = max(time.perf_counter() - t0 - rtt, 1e-9)
+        ttft_512.append(t_pp)
         best_pp = max(best_pp, 512 / t_pp)
     log(f"pp512: {best_pp:.1f} t/s")
+
+    # p50 TTFT (BASELINE.json metric: tokens/sec/chip + p50 TTFT): time
+    # to first token = prefill latency of the prompt bucket; measured for
+    # a short and the headline prompt length
+    ttft_128 = []
+    prompt128 = jnp.asarray(
+        rng.integers(0, cfg.n_vocab, (1, 128)).astype(np.int32))
+    kv2 = init_kv_cache(cfg, 1, S_MAX)
+    kv2, tok128, _ = prefill_step(weights, kv2, prompt128, jnp.int32(0))
+    sync(tok128)  # compile
+    for trial in range(5):
+        kv2 = init_kv_cache(cfg, 1, S_MAX)
+        t0 = time.perf_counter()
+        kv2, tok128, _ = prefill_step(weights, kv2, prompt128, jnp.int32(0))
+        sync(tok128)
+        ttft_128.append(max(time.perf_counter() - t0 - rtt, 1e-9))
+    del kv2
+    p50 = lambda xs: float(np.median(xs) * 1e3)
+    log(f"ttft p50: pp128 {p50(ttft_128):.1f} ms, pp512 {p50(ttft_512):.1f} ms")
 
     # decode tg128: async chain of dispatches, one data fetch at the end
     log("compiling decode...")
@@ -240,6 +261,9 @@ def main():
         "value": round(best, 2),
         "unit": "tokens/s",
         "vs_baseline": round(best / baseline, 4),
+        "pp512_tps": round(best_pp, 1),
+        "ttft_p50_ms_pp128": round(p50(ttft_128), 1),
+        "ttft_p50_ms_pp512": round(p50(ttft_512), 1),
     }))
     log(f"total bench time {time.time()-t_start:.0f}s (pp512 {best_pp:.1f} t/s)")
 

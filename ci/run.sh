@@ -13,6 +13,10 @@ cd "$(dirname "$0")/.."
 export JAX_PLATFORMS=cpu
 export XLA_FLAGS="${XLA_FLAGS:-} --xla_force_host_platform_device_count=8"
 
+echo "== [0/4] native library build =="
+# the .so is never committed (gitignored); CI builds it from source
+python -m ggml_hexagon_tpu.native.build
+
 echo "== [1/4] test suite =="
 python -m pytest tests/ -q
 

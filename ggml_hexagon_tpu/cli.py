@@ -581,8 +581,9 @@ def cmd_finetune(args):
         from .quant.formats import GGMLType
 
         qt = getattr(GGMLType, args.out_type) if args.out_type else None
-        md = {k: v for k, v in GGUFReader.open(args.model).metadata.items()
-              if k.startswith("tokenizer.")}
+        with GGUFReader.open(args.model) as r:
+            md = {k: v for k, v in r.metadata.items()
+                  if k.startswith("tokenizer.")}
         tr.export_gguf(args.output, qtype=qt, metadata=md)
     else:
         tr.export_adapter(args.output)

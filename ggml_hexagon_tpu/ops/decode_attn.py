@@ -94,10 +94,11 @@ def _kernel(Hq: int, Hkv: int, D: int, S: int, chunk: int, scale: float,
         k = qkv[0, Hq * D : (Hq + Hkv) * D].reshape(Hkv, D)
         v = qkv[0, (Hq + Hkv) * D :].reshape(Hkv, D)
         if rope:
-            # cos/sin arrive precomputed (XLA computes them ONCE per step
-            # — they're identical across the 32 layers; in-kernel
-            # transcendentals cost ~5us/launch, attn_lab r3); the YaRN
-            # mscale is folded in by the caller
+            # cos/sin arrive as a kernel INPUT, hoisted to XLA (in-kernel
+            # transcendentals cost ~5us/launch, attn_lab r3).  Callers
+            # pass inv_freq and the wrapper derives the rows per call;
+            # under jit XLA CSEs the identical per-layer computations.
+            # The YaRN mscale is folded in before the kernel.
             cs = cs_ref[0]  # [1, n_dims]
             cos = cs[:, : n_dims // 2]
             sin = cs[:, n_dims // 2 :]
@@ -249,9 +250,10 @@ def fused_decode_attention(qkv, k_cache, v_cache, pos, inv_freq, *,
     k_cache/v_cache [B, S, Hkv*D] flat caches holding slots < pos (the
     fresh row is NOT read — write it after this call); pos scalar or [B];
     inv_freq [n_dims/2] f32 (None -> caller already roped q/k);
-    cos_sin [B, n_dims] f32 precomputed mscale-folded cos++sin rows
-    (models/llama.forward computes them ONCE per step — identical across
-    layers; when None they're derived here from inv_freq per call);
+    cos_sin [B, n_dims] f32 cos++sin rows, mscale-folded — MAY be passed
+    precomputed; when None (all current callers) they are derived here
+    from inv_freq per layer call, and XLA CSEs the identical per-layer
+    computations under jit;
     k_scale/v_scale [B, S] f32 per-row scales when the cache is
     int8-quantized (dequantized in-kernel by scaling scores /
     probabilities — the bf16 cache never exists in HBM).

@@ -570,7 +570,12 @@ def _pick_blocks(B: int, K: int, nibble: bool, gs: int):
     per_col = 12 if nibble else 8
     skip_fullk = _os.environ.get("GHT_QMM_NO_PREFILL_FULLK") == "1"
     for bn in () if skip_fullk else (2048, 1024, 512):
-        nsl = _n_slices(cols_full, G, bn, per_col)
+        # mirror the kernels' actual slicing: _byte_y only slices when
+        # cols > 8192, so byte formats at K <= 8192 materialize the FULL
+        # cast/scale intermediates — budget them unsliced or the block is
+        # accepted on a ~4x-understated scratch estimate (Mosaic spill)
+        nsl = (_n_slices(cols_full, G, bn, per_col)
+               if (nibble or cols_full > 8192) else 1)
         csl = cols_full // nsl
         if csl % G:
             continue

@@ -238,6 +238,16 @@ class FullTrainer:
             w.add_tensor(name, a, t)
 
         p = self.params
+        # every trained parameter must be exportable — silently dropping a
+        # trained tensor (attention biases, q/k norms, non-llama extras)
+        # would write a model that does not match the one trained
+        extra = {k for lw in p["layers"] for k in lw
+                 if k not in _EXPORT_NAMES}
+        if extra:
+            raise ValueError(
+                f"trained layer tensors without an export mapping: "
+                f"{sorted(extra)}; extend _EXPORT_NAMES or export an "
+                f"adapter instead")
         emit(p["tok_embd"], "token_embd.weight")
         emit(p["output_norm"], "output_norm.weight")
         emit(p["output"], "output.weight")
