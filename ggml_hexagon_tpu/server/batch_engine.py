@@ -71,6 +71,15 @@ class Slot:
         self.finish_reason = ""
         self.n_decoded = 0
 
+    def release(self):
+        """Finish the request but RETAIN the cache bookkeeping (settled
+        tokens + n_past) so the next request on this slot can reuse the
+        longest common token prefix without re-prefilling (the reference's
+        slot.cache_tokens surviving across requests, server.cpp:2883)."""
+        settled, n_past = self.settled, self.n_past
+        self.reset()
+        self.settled, self.n_past = settled, n_past
+
 
 class DraftModel:
     """Per-slot draft state for server-side speculative decoding — the
@@ -144,9 +153,16 @@ class BatchEngine:
         self.pending: queue.Queue = queue.Queue()
         self.metrics = {
             "n_requests": 0, "n_tokens_generated": 0, "n_prompt_tokens": 0,
+            "n_prompt_tokens_cached": 0,
             "t_decode": 0.0, "t_prompt": 0.0,
             "n_draft_proposed": 0, "n_draft_accepted": 0, "n_ctx_shifts": 0,
+            "n_draft_rounds_decoupled": 0,
         }
+        # per-request time-to-first-token samples (seconds, last 512) for
+        # the /metrics p50 line (BASELINE metric: decode t/s + p50 TTFT)
+        from collections import deque
+
+        self.ttft_samples = deque(maxlen=512)
 
     @classmethod
     def from_gguf(cls, path: str, **kw) -> "BatchEngine":
@@ -170,23 +186,51 @@ class BatchEngine:
     def submit(self, prompt_ids: list[int], n_predict: int = 64,
                sampler: Optional[SamplerChain] = None,
                stop_ids: Optional[set] = None,
-               stop_strings: Optional[list] = None) -> queue.Queue:
+               stop_strings: Optional[list] = None,
+               cache_prompt: bool = True) -> queue.Queue:
         """Enqueue a request; returns a queue yielding (token|None, finish_reason)."""
         q: queue.Queue = queue.Queue()
         req = dict(prompt=list(prompt_ids), n_predict=n_predict,
                    sampler=sampler or greedy_chain(),
                    stop_ids=stop_ids if stop_ids is not None
                    else ({self.vocab.eos_id} if self.vocab else set()),
-                   stop_strings=stop_strings or [], out=q)
+                   stop_strings=stop_strings or [], out=q,
+                   cache_prompt=cache_prompt)
         self.pending.put(req)
         self.metrics["n_requests"] += 1
         return q
 
+    # -- cached-prompt prefix reuse (server.cpp:2883,3042-3164 analog) -------
+
+    @staticmethod
+    def _lcp(a: list, b: list) -> int:
+        n = min(len(a), len(b))
+        i = 0
+        while i < n and a[i] == b[i]:
+            i += 1
+        return i
+
+    def _reusable(self, slot: Slot, req: dict) -> int:
+        """Tokens of the request's prompt already resident in the slot's
+        KV rows: the longest common prefix with the slot's settled tokens,
+        capped so at least one prompt token is always evaluated (logits
+        for sampling come from the last prompt position — the reference
+        keeps n_past < n_prompt the same way, server.cpp:3074)."""
+        if not req.get("cache_prompt", True):
+            return 0
+        prompt = req["prompt"]
+        resident = slot.settled[: slot.n_past]
+        return max(0, min(self._lcp(resident, prompt),
+                          len(prompt) - 1, slot.n_past))
+
     def _launch(self, slot: Slot, req: dict):
+        reuse = self._reusable(slot, req)
         slot.reset()
         slot.state = SlotState.PROMPT
         slot.prompt = req["prompt"]
         slot.settled = list(req["prompt"])
+        slot.n_past = reuse          # KV rows [0, reuse) stay live
+        slot.n_prompt_done = reuse   # prefill only the tail
         slot.n_predict = req["n_predict"]
         slot.sampler = req["sampler"]
         slot.stop_ids = req["stop_ids"]
@@ -194,8 +238,12 @@ class BatchEngine:
         slot.out_queue = req["out"]
         slot.t_start = time.perf_counter()
         self.metrics["n_prompt_tokens"] += len(slot.prompt)
+        self.metrics["n_prompt_tokens_cached"] += reuse
         if self.draft is not None:
-            self.draft.reset_slot(slot.id)
+            # the draft's rows were fed the same settled tokens at the same
+            # positions — its prefix up to `reuse` stays valid too
+            self.draft.n_past[slot.id] = min(
+                int(self.draft.n_past[slot.id]), reuse)
 
     # -- scheduler tick (update_slots analog) --------------------------------
 
@@ -206,14 +254,19 @@ class BatchEngine:
 
     def step(self):
         """One scheduler tick.  Returns True if any work was done."""
-        # assign pending requests to idle slots
-        for s in self.slots:
-            if s.state == SlotState.IDLE:
-                try:
-                    req = self.pending.get_nowait()
-                except queue.Empty:
-                    break
-                self._launch(s, req)
+        # assign pending requests to idle slots, each to the idle slot
+        # whose resident tokens share the longest prefix with its prompt
+        # (the reference's similarity-based slot selection, server.cpp
+        # get_available_slot)
+        idle = [s for s in self.slots if s.state == SlotState.IDLE]
+        while idle:
+            try:
+                req = self.pending.get_nowait()
+            except queue.Empty:
+                break
+            best = max(idle, key=lambda s: self._reusable(s, req))
+            idle.remove(best)
+            self._launch(best, req)
 
         prompt_slots = [s for s in self.slots if s.state == SlotState.PROMPT]
         if prompt_slots:
@@ -270,6 +323,7 @@ class BatchEngine:
             tok = s.sampler.sample(s.pending_logits)
             if s.t_first_token == 0.0:
                 s.t_first_token = time.perf_counter() - s.t_start
+                self.ttft_samples.append(s.t_first_token)
             finished = self._emit(s, tok)
             if not finished:
                 to_decode.append((s, tok))
@@ -295,6 +349,13 @@ class BatchEngine:
         self.metrics["t_decode"] += time.perf_counter() - t0
 
     # -- speculative decoding (per-slot draft, server.cpp:3269+ analog) ------
+
+    @staticmethod
+    def _spec_continue(n_alive: int, n_started: int) -> bool:
+        """Draft-round continuation policy: keep batch-drafting while at
+        least half the round's participants still want tokens.  A
+        minority of long-drafting slots must not hold the whole tick."""
+        return 2 * n_alive >= n_started
 
     def _spec_decode(self, to_decode):
         """One speculative round for every decoding slot: the draft
@@ -330,6 +391,7 @@ class BatchEngine:
         #    early stop when the draft's confidence drops below p_min
         proposals = {s.id: [] for s, _ in to_decode}
         alive = {s.id for s, _ in to_decode}
+        n_started = len(alive)
         # seed: the draft's next-token distribution after [..settled, cur]
         tokens = np.zeros((B, 1), np.int32)
         pos = np.full(B, d.max_seq - 1, np.int32)
@@ -357,6 +419,17 @@ class BatchEngine:
                 tokens[s.id, 0] = top
                 pos[s.id] = int(d.n_past[s.id]) + d_written[s.id]
             if not alive or step == k - 1:
+                break
+            if not self._spec_continue(len(alive), n_started):
+                # decoupling: each batched draft step costs a full [B, 1]
+                # draft forward for EVERY slot; once most slots have
+                # stopped (confidence early-out), the marginal value of
+                # further steps accrues to a minority while the whole
+                # batch pays — stop the round instead of letting the
+                # longest-drafting slot hold the tick (round-3 weak #4;
+                # reference analog: common_speculative per-slot budgets,
+                # common/speculative.cpp:137-278)
+                self.metrics["n_draft_rounds_decoupled"] += 1
                 break
             dl, d.kv = d._fwd(d.weights, jnp.asarray(tokens), d.kv,
                               jnp.asarray(pos))
@@ -466,7 +539,7 @@ class BatchEngine:
     def _finish(self, s: Slot, reason: str) -> bool:
         s.finish_reason = reason
         s.out_queue.put((None, reason))
-        s.reset()
+        s.release()  # keep settled/n_past: the rows stay reusable
         return True
 
     # -- slot state save/restore (server slot_save API analog) ---------------
@@ -508,6 +581,8 @@ class BatchEngine:
         s.n_past = int(z["n_past"])
         s.prompt = z["prompt"].astype(int).tolist()
         s.n_prompt_done = len(s.prompt)
+        # restored rows are reusable by the next request on this slot
+        s.settled = list(s.prompt[: s.n_past])
 
     # -- blocking convenience ------------------------------------------------
 

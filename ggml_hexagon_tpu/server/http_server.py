@@ -222,7 +222,9 @@ class InferenceServer:
         if isinstance(stop_strings, str):
             stop_strings = [stop_strings]
         q = self.engine.submit(
-            ids, n_predict=n_predict, sampler=sampler, stop_strings=stop_strings
+            ids, n_predict=n_predict, sampler=sampler,
+            stop_strings=stop_strings,
+            cache_prompt=bool(body.get("cache_prompt", True)),
         )
         t0 = time.perf_counter()
         n = 0
@@ -393,10 +395,14 @@ class InferenceServer:
         if self.engine is None:
             return f"ghtpu_uptime_seconds {time.time() - self.t_start:.0f}\n"
         m = self.engine.metrics
+        ttft = sorted(self.engine.ttft_samples)
+        p50 = ttft[len(ttft) // 2] * 1e3 if ttft else 0.0
         lines = [
             f"ghtpu_requests_total {m['n_requests']}",
             f"ghtpu_tokens_generated_total {m['n_tokens_generated']}",
             f"ghtpu_prompt_tokens_total {m['n_prompt_tokens']}",
+            f"ghtpu_prompt_tokens_cached_total {m['n_prompt_tokens_cached']}",
+            f"ghtpu_ttft_p50_ms {p50:.1f}",
             f"ghtpu_decode_seconds_total {m['t_decode']:.3f}",
             f"ghtpu_prompt_seconds_total {m['t_prompt']:.3f}",
             f"ghtpu_uptime_seconds {time.time() - self.t_start:.0f}",

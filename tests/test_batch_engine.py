@@ -221,3 +221,128 @@ def test_ctx_shift_slot_survives_window(model):
         out.append(tok)
     assert len(out) == 70 and fin == "length"
     assert be.metrics["n_ctx_shifts"] >= 1
+
+
+def test_prompt_cache_multiturn_reuse(model):
+    """Cached-prompt prefix reuse (server.cpp:2883,3042-3164): a second
+    turn whose prompt extends the slot's resident tokens prefills ONLY the
+    tail — and still produces exactly the baseline tokens."""
+    be = BatchEngine.from_gguf(model, n_slots=1, max_seq=256,
+                               kv_dtype=jnp.float32,
+                               compute_dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    p1 = rng.integers(3, 299, size=150).tolist()  # > PROMPT_CHUNK
+    out1 = be.complete(p1, n_predict=6, stop_ids=set())
+    assert be.metrics["n_prompt_tokens_cached"] == 0
+    # multi-turn: user appends to the conversation (prompt extends the
+    # resident tokens: p1 + generated + new user tokens)
+    p2 = p1 + out1 + rng.integers(3, 299, size=5).tolist()
+    ticks = 0
+    orig = be._prompt_tick
+
+    def counting(slots):
+        nonlocal ticks
+        ticks += 1
+        return orig(slots)
+
+    be._prompt_tick = counting
+    out2 = be.complete(p2, n_predict=6, stop_ids=set())
+    # resident rows cover p1 + out1[:-1] (the last sampled token's row is
+    # written by the first decode forward of turn 2's... it was never
+    # forwarded) -> reuse >= len(p1), so the >150-token prompt fits ONE
+    # prompt tick instead of two
+    assert be.metrics["n_prompt_tokens_cached"] >= len(p1)
+    assert ticks == 1
+    # and the output is exactly what a fresh engine computes for p2
+    eng = Engine.from_gguf(model, max_seq=256, compute_dtype=jnp.float32,
+                           kv_dtype=jnp.float32)
+    want = list(eng.generate(p2, n_predict=6, sampler=greedy_chain(),
+                             stop_ids=set()))
+    assert out2 == want
+
+
+def test_prompt_cache_opt_out_and_divergent_prefix(model):
+    """cache_prompt=False never reuses; a divergent second prompt reuses
+    only the common prefix and still matches the baseline."""
+    be = BatchEngine.from_gguf(model, n_slots=1, max_seq=128,
+                               kv_dtype=jnp.float32,
+                               compute_dtype=jnp.float32)
+    p1 = [1, 10, 20, 30, 40, 50]
+    be.complete(p1, n_predict=4, stop_ids=set())
+    q = be.submit(p1, n_predict=4, stop_ids=set(), cache_prompt=False)
+    be.run_until_idle()
+    assert be.metrics["n_prompt_tokens_cached"] == 0
+    out = []
+    while True:
+        tok, _ = q.get_nowait()
+        if tok is None:
+            break
+        out.append(tok)
+    assert out == baseline(model, p1, 4)
+    # divergent turn: shares only the first 3 tokens
+    p3 = [1, 10, 20, 99, 98]
+    out3 = be.complete(p3, n_predict=4, stop_ids=set())
+    assert be.metrics["n_prompt_tokens_cached"] == 3
+    assert out3 == baseline(model, p3, 4)
+
+
+def test_prompt_cache_slot_affinity(model):
+    """With several idle slots, a request lands on the slot with the
+    longest matching resident prefix (the reference's similarity-based
+    slot selection)."""
+    be = BatchEngine.from_gguf(model, n_slots=2, max_seq=128,
+                               kv_dtype=jnp.float32,
+                               compute_dtype=jnp.float32)
+    pa = [1, 10, 20, 30, 40]
+    pb = [1, 50, 60, 70, 80]
+    qa = be.submit(pa, n_predict=3, stop_ids=set())
+    qb = be.submit(pb, n_predict=3, stop_ids=set())
+    be.run_until_idle()
+    for q in (qa, qb):
+        while q.get_nowait()[0] is not None:
+            pass
+    cached0 = be.metrics["n_prompt_tokens_cached"]
+    # resubmit pb: must hit the slot that served pb, whichever that was
+    out = be.complete(pb, n_predict=3, stop_ids=set())
+    assert be.metrics["n_prompt_tokens_cached"] - cached0 == len(pb) - 1
+    assert out == baseline(model, pb, 3)
+
+
+def test_spec_draft_decoupling_policy():
+    """The batched draft round stops once a minority of slots remain
+    drafting (round-3 weak #4: one long-drafting slot must not hold the
+    tick for the whole batch)."""
+    assert BatchEngine._spec_continue(4, 4)
+    assert BatchEngine._spec_continue(2, 4)
+    assert not BatchEngine._spec_continue(1, 4)
+    assert not BatchEngine._spec_continue(3, 8)
+    assert BatchEngine._spec_continue(1, 1)  # single slot always drafts
+
+
+def test_spec_decoupled_still_matches_baseline(model):
+    """4 heterogeneous slots with a real p_min cutoff: the decoupled
+    draft loop preserves the per-slot correctness invariant."""
+    from ggml_hexagon_tpu.gguf.reader import GGUFReader
+    from ggml_hexagon_tpu.models.llama import load_llama_weights
+    from ggml_hexagon_tpu.server.batch_engine import DraftModel
+
+    with GGUFReader.open(model) as r:
+        dcfg, dweights = load_llama_weights(r, dtype=jnp.float32)
+    draft = DraftModel(dcfg, dweights, n_slots=4, max_seq=128,
+                       compute_dtype=jnp.float32, kv_dtype=jnp.float32)
+    be = BatchEngine.from_gguf(model, n_slots=4, max_seq=128,
+                               kv_dtype=jnp.float32,
+                               compute_dtype=jnp.float32,
+                               draft=draft, n_draft=6, draft_p_min=0.02)
+    rng = np.random.default_rng(9)
+    prompts = [rng.integers(3, 299, size=n).tolist() for n in (4, 7, 5, 9)]
+    queues = [be.submit(p, n_predict=8, stop_ids=set()) for p in prompts]
+    be.run_until_idle()
+    for p, q in zip(prompts, queues):
+        out = []
+        while True:
+            tok, fin = q.get_nowait()
+            if tok is None:
+                break
+            out.append(tok)
+        assert out == baseline(model, p, 8)
