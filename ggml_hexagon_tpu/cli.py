@@ -202,7 +202,7 @@ def cmd_eval_callback(args):
     ids = build_tokenizer(vocab).encode(args.prompt)
     taps = []
 
-    def tap(name, x):
+    def tap(name, x, **_kw):
         taps.append((name, x))
 
     kv = init_kv_cache(cfg, 1, max(len(ids), 8))

@@ -683,13 +683,19 @@ def _moe_ffn(cfg, lw, f, compute_dtype, tap=None, il=0,
         up_e = qtensor_rows(lw["ffn_up_exps"], e * n_ff, n_ff)
         down_e = qtensor_rows(lw["ffn_down_exps"], e * d, d)
         if tap is not None:
-            tap(f"blk.{il}.ffn_gate_exps.weight", f)
-            tap(f"blk.{il}.ffn_up_exps.weight", f)
+            # per-expert imatrix accumulation (imatrix.cpp:104-169): each
+            # expert's Σx² sums only the tokens ROUTED to it — sel is the
+            # routed indicator derived from the gating weights (the
+            # reference reads the ids tensor of MUL_MAT_ID)
+            sel_e = w_tok[..., e] > 0
+            tap(f"blk.{il}.ffn_gate_exps.weight", f, expert=(e, E, sel_e))
+            tap(f"blk.{il}.ffn_up_exps.weight", f, expert=(e, E, sel_e))
         g = _act(cfg, matmul(f, gate_e).astype(compute_dtype))
         u = matmul(f, up_e).astype(compute_dtype)
         gu = g * u
         if tap is not None:
-            tap(f"blk.{il}.ffn_down_exps.weight", gu)
+            tap(f"blk.{il}.ffn_down_exps.weight", gu,
+                expert=(e, E, sel_e))
         dly = matmul(gu, down_e).astype(jnp.float32)
         out = out + dly * w_tok[..., e : e + 1]
     out = out + _shared_expert_out(cfg, lw, f, compute_dtype)

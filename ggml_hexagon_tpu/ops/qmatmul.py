@@ -33,6 +33,83 @@ from ..quant.pack import QCONFIGS, QConfig, QTensor
 
 
 # ---------------------------------------------------------------------------
+# q8 activation quantization (opt-in parity mode, GHT_Q8_ACT=1)
+#
+# The reference never contracts quantized weights against f32 activations:
+# ggml-cpu quantizes each activation row on the fly to the weight type's
+# vec_dot_type (Q8_0 / Q8_1 / Q8_K, type_traits_cpu table,
+# ggml-cpu/ggml-cpu.c:259-418) and runs an integer dot
+# (vec_dot_q4_K_q8_K etc., ggml-cpu/ggml-cpu-quants.c).  Our default
+# contract is EXACT f32 — numerically better, but it leaves a small PPL
+# delta vs the reference's published numbers.  This mode reproduces the
+# reference's activation rounding (quantize_row_q8_{0,K}_ref semantics,
+# ggml-quants.c:194-244,2479-2516) so parity runs collapse to
+# reduction-order noise; the integer dot itself is emulated by contracting
+# the DEQUANTIZED q8 rows in f32 (products of small ints scaled by the
+# block scale — bit-comparable, the dot order differs by reassociation
+# only).
+# ---------------------------------------------------------------------------
+
+def q8_act_kind(cfg: QConfig) -> str:
+    """Weight type -> activation quant format (the vec_dot_type column of
+    type_traits_cpu, ggml-cpu/ggml-cpu.c:259-418)."""
+    if cfg.lut:
+        return "q8_0"  # IQ4_NL (:391)
+    if cfg.superblock or cfg.code_map or cfg.gs >= 256:
+        return "q8_K"  # K-quants, i-quants, ternary (:318-418)
+    if cfg.asym == "min":
+        return "q8_1"  # Q4_1 / Q5_1 (:281,297)
+    return "q8_0"      # Q4_0 / Q5_0 / Q8_0 (:271,291,303)
+
+
+def _roundf_away(v):
+    """C roundf: round half away from zero."""
+    return jnp.sign(v) * jnp.floor(jnp.abs(v) + 0.5)
+
+
+def quantize_act_ref(x, kind: str):
+    """Quantize-dequantize activation rows exactly as the reference's
+    on-the-fly activation quantizers do; returns f32 of x's shape.
+
+    q8_0/q8_1 (ggml-quants.c:194-244): per-32 block, d = fp16(amax/127),
+    q = roundf(x * 127/amax); dequant scale is the fp16-rounded d.
+    q8_K (ggml-quants.c:2479-2516): per-256 block, iscale = -127/max
+    (max = the SIGNED value of largest magnitude), q = min(127,
+    nearest_int(iscale*x)) with nearest_int = round-half-to-even,
+    d = 1/iscale."""
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    xf = x.astype(jnp.float32)
+    if kind in ("q8_0", "q8_1"):
+        QK = 32
+        assert K % QK == 0, f"row {K} not divisible by {QK}"
+        xb = xf.reshape(*lead, K // QK, QK)
+        amax = jnp.max(jnp.abs(xb), axis=-1, keepdims=True)
+        d = (amax / 127.0).astype(jnp.float16).astype(jnp.float32)
+        iscale = jnp.where(amax > 0, 127.0 / amax, 0.0)
+        q = _roundf_away(xb * iscale)
+        return (q * d).reshape(*lead, K)
+    assert kind == "q8_K", kind
+    QK = 256
+    assert K % QK == 0, f"row {K} not divisible by {QK}"
+    xb = xf.reshape(*lead, K // QK, QK)
+    ab = jnp.abs(xb)
+    amax = jnp.max(ab, axis=-1, keepdims=True)
+    idx = jnp.argmax(ab, axis=-1)[..., None]
+    smax = jnp.take_along_axis(xb, idx, axis=-1)  # signed extreme
+    iscale = jnp.where(amax > 0, -127.0 / smax, 0.0)
+    q = jnp.minimum(127.0, jnp.rint(xb * iscale))
+    d = jnp.where(amax > 0, 1.0 / iscale, 0.0)
+    return (q * d).reshape(*lead, K)
+
+
+def _q8_act_enabled() -> bool:
+    import os
+
+    return os.environ.get("GHT_Q8_ACT", "") not in ("", "0")
+
+
+# ---------------------------------------------------------------------------
 # shared dequant expression (jnp; identical math for XLA + oracle paths)
 # ---------------------------------------------------------------------------
 
@@ -90,6 +167,9 @@ def dequantize_jax(qt: QTensor, dtype=jnp.float32):
 def qmatmul_xla(x, qt: QTensor, out_dtype=jnp.float32, compute_dtype=jnp.bfloat16):
     """y = x @ dequant(qt).T, dequant fused into the dot by XLA."""
     assert x.shape[-1] == qt.k, f"x K={x.shape[-1]} vs weight K={qt.k}"
+    if _q8_act_enabled():  # parity mode: reference activation rounding
+        x = quantize_act_ref(x, q8_act_kind(qt.cfg))
+        compute_dtype = jnp.float32
     w = dequantize_jax(qt, compute_dtype) if qt.q is None else \
         _dequant_expr(qt, compute_dtype)
     y = jax.lax.dot_general(

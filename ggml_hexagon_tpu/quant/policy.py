@@ -155,9 +155,23 @@ def quantize_model(
             ttype = GGMLType.F16  # row not blockable (llama-quant fallback)
         qw = None
         if imatrix is not None and name in imatrix and ttype in ref_numpy.QUANTIZE_IMATRIX:
-            qw = np.tile(
-                np.asarray(imatrix[name], np.float32), data.size // data.shape[-1]
-            )
+            im = np.asarray(imatrix[name], np.float32)
+            C = data.shape[-1]
+            if im.size == C:
+                qw = np.tile(im, data.size // C)
+            elif im.size % C == 0 and data.size % im.size == 0:
+                # per-expert slices, expert-major [E*C] (imatrix.cpp MUL_MAT_ID
+                # entries; quantize applies slice e to expert e's rows —
+                # llama-quant.cpp "quantize each expert separately")
+                E = im.size // C
+                rows_pe = data.size // im.size
+                qw = np.concatenate(
+                    [np.tile(im[e * C:(e + 1) * C], rows_pe)
+                     for e in range(E)])
+            else:
+                raise ValueError(
+                    f"imatrix size {im.size} incompatible with tensor "
+                    f"{name} ({data.size} elements, row {C})")
         from .. import native
 
         packed = native.quantize_native(data.reshape(-1), int(ttype), quant_weights=qw)

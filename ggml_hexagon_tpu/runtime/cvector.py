@@ -30,7 +30,7 @@ def collect_layer_states(cfg, weights, token_lists, compute_dtype=None):
         ids = np.asarray(ids, np.int32)
         states = {}
 
-        def tap(name, x):
+        def tap(name, x, **_kw):
             if name.endswith(".l_out"):
                 states[int(name.split(".")[1])] = x
 

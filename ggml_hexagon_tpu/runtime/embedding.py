@@ -29,7 +29,7 @@ def extract_embeddings(cfg, weights, token_lists, pooling: str = "mean",
                            if compute_dtype != "q8_0" else compute_dtype)
         states = {}
 
-        def tap(name, x):
+        def tap(name, x, **_kw):
             if name == "output.weight":
                 states["h"] = x
 

@@ -121,13 +121,18 @@ def kl_divergence(
 
 
 class IMatrixCollector:
-    """Accumulates per-column Σx² for each quantized matmul input."""
+    """Accumulates per-column Σx² for each quantized matmul input.
+
+    Expert (MUL_MAT_ID) tensors accumulate PER-EXPERT slices: entry shape
+    [E, C] with per-expert routed-token counts, stored expert-major
+    [E*C] — the reference's format (imatrix.cpp:104-169: e.values of size
+    ne[0]*n_as, counts incremented only for routed tokens)."""
 
     def __init__(self, cfg, weights, compute_dtype=jnp.bfloat16):
         self.cfg = cfg
         self.weights = weights
         self.sums: dict[str, np.ndarray] = {}
-        self.counts: dict[str, int] = {}
+        self.counts: dict = {}  # name -> int (dense) | np.ndarray [E] (MoE)
         self.compute_dtype = compute_dtype
         self._fwd = None
 
@@ -136,16 +141,29 @@ class IMatrixCollector:
 
         def run(weights, tokens, kv):
             taps = {}
+            ecnt = {}  # expert entries: per-expert routed-token counts
 
-            def tap(name, x):
+            def tap(name, x, expert=None):
                 if name.endswith(".l_out"):  # layer states are for cvector, not imatrix
                     return
-                x2 = (x.astype(jnp.float32) ** 2).reshape(-1, x.shape[-1]).sum(axis=0)
-                taps[name] = taps.get(name, 0) + x2
+                xf = x.astype(jnp.float32)
+                C = x.shape[-1]
+                if expert is None:
+                    x2 = (xf ** 2).reshape(-1, C).sum(axis=0)
+                    taps[name] = taps.get(name, 0) + x2
+                    return
+                e, E, sel = expert
+                selr = sel.astype(jnp.float32).reshape(-1)
+                x2 = ((xf ** 2).reshape(-1, C) * selr[:, None]).sum(axis=0)
+                if name not in taps:
+                    taps[name] = jnp.zeros((E, C), jnp.float32)
+                    ecnt[name] = jnp.zeros((E,), jnp.float32)
+                taps[name] = taps[name].at[e].add(x2)
+                ecnt[name] = ecnt[name].at[e].add(selr.sum())
 
             logits, _ = forward(cfg, weights, tokens, kv, jnp.int32(0),
                                 logits_all=True, compute_dtype=cd, tap=tap)
-            return taps
+            return taps, ecnt
 
         return jax.jit(run)
 
@@ -154,23 +172,34 @@ class IMatrixCollector:
         if self._fwd is None:
             self._fwd = self._build(T)
         kv = init_kv_cache(self.cfg, 1, T, dtype=self.compute_dtype)
-        taps = self._fwd(self.weights, jnp.asarray(np.asarray(chunk_ids, np.int32)[None]), kv)
+        taps, ecnt = self._fwd(
+            self.weights,
+            jnp.asarray(np.asarray(chunk_ids, np.int32)[None]), kv)
         for name, s in taps.items():
             s = np.array(s)  # writable copy (np.asarray of a jax array is read-only)
+            c = np.array(ecnt[name]) if name in ecnt else T
             if name in self.sums:
                 self.sums[name] += s
-                self.counts[name] += T
+                self.counts[name] += c
             else:
                 self.sums[name] = s
-                self.counts[name] = T
+                self.counts[name] = c
 
     def result(self) -> dict[str, np.ndarray]:
-        """name -> mean x² per column (what quantize feeds as quant_weights)."""
-        return {n: self.sums[n] / max(1, self.counts[n]) for n in self.sums}
+        """name -> mean x² per column (what quantize feeds as
+        quant_weights); expert entries flatten expert-major [E*C]."""
+        out = {}
+        for n, s in self.sums.items():
+            c = self.counts[n]
+            if isinstance(c, np.ndarray):  # per-expert [E] counts
+                out[n] = (s / np.maximum(c, 1.0)[:, None]).reshape(-1)
+            else:
+                out[n] = s / max(1, c)
+        return out
 
     def save(self, path: str):
         np.savez(path, **{n: v for n, v in self.result().items()},
-                 **{f"__count__{n}": np.int64(c) for n, c in self.counts.items()})
+                 **{f"__count__{n}": np.asarray(c) for n, c in self.counts.items()})
 
     @staticmethod
     def load(path: str) -> dict[str, np.ndarray]:

@@ -36,7 +36,7 @@ def encode(cfg, weights, tokenizer, texts, instruction: str = "",
         ids = np.asarray(tokenizer.encode(prefix + text), np.int32)
         states = {}
 
-        def tap(name, x):
+        def tap(name, x, **_kw):
             if name == "output.weight":
                 states["h"] = x
 
