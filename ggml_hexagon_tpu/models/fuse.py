@@ -25,16 +25,24 @@ from ..quant.pack import QTensor
 def _concat_qtensors(parts: list[QTensor]) -> QTensor | None:
     cfg = parts[0].cfg
     k = parts[0].k
+    fl = parts[0].fl
     for p in parts:
         if (not isinstance(p, QTensor) or p.cfg != cfg or p.k != k
-                or p.n != p.n_pad):
+                or p.n != p.n_pad or p.fl != fl):
             return None
+    # fast planes stack on their output-feature axis (interleaved: rows;
+    # transposed qp8: lanes)
+    fax = 1 if fl == "t" else 0
 
-    def cat(field):
+    def cat(field, axis=0):
         arrs = [getattr(p, field) for p in parts]
         if any(a is None for a in arrs):
             return None
-        return jnp.concatenate([jnp.asarray(a) for a in arrs], axis=0)
+        return jnp.concatenate([jnp.asarray(a) for a in arrs], axis=axis)
+
+    def planes_unpadded():
+        return all(p.fq is not None and p.fq.shape[fax] == p.n
+                   for p in parts)
 
     if all(p.q is not None for p in parts):
         fused = QTensor(
@@ -42,30 +50,41 @@ def _concat_qtensors(parts: list[QTensor]) -> QTensor | None:
             cat("q"), cat("d"), cat("qh"), cat("sc"), cat("dmin"), cat("m"),
         )
         if any(p.fq is not None for p in parts):
-            # rebuild (not concat) the qmm_fast planes: per-part row
-            # padding would leave zero rows mid-tensor
-            fused = fused.with_fast_planes()
+            if planes_unpadded():
+                # concat the existing planes (device tensors can't rebuild
+                # the transposed layout host-side)
+                fused = QTensor(
+                    fused.cfg, fused.n, k, fused.q, fused.d, fused.qh,
+                    fused.sc, fused.dmin, fused.m, cat("fq", fax),
+                    cat("fs", fax), cat("fb", fax), fl=fl)
+            else:
+                # rebuild: per-part padding would leave zero rows/lanes
+                # mid-tensor
+                fused = fused.with_fast_planes()
         return fused
-    # wire-less tensors: the qmm_fast planes concat directly when no part
-    # carries row padding (fq rows == n; the interleave is along K, so the
-    # row axis is plain output features)
-    if all(p.fq is not None and p.fq.shape[0] == p.n for p in parts):
+    # wire-less tensors: concat the planes directly when unpadded
+    if planes_unpadded():
         return QTensor(cfg, sum(p.n for p in parts), k,
                        None, None, None, None, None, None,
-                       cat("fq"), cat("fs"), cat("fb"))
+                       cat("fq", fax), cat("fs", fax), cat("fb", fax),
+                       fl=fl)
     return None
 
 
 def _norm_il(wn, qt: QTensor, plus_one: bool):
     """Pre-interleave a [K] RMS-norm weight to qt's qmm_fast column layout
     (new column j <- original (j % G)*gs + j//G), so the fused norm+matmul
-    kernel needs no in-graph transform (ops/qmm_fast.qmatmul_fast_normed)."""
+    kernel needs no in-graph transform (ops/qmm_fast.qmatmul_fast_normed).
+    Transposed qp8-layout tensors have no interleave: the weight passes
+    through raw (with the gemma +1 applied)."""
     K = qt.k
     gs = qt.cfg.gs
     G = K // gs
     w = jnp.asarray(wn, jnp.float32)
     if plus_one:  # gemma-class rmsnorm stores w-1
         w = 1.0 + w
+    if qt.fl == "t":
+        return w
     return w.reshape(G, gs).swapaxes(0, 1).reshape(K)
 
 
@@ -217,9 +236,15 @@ def interleave_gateup_rows(weights: dict, cfg) -> dict:
                 and not any(k in lw for k in (
                     "ffn_down_b", "ffn_sub_norm", "ffn_down_scale",
                     "ffn_down_lora", "ffn_gate_inp"))):
-            perm = interleave_perm(dn.k, dn.cfg.gs)
-            full = np.concatenate([perm, dn.k + perm])
-            new["w_gateup_il"] = gu.take_rows(full)
+            if dn.fl == "t":
+                # qp8 layout consumes the gate_up output in NATURAL
+                # column order — the rename alone routes the decode
+                # graph through the fused act+down kernel
+                new["w_gateup_il"] = gu
+            else:
+                perm = interleave_perm(dn.k, dn.cfg.gs)
+                full = np.concatenate([perm, dn.k + perm])
+                new["w_gateup_il"] = gu.take_rows(full)
             del new["w_gateup"]
         out["layers"].append(new)
     return out
@@ -263,6 +288,8 @@ def attach_ffn_fused_layout(weights: dict, cfg) -> dict:
         dn = lw.get("ffn_down")
         if (isinstance(wo, QTensor) and isinstance(gu, QTensor)
                 and isinstance(dn, QTensor)
+                and all(t.fl == "il" for t in (wo, gu, dn))  # megakernel
+                # speaks the interleaved il32 layout only
                 and "ffn_norm_il" in lw
                 and not any(k in lw for k in (
                     "wo_lora", "wo_scale", "bo", "attn_sub_norm",

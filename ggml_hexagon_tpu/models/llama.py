@@ -209,7 +209,11 @@ def load_llama_weights(reader, dtype=jnp.bfloat16, device: bool = True) -> tuple
                 shape = (shape[0] * shape[1], shape[2])
             if len(shape) == 2:
                 qt = pack_tensor(reader.tensor_bytes(name), t.ggml_type, shape)
-                return qt.astype_device() if device else qt
+                # stacked expert tensors keep the interleaved layout: the
+                # gathered-expert kernel (qmatmul_fast_indirect) indexes
+                # row blocks per expert
+                lay = "il" if len(t.shape) == 3 else None
+                return qt.astype_device(layout=lay) if device else qt
         # dense fallback (f16/f32 2-D/3-D, or K not chunk-aligned)
         arr = reader.tensor_f32(name)
         if arr.ndim == 3:
@@ -763,20 +767,22 @@ def _dense_ffn(cfg, lw, f, compute_dtype, tap=None, il=0, norm_il=None,
         # prefill / tap path: act-mul on the permuted halves is exact
         # (identical permutation both sides); the fast kernel consumes the
         # interleaved order directly (pre_interleaved) — only the XLA /
-        # tap fallbacks pay the un-interleave
+        # tap fallbacks pay the un-interleave.  qp8-layout gate_up output
+        # is already in natural order (no permutation at load).
         from ..ops.qmm_fast import MAX_FAST_BATCH, qmatmul_fast, uninterleave_cols
 
+        natural = getattr(dn, "fl", "il") == "t"
         gate = _act(cfg, gu2[..., :ng].astype(compute_dtype))
         up = gu2[..., ng:].astype(compute_dtype)
         gu_il2 = gate * up
         if (tap is None and dn.fq is not None and B_tot <= MAX_FAST_BATCH
                 and (jax.default_backend() == "tpu" or interp)):
             out = qmatmul_fast(gu_il2, dn, interpret=interp,
-                               pre_interleaved=True)
+                               pre_interleaved=not natural)
             if ffp:
                 out = uninterleave_cols(out, 32)
             return out.astype(compute_dtype), False
-        gu = uninterleave_cols(gu_il2, dn.cfg.gs)
+        gu = gu_il2 if natural else uninterleave_cols(gu_il2, dn.cfg.gs)
         if tap is not None:
             tap(f"blk.{il}.ffn_down.weight", gu)
         out = matmul(gu, dn).astype(compute_dtype)

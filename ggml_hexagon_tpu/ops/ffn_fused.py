@@ -178,6 +178,7 @@ def supports_ffn_fused(wo, gu_il, dn, d: int, n_ff: int) -> bool:
     side-dots assume stored fb planes and d-aligned group counts)."""
     for qt in (wo, gu_il, dn):
         if not (isinstance(qt, QTensor) and qt.fq is not None
+                and qt.fl == "il"  # megakernel speaks the il32 layout
                 and supports_fused_epilogue(qt)):
             return False
     if not (_is_nibble(wo.cfg) and _is_nibble(gu_il.cfg)):

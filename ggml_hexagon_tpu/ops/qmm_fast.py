@@ -806,6 +806,10 @@ def dequantize_fast(qt: QTensor, dtype=jnp.float32):
     """Reconstruct the dequantized [n_pad2, K] matrix from fast planes
     (wire-less tensors): values * tiled scale + tiled bias, un-interleaved
     back to the original column order."""
+    if qt.fl == "t":
+        from .qmm_qp8 import dequantize_qp8
+
+        return dequantize_qp8(qt, dtype)
     cfg = qt.cfg
     K = qt.k
     G = K // cfg.gs
@@ -833,7 +837,12 @@ def qmatmul_fast(x, qt: QTensor, out_dtype=jnp.float32, interpret=False,
                  pre_interleaved=False):
     """y = x @ dequant(qt).T via the fast planes.  Requires qt.fq.
     pre_interleaved: x's columns are already in the kernel's interleaved
-    order (the w_gateup_il prefill path — skips the relayout op)."""
+    order (the w_gateup_il prefill path — skips the relayout op; no-op
+    for the transposed qp8 layout, which has no interleave)."""
+    if qt.fl == "t":
+        from .qmm_qp8 import qp8_matmul
+
+        return qp8_matmul(x, qt, out_dtype=out_dtype, interpret=interpret)
     lead = x.shape[:-1]
     K = x.shape[-1]
     assert K == qt.k and qt.fq is not None
@@ -996,6 +1005,8 @@ def _dual_blocking(qt_a: QTensor, qt_b: QTensor, B: int = 8):
     """Common (bn, nkj=1) blocking for a dual launch, or None."""
     if qt_a.fq is None or qt_b.fq is None or qt_a.k != qt_b.k:
         return None
+    if qt_a.fl == "t" or qt_b.fl == "t":
+        return None  # qp8-layout QKV goes through two qp8 launches
     if qt_a.n != qt_a.fq.shape[0] or qt_b.n != qt_b.fq.shape[0]:
         return None  # padding rows would land mid-output
     bns = []
@@ -1074,9 +1085,11 @@ def qmatmul_fast_dual(x, qt_a: QTensor, qt_b: QTensor, wn_a_il=None,
 def supports_fused_epilogue(qt, B: int = 8) -> bool:
     """True when the decode blocking gives this tensor an nkj == 1 (full-K
     in one block) kernel — the requirement for the fused act-mul /
-    residual epilogues."""
+    residual epilogues.  qp8-layout tensors always chunk internally."""
     if not isinstance(qt, QTensor) or qt.fq is None:
         return False
+    if qt.fl == "t":
+        return True
     nib = _is_nibble(qt.cfg) or bool(qt.cfg.code_map)
     _, nkj = _pick_blocks(max(8, B), qt.k, nib, qt.cfg.gs)
     return nkj == 1
@@ -1103,8 +1116,14 @@ def qmatmul_fast_act(x, qt: QTensor, act: str, res=None,
     (reference analog: LLM_FFN_SWIGLU fusing inside one graph split,
     llama-graph.cpp build_ffn).  res [..., n] is an optional residual
     added in-kernel (h + ffn_out).  Requires an nkj == 1 blocking
-    (supports_fused_epilogue).
+    (supports_fused_epilogue).  Transposed-layout tensors take the qp8
+    twin (natural column order, no row permutation at load).
     """
+    if qt.fl == "t":
+        from .qmm_qp8 import qp8_matmul_act
+
+        return qp8_matmul_act(x, qt, act, res=res, out_dtype=out_dtype,
+                              interpret=interpret)
     lead = x.shape[:-1]
     K2 = x.shape[-1]
     K = K2 // 2
@@ -1151,6 +1170,11 @@ def qmatmul_fast_res(x, qt: QTensor, res, out_dtype=jnp.float32,
     y = x @ dequant(qt).T + res — removes the per-layer h + attn_out XLA
     add from the decode tail.  Requires nkj == 1 (supports_fused_epilogue).
     """
+    if qt.fl == "t":
+        from .qmm_qp8 import qp8_matmul_res
+
+        return qp8_matmul_res(x, qt, res, out_dtype=out_dtype,
+                              interpret=interpret)
     lead = x.shape[:-1]
     K = x.shape[-1]
     assert K == qt.k and qt.fq is not None
@@ -1254,6 +1278,8 @@ def supports_indirect(qt, npe: int, B: int = 8) -> bool:
     and a row block that divides the per-expert row count."""
     if not isinstance(qt, QTensor) or qt.fq is None or npe <= 0:
         return False
+    if qt.fl == "t":
+        return False  # expert stacks build interleaved planes (loader)
     nib = _is_nibble(qt.cfg) or bool(qt.cfg.code_map)
     bn, nkj = _pick_blocks(max(8, B), qt.k, nib, qt.cfg.gs)
     if nkj != 1:
@@ -1327,7 +1353,14 @@ def qmatmul_fast_normed(x, qt: QTensor, wn_il, eps: float,
     lands in the decode graph.  Inference-only (no custom_vjp: the
     finetune/LoRA paths keep the unfused tensors).  Falls back to separate
     norm + fast matmul whenever the shape needs a K-split (prefill).
+    Transposed-layout tensors take the qp8 twin (wn_il is the RAW norm
+    weight there — no interleave exists).
     """
+    if qt.fl == "t":
+        from .qmm_qp8 import qp8_matmul_normed
+
+        return qp8_matmul_normed(x, qt, wn_il, eps, out_dtype=out_dtype,
+                                 interpret=interpret)
     lead = x.shape[:-1]
     K = x.shape[-1]
     assert K == qt.k and qt.fq is not None

@@ -108,31 +108,38 @@ class QTensor:
     sc: Any = None
     dmin: Any = None
     m: Any = None
-    # fast-matmul planes (ops/qmm_fast.py): interleaved values + per-group
-    # affine decomposition, built once at load by with_fast_planes()
+    # fast-matmul planes: either the ops/qmm_fast.py interleaved layout
+    # (fl == "il": fq [n2, cols], fs/fb [n2, G]) or the ops/qmm_qp8.py
+    # transposed layout (fl == "t": fq [K(/2), n2], fs/fb [G, n2]),
+    # built once at load by with_fast_planes()
     fq: Any = None
     fs: Any = None
     fb: Any = None
+    fl: str = "il"
 
     @property
     def n_pad(self) -> int:
-        return self.q.shape[0] if self.q is not None else self.fq.shape[0]
+        if self.q is not None:
+            return self.q.shape[0]
+        return self.fq.shape[1] if self.fl == "t" else self.fq.shape[0]
 
     def tree_flatten(self):
         leaves = (self.q, self.d, self.qh, self.sc, self.dmin, self.m,
                   self.fq, self.fs, self.fb)
-        return leaves, (self.cfg, self.n, self.k)
+        return leaves, (self.cfg, self.n, self.k, self.fl)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        cfg, n, k = aux
-        return cls(cfg, n, k, *leaves)
+        cfg, n, k, fl = aux
+        return cls(cfg, n, k, *leaves, fl=fl)
 
-    def astype_device(self, fast: bool | None = None):
+    def astype_device(self, fast: bool | None = None,
+                      layout: str | None = None):
         """Move planes to the default device as jax arrays.
 
         fast=None consults the module default (FAST_MATMUL); True builds
-        the qmm_fast interleaved planes for supported types.
+        the fast-matmul planes for supported types.  layout forces 'il'
+        or 't' (None: automatic, use_qp8_layout).
         """
         import jax.numpy as jnp
 
@@ -142,63 +149,68 @@ class QTensor:
         if fast is None:
             fast = FAST_MATMUL
         fq = fs = fb = None
+        fl = self.fl
         if fast and self.fq is None:
             # build on the HOST from the numpy wire planes: no eager
             # device ops (each would remote-compile), no HBM transient
-            from ..ops.qmm_fast import build_fast_planes
-
-            fq, fs, fb = build_fast_planes(self)
+            fq, fs, fb, fl = _build_planes_auto(self, layout)
         return QTensor(
             self.cfg, self.n, self.k, put(self.q), put(self.d), put(self.qh),
             put(self.sc), put(self.dmin), put(self.m),
             put(fq if fq is not None else self.fq),
             put(fs if fs is not None else self.fs),
             put(fb if fb is not None else self.fb),
+            fl=fl,
         )
 
-    def with_fast_planes(self) -> "QTensor":
-        """Return a copy carrying qmm_fast planes (no-op if unsupported)."""
+    def with_fast_planes(self, layout: str | None = None) -> "QTensor":
+        """Return a copy carrying fast planes (no-op if unsupported).
+
+        layout: force 'il' (interleaved) or 't' (transposed qp8);
+        None picks automatically (use_qp8_layout)."""
         if self.fq is not None:
             return self
-        from ..ops.qmm_fast import build_fast_planes
-
-        fq, fs, fb = build_fast_planes(self)
+        fq, fs, fb, fl = _build_planes_auto(self, layout)
         if fq is None:
             return self
         return QTensor(self.cfg, self.n, self.k, self.q, self.d, self.qh,
-                       self.sc, self.dmin, self.m, fq, fs, fb)
+                       self.sc, self.dmin, self.m, fq, fs, fb, fl=fl)
 
     def take_rows(self, perm) -> "QTensor":
         """Reorder the n output-feature rows by `perm` (len n, a
-        permutation of range(n)).  Every plane's leading axis is the
-        output-feature axis, so wire AND fast planes gather consistently;
-        padding rows beyond n stay in place.  Works for host (numpy) and
-        device (jax) planes alike."""
+        permutation of range(n)).  Wire planes gather on axis 0; fast
+        planes on their output-feature axis (0 for the interleaved
+        layout, 1 for the transposed qp8 layout); padding rows beyond n
+        stay in place.  Works for host (numpy) and device (jax) planes
+        alike."""
         import jax.numpy as jnp
 
         perm = np.asarray(perm, np.int64)
         assert perm.size == self.n, (perm.size, self.n)
 
-        def g(a):
+        def g(a, axis=0):
             if a is None:
                 return None
             xp = np if isinstance(a, np.ndarray) else jnp
             full = xp.concatenate(
-                [xp.asarray(perm), xp.arange(perm.size, a.shape[0])])
-            return a[full]
+                [xp.asarray(perm), xp.arange(perm.size, a.shape[axis])])
+            return a[full] if axis == 0 else a[:, full]
 
+        fax = 1 if self.fl == "t" else 0
         return QTensor(self.cfg, self.n, self.k, g(self.q), g(self.d),
                        g(self.qh), g(self.sc), g(self.dmin), g(self.m),
-                       g(self.fq), g(self.fs), g(self.fb))
+                       g(self.fq, fax), g(self.fs, fax), g(self.fb, fax),
+                       fl=self.fl)
 
     def without_wire(self) -> "QTensor":
-        """Drop the wire planes from HBM (keeps the qmm_fast planes).
+        """Drop the wire planes from HBM (keeps the fast planes).
         Halves device memory for matmul weights; dequantize_jax then
         reconstructs from the fast planes when asked."""
         if self.fq is None:
             return self
         return QTensor(self.cfg, self.n, self.k, None, None, None,
-                       None, None, None, self.fq, self.fs, self.fb)
+                       None, None, None, self.fq, self.fs, self.fb,
+                       fl=self.fl)
 
 
 #: per-layer dense matmul keys whose wire planes are dead weight once the
@@ -228,6 +240,40 @@ def drop_wire_planes(weights: dict) -> dict:
 
 #: default for astype_device: build fast-matmul planes at load
 FAST_MATMUL = True
+
+
+def use_qp8_layout(cfg: QConfig, k: int) -> bool:
+    """True when (cfg, K) should build the transposed qp8 planes
+    (ops/qmm_qp8.py) instead of the interleaved layout.
+
+    Default: the 4-bit nibble family (Q4_0/Q4_1/Q4_K) — measured 33%
+    faster decode on-chip (tools/kernel_lab9.py); byte formats measured
+    at parity and keep the interleaved f32 route.  GHT_QP8=0 forces the
+    interleaved layout everywhere."""
+    import os
+
+    if os.environ.get("GHT_QP8", "1") in ("", "0"):
+        return False
+    from ..ops.qmm_qp8 import _is_nib, supports_qp8
+
+    return _is_nib(cfg) and supports_qp8(cfg, k)
+
+
+def _build_planes_auto(qt: "QTensor", layout: str | None = None):
+    """-> (fq, fs, fb, fl) for qt, choosing the layout."""
+    if layout is None:
+        layout = "t" if (isinstance(qt.q, np.ndarray)
+                         and use_qp8_layout(qt.cfg, qt.k)) else "il"
+    if layout == "t":
+        from ..ops.qmm_qp8 import build_t_planes
+
+        fq, fs, fb = build_t_planes(qt)
+        if fq is not None:
+            return fq, fs, fb, "t"
+    from ..ops.qmm_fast import build_fast_planes
+
+    fq, fs, fb = build_fast_planes(qt)
+    return fq, fs, fb, "il"
 
 
 def _pack_bits(q: np.ndarray, bits: int) -> np.ndarray:

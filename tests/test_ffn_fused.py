@@ -36,11 +36,13 @@ def setup(request):
     # layout contracts: gate_up rows into down's interleaved column order;
     # wo and down OUTPUT rows by interleave_perm(d)
     perm_dn_cols = interleave_perm(NFF, dn.cfg.gs)
-    gu_il = gu.astype_device().take_rows(
+    # the megakernel speaks the interleaved layout; Q4_K defaults to the
+    # transposed qp8 planes, so force il here
+    gu_il = gu.astype_device(layout="il").take_rows(
         np.concatenate([perm_dn_cols, NFF + perm_dn_cols]))
     perm_d = interleave_perm(D, 32)
-    wo_p = wo.astype_device().take_rows(perm_d)
-    dn_p = dn.astype_device().take_rows(perm_d)
+    wo_p = wo.astype_device(layout="il").take_rows(perm_d)
+    dn_p = dn.astype_device(layout="il").take_rows(perm_d)
     wn = jnp.asarray(rng.normal(size=(D,)) * 0.1 + 1.0, jnp.float32)
     wn_il = wn[np.asarray(perm_d)]
     attn = jnp.asarray(rng.normal(size=(1, D)) * 0.3, jnp.float32)
@@ -106,7 +108,7 @@ def test_ffn_fused_model_integration(monkeypatch):
     def qt(n, k):
         return P.quantize_tensor(
             rng.normal(size=(n, k)).astype(np.float32) * 0.02,
-            GGMLType.Q4_K).astype_device()
+            GGMLType.Q4_K).astype_device(layout="il")
 
     hd = d // 4
     base = {

@@ -94,11 +94,26 @@ def main():
 
     from ggml_hexagon_tpu.ops.qmm_fast import interleave_perm
 
-    wn_il = wn[np.asarray(interleave_perm(k, qt4.cfg.gs))]
+    # Q4_K defaults to the transposed qp8 layout: the norm plane is the
+    # raw weight, and the decode contract is the q8-activation group-
+    # partial contraction — compare against ITS reference (exact) plus a
+    # loose sanity check vs the f32 oracle (activation-quant error only)
+    wn_il = (wn if qt4.fl == "t"
+             else wn[np.asarray(interleave_perm(k, qt4.cfg.gs))])
     inv = jax.lax.rsqrt(jnp.mean(xf * xf) + eps)
     want = (xf * inv * wn) @ w4.T
     got = qmatmul_fast_normed(x, qt4, wn_il, eps)
     check("qmm_fast_normed Q4_K", got, want)
+    if qt4.fl == "t":
+        from ggml_hexagon_tpu.ops.qmm_qp8 import qp8_ref
+
+        want_t = qp8_ref(xf * inv * wn, qt4)[:, :n]
+        check("qp8_normed vs qp8_ref Q4_K", got, want_t, budget=1e-6)
+        # prefill (tpf) kernel: exact bf16 contract
+        xp = jnp.asarray(rng.normal(size=(64, k)) * 0.5, jnp.bfloat16)
+        want_p = xp.astype(jnp.float32) @ w4.T
+        check("qp8_prefill Q4_K", qmatmul_fast(xp, qt4), want_p,
+              budget=2e-3)
 
     res = jnp.asarray(rng.normal(size=(1, n)), jnp.float32)
     want = xf @ w4.T + res
@@ -113,21 +128,26 @@ def main():
     # oracle consumes the interleaved product directly (pre_interleaved)
     from ggml_hexagon_tpu.ops.qmm_fast import uninterleave_cols
 
-    want = uninterleave_cols(gu_il, qt4.cfg.gs) @ w4.T + res
+    want = (gu_il if qt4.fl == "t"
+            else uninterleave_cols(gu_il, qt4.cfg.gs)) @ w4.T + res
     got = qmatmul_fast_act(x2, qt4, "silu", res=res)
     check("qmm_fast_act Q4_K", got, want, budget=2e-3)
 
+    qt4il = B.random_qtensor(rng, n, k, GGMLType.Q4_K,
+                             fast="host").astype_device(layout="il")
+    w4il = dequantize_fast(qt4il)[:n]
     qt6 = B.random_qtensor(rng, 512, k, GGMLType.Q6_K,
                            fast="host").astype_device()
-    if supports_dual(qt4, qt6):
+    if supports_dual(qt4il, qt6):
         w6 = dequantize_fast(qt6)[:512]
         # each side's norm weight pre-interleaved with ITS OWN group
         # geometry (Q6_K gs=16 != Q4_K gs=32 — attach_norm_planes does
         # the same per-tensor)
         wn_il6 = wn[np.asarray(interleave_perm(k, qt6.cfg.gs))]
+        wn_il4 = wn[np.asarray(interleave_perm(k, qt4il.cfg.gs))]
         want = jnp.concatenate(
-            [(xf * inv * wn) @ w4.T, (xf * inv * wn) @ w6.T], axis=1)
-        got = qmatmul_fast_dual(x, qt4, qt6, wn_il, wn_il6, eps)
+            [(xf * inv * wn) @ w4il.T, (xf * inv * wn) @ w6.T], axis=1)
+        got = qmatmul_fast_dual(x, qt4il, qt6, wn_il4, wn_il6, eps)
         check("qmm_fast_dual Q4_K+Q6_K", got, want)
 
     # --- whole-FFN megakernel vs unfused composition ---
@@ -137,11 +157,11 @@ def main():
     D2, NFF2 = 4096, 512
     eps2 = 1e-5
     woq = B.random_qtensor(rng, D2, D2, GGMLType.Q4_K,
-                           fast="host").astype_device()
+                           fast="host").astype_device(layout="il")
     guq = B.random_qtensor(rng, 2 * NFF2, D2, GGMLType.Q4_K,
-                           fast="host").astype_device()
+                           fast="host").astype_device(layout="il")
     dnq = B.random_qtensor(rng, D2, NFF2, GGMLType.Q4_K,
-                           fast="host").astype_device()
+                           fast="host").astype_device(layout="il")
     pdc = np.asarray(interleave_perm(NFF2, dnq.cfg.gs))
     gu_il2 = guq.take_rows(np.concatenate([pdc, NFF2 + pdc]))
     pd2 = np.asarray(interleave_perm(D2, 32))
