@@ -1006,7 +1006,7 @@ def _dual_blocking(qt_a: QTensor, qt_b: QTensor, B: int = 8):
     if qt_a.fq is None or qt_b.fq is None or qt_a.k != qt_b.k:
         return None
     if qt_a.fl == "t" or qt_b.fl == "t":
-        return None  # qp8-layout QKV goes through two qp8 launches
+        return None  # qp8 pairs take qp8_matmul_dual (supports_dual)
     if qt_a.n != qt_a.fq.shape[0] or qt_b.n != qt_b.fq.shape[0]:
         return None  # padding rows would land mid-output
     bns = []
@@ -1023,6 +1023,11 @@ def _dual_blocking(qt_a: QTensor, qt_b: QTensor, B: int = 8):
 
 
 def supports_dual(qt_a, qt_b, B: int = 8) -> bool:
+    if (isinstance(qt_a, QTensor) and isinstance(qt_b, QTensor)
+            and qt_a.fl == "t" and qt_b.fl == "t"):
+        from .qmm_qp8 import supports_qp8_dual
+
+        return supports_qp8_dual(qt_a, qt_b)
     return (isinstance(qt_a, QTensor) and isinstance(qt_b, QTensor)
             and _dual_blocking(qt_a, qt_b, B) is not None)
 
@@ -1038,8 +1043,16 @@ def qmatmul_fast_dual(x, qt_a: QTensor, qt_b: QTensor, wn_a_il=None,
     in-kernel RMS-norm site, and the output IS the flat q++k++v row the
     fused decode-attention kernel consumes — the per-layer concat op
     disappears from the decode graph.  Both tensors may be any supported
-    fast format (nibble/coded/byte) with their own group geometry.
+    fast format (nibble/coded/byte) with their own group geometry;
+    qp8-layout pairs take the qp8 twin (wn_*_il are RAW norm weights
+    there — both sides share one weight since the layout has no
+    per-tensor interleave).
     """
+    if qt_a.fl == "t" and qt_b.fl == "t":
+        from .qmm_qp8 import qp8_matmul_dual
+
+        return qp8_matmul_dual(x, qt_a, qt_b, wn=wn_a_il, eps=eps,
+                               out_dtype=out_dtype, interpret=interpret)
     lead = x.shape[:-1]
     K = x.shape[-1]
     assert K == qt_a.k == qt_b.k

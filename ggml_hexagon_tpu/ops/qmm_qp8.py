@@ -26,9 +26,13 @@ kernels use (vec_dot_q4_K_q8_K, ggml/src/ggml-cpu/ggml-cpu-quants.c):
       activation quantization.  The column interleave (and its per-call
       activation relayout) disappears.
 
-Plane layout (ONE set serves both paths — memory-neutral):
-  fq  nibble: u8 [K/2, n2], byte row k = orig row k (lo) | k + K/2 (hi)
-      byte:   i8 [K, n2] with symmetric offsets folded into the values
+Plane layout (ONE set serves both paths — memory-neutral, and AT WIRE
+DENSITY for every (4,0)/(4,1)/(4,2)/(2,0)/(2,1)-bit K-quant family —
+Q6_K rides 6 packed bits/weight here vs the 8-bit int8 rows of the
+interleaved layout):
+  fq  u8 [K*(bits_lo+bits_hi)/8, n2]: bits_lo-packed value plane (shift-
+      slice s = value rows [s*K*bits_lo/8, ...)), bits_hi plane rows
+      concatenated below; symmetric offsets derive as off*scale
   fs  bf16 [G, n2]   per-group scales, TRANSPOSED
   fb  bf16 [G, n2]   affine bias (minsb: -dmin*m; min: m), or None
 
@@ -60,10 +64,22 @@ QP8_MAX_DECODE = 8
 _BN = 512
 
 
+def _pack_bits(cfg: QConfig):
+    """(bits_lo, bits_hi) of the packed t-plane, or None when the type
+    can't ride this layout (signed int8 / LUT / coded formats keep the
+    interleaved planes)."""
+    if cfg.code_map or cfg.expand or cfg.lut or cfg.signed:
+        return None
+    if (cfg.bits_lo, cfg.bits_hi) in ((4, 0), (4, 1), (4, 2),
+                                      (2, 0), (2, 1)):
+        return cfg.bits_lo, cfg.bits_hi
+    return None
+
+
 def supports_qp8(cfg: QConfig, k: int) -> bool:
-    """True when (cfg, K) can build transposed planes: a chunk depth
-    exists and the butterfly needs K % SEG == 0."""
-    if cfg.code_map or cfg.expand:
+    """True when (cfg, K) can build transposed planes: a packable bit
+    geometry, a chunk depth, and K % SEG == 0 (the butterfly)."""
+    if _pack_bits(cfg) is None:
         return False
     if k % SEG:
         return False
@@ -72,18 +88,29 @@ def supports_qp8(cfg: QConfig, k: int) -> bool:
 
 def _is_nib(cfg: QConfig) -> bool:
     return (cfg.bits_lo == 4 and cfg.bits_hi == 0 and not cfg.signed
-            and not cfg.lut)
+            and not cfg.lut and not cfg.code_map and not cfg.expand)
 
 
 def pick_depth(cfg: QConfig, k: int) -> int | None:
-    """Largest chunk depth in {512, 256, 128} dividing K (and K/2 for
-    nibble planes, keeping chunk slices byte-row-aligned)."""
-    for d in (512, 256, 128):
-        if d % cfg.gs:
+    """Largest chunk depth in {512, 256, 128} dividing every shift-slice
+    period of the packed planes (K/(8/bits) rows per slice — chunk
+    slices must stay inside one shift slice).
+    GHT_QP8_DEPTH overrides for whole-model ablations."""
+    import os
+
+    pb = _pack_bits(cfg)
+    if pb is None:
+        return None
+    bits_lo, bits_hi = pb
+    periods = [k * bits_lo // 8]
+    if bits_hi:
+        periods.append(k * bits_hi // 8)
+    env = os.environ.get("GHT_QP8_DEPTH")
+    cands = (int(env),) if env else (512, 256, 128, 64, 32)
+    for d in cands:
+        if d % cfg.gs or k % d:
             continue
-        if k % d:
-            continue
-        if _is_nib(cfg) and (k // 2) % d:
+        if any(p % d for p in periods):
             continue
         if d // cfg.gs < 2:
             continue
@@ -98,6 +125,11 @@ def pick_depth(cfg: QConfig, k: int) -> int | None:
 def build_t_planes(qt: QTensor):
     """-> (fq, fs, fb) transposed planes, or (None,)*3 when unsupported.
 
+    fq u8 [(K*bits_lo + K*bits_hi)/8, n2]: the bits_lo-packed plane
+    (shift-slice s holds value rows [s*K*bits_lo/8, ...)) with the
+    bits_hi plane's rows concatenated below.  Symmetric offsets derive
+    in-kernel as off * scale (no stored bias plane).
+
     Works on host (numpy) wire planes only — loaders build before device
     upload (no per-op remote compiles, no transient HBM).
     """
@@ -111,11 +143,7 @@ def build_t_planes(qt: QTensor):
     v = _int_values_np(qt)                       # [n_pad, K] ints
     scale_g, bias_g = _group_scale_bias_np(qt)   # [n_pad, G] f32
     if cfg.offset and cfg.asym == "none":
-        # symmetric offset folds into the stored values (int8 path) or
-        # derives in-kernel as off * scale (nibble path, no fb plane)
-        if not _is_nib(cfg):
-            v = v + int(cfg.offset)
-        bias_g = None
+        bias_g = None  # derived in-kernel as off * scale
     n_pad = v.shape[0]
     quantum = 2048 if n_pad >= 65536 else _BN
     n2 = -(-n_pad // quantum) * quantum
@@ -124,11 +152,21 @@ def build_t_planes(qt: QTensor):
         scale_g = np.pad(scale_g, ((0, n2 - n_pad), (0, 0)))
         if bias_g is not None:
             bias_g = np.pad(bias_g, ((0, n2 - n_pad), (0, 0)))
-    vT = np.ascontiguousarray(v.T)               # [K, n2]
-    if _is_nib(cfg):
-        fq = (vT[: K // 2] | (vT[K // 2:] << 4)).astype(np.uint8)
-    else:
-        fq = vT.astype(np.int8)
+    vT = np.ascontiguousarray(v.T).astype(np.uint16)  # [K, n2]
+    bits_lo, bits_hi = _pack_bits(cfg)
+
+    def pack(plane, bits):
+        per = 8 // bits
+        rows = K // per
+        out = np.zeros((rows, n2), np.uint8)
+        for s in range(per):
+            out |= (plane[s * rows:(s + 1) * rows] << (bits * s)).astype(
+                np.uint8)
+        return out
+
+    fq = pack(vT & ((1 << bits_lo) - 1), bits_lo)
+    if bits_hi:
+        fq = np.concatenate([fq, pack(vT >> bits_lo, bits_hi)], axis=0)
     import ml_dtypes
 
     fs = np.ascontiguousarray(scale_g.T).astype(ml_dtypes.bfloat16)
@@ -138,10 +176,35 @@ def build_t_planes(qt: QTensor):
 
 
 def _offset_bias_t(cfg: QConfig, fb) -> float:
-    """Non-zero for nibble symmetric-offset formats (Q4_0): bias =
-    offset * scale, derived from the scale plane in the P-domain."""
-    return (float(cfg.offset)
-            if (fb is None and cfg.offset and _is_nib(cfg)) else 0.0)
+    """Symmetric-offset formats (Q4_0/Q5_0/Q3_K/Q6_K): bias = offset *
+    scale, derived from the scale plane in the P-domain (no fb plane)."""
+    return float(cfg.offset) if (fb is None and cfg.offset) else 0.0
+
+
+def _unpack_rows(fq, bits_lo: int, bits_hi: int, K: int, row0: int,
+                 d: int):
+    """Value rows [row0, row0+d) of the packed t-plane, as int8 (jnp;
+    works on arrays AND in-kernel refs — slicing a ref reads it).  The
+    chunk depth divides every shift-slice period, so one slice index
+    serves the whole chunk."""
+    rows_lo = K * bits_lo // 8
+    s = row0 // rows_lo
+    r0 = row0 - s * rows_lo
+    w = ((fq[r0:r0 + d, :].astype(jnp.int32) >> (bits_lo * s))
+         & ((1 << bits_lo) - 1))
+    if bits_hi:
+        rows_hi = K * bits_hi // 8
+        sh = row0 // rows_hi
+        rh = rows_lo + (row0 - sh * rows_hi)
+        wh = ((fq[rh:rh + d, :].astype(jnp.int32) >> (bits_hi * sh))
+              & ((1 << bits_hi) - 1))
+        w = w | (wh << bits_lo)
+    return w.astype(jnp.int8)
+
+
+def _unpack_t(fq, cfg: QConfig, K: int, row0: int, d: int):
+    bits_lo, bits_hi = _pack_bits(cfg)
+    return _unpack_rows(fq, bits_lo, bits_hi, K, row0, d)
 
 
 def dequantize_qp8(qt: QTensor, dtype=jnp.float32):
@@ -149,11 +212,10 @@ def dequantize_qp8(qt: QTensor, dtype=jnp.float32):
     cfg = qt.cfg
     K = qt.k
     gs = cfg.gs
-    if _is_nib(cfg):
-        p = qt.fq.astype(jnp.int32)
-        vT = jnp.concatenate([p & 15, (p >> 4) & 15], axis=0)  # [K, n2]
-    else:
-        vT = qt.fq.astype(jnp.int32)
+    dch = pick_depth(cfg, K)
+    vT = jnp.concatenate(
+        [_unpack_t(qt.fq, cfg, K, r0, dch).astype(jnp.int32)
+         for r0 in range(0, K, dch)], axis=0)                  # [K, n2]
     sT = jnp.repeat(qt.fs.astype(jnp.float32), gs, axis=0)     # [K, n2]
     wT = vT.astype(jnp.float32) * sT
     off = _offset_bias_t(cfg, qt.fb)
@@ -192,32 +254,9 @@ def _apply_act_f32(act: str, x):
     return x * jax.lax.logistic(x)  # silu
 
 
-def _qp8_decode_kernel(K: int, depth: int, B: int, gs: int, nibble: bool,
-                       affine: bool, off: float, eps, act: str,
-                       has_res: bool, x_ref, q_ref, s_ref, *rest):
-    """Transposed-plane int8 group-partial decode GEMV (B <= 8).
-
-    x_ref [B, K] f32 raw ([B, 2K] when act: gate ++ up halves);
-    q_ref [K/2, bn] u8 / [K, bn] i8; s_ref fsT [G, bn];
-    optional (in order): fbT [G, bn], wn [1, K], res [B, bn]; out [B8, bn].
-    """
-    i = 0
-    b_ref = wn_ref = res_ref = None
-    if affine:
-        b_ref = rest[i]
-        i += 1
-    if eps is not None:
-        wn_ref = rest[i]
-        i += 1
-    if has_res:
-        res_ref = rest[i]
-        i += 1
-    o_ref = rest[-1]
-    bn = o_ref.shape[1]
-    e = depth // gs
-    rows = B * e
-    nch = K // depth
-    # ---- effective activation (f32): raw / fused RMS-norm / act-mul ----
+def _qp8_prologue(K: int, B: int, eps, act: str, x_ref, wn_ref):
+    """Effective activation (raw / fused RMS-norm / act-mul) -> per-SEG
+    int8 quantization.  Returns (x8 i32 [B, K], amax [B, K])."""
     if act:
         xw = x_ref[:].astype(jnp.float32)
         xf = _apply_act_f32(act, xw[:, :K]) * xw[:, K:]
@@ -227,12 +266,22 @@ def _qp8_decode_kernel(K: int, depth: int, B: int, gs: int, nibble: bool,
         xf = x0 * inv * wn_ref[:].astype(jnp.float32)
     else:
         xf = x_ref[:].astype(jnp.float32)
-    # ---- per-SEG-segment symmetric int8 activation quantization --------
     amax = _butterfly_absmax(xf, SEG)
     iscale = jnp.where(amax > 0, 127.0 / amax, 0.0)
     # the i1 select mask can't relayout to int8 (32,128) tiling: select in
-    # the i32 domain, truncate after
+    # the i32 domain, truncate after (the expansion does the final cast)
     x8 = jnp.round(xf * iscale).astype(jnp.int32)
+    return x8, amax
+
+
+def _qp8_body(K: int, depth: int, B: int, gs: int, pb: tuple, off: float,
+              bn: int, x8, amax, q_ref, s_ref, b_ref):
+    """Group-partial int8 contraction against ONE tensor's plane blocks:
+    expansion, chunk dots, P-domain scales, bias.  Returns y [B, bn]."""
+    e = depth // gs
+    rows = B * e
+    nch = K // depth
+    affine = b_ref is not None
     # ---- expansion: row b*e+s keeps weight-subgroup s of each chunk ----
     if B == 1:
         x8b = jnp.broadcast_to(x8, (rows, K))
@@ -247,20 +296,9 @@ def _qp8_decode_kernel(K: int, depth: int, B: int, gs: int, nibble: bool,
     srow = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
     s_in_b = srow % e
     b_of_r = srow // e
-    half = K // 2
-    ch_half = half // depth
     acc = jnp.zeros((rows, bn), jnp.float32)
     for c in range(nch):
-        if nibble:
-            if c < ch_half:
-                w = (q_ref[c * depth:(c + 1) * depth, :] & 15).astype(
-                    jnp.int8)
-            else:
-                cc = c - ch_half
-                w = (q_ref[cc * depth:(cc + 1) * depth, :].astype(jnp.int32)
-                     >> 4).astype(jnp.int8)
-        else:
-            w = q_ref[c * depth:(c + 1) * depth, :]
+        w = _unpack_rows(q_ref, pb[0], pb[1], K, c * depth, depth)
         xc = X4[:, c * depth:(c + 1) * depth]
         p = jax.lax.dot_general(xc, w, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.int32)
@@ -292,7 +330,34 @@ def _qp8_decode_kernel(K: int, depth: int, B: int, gs: int, nibble: bool,
             else:
                 fb = off * m
             acc = acc + fb * (s8 * xs_sel)
-    y = acc.reshape(B, e, bn).sum(axis=1)
+    return acc.reshape(B, e, bn).sum(axis=1)
+
+
+def _qp8_decode_kernel(K: int, depth: int, B: int, gs: int, pb: tuple,
+                       affine: bool, off: float, eps, act: str,
+                       has_res: bool, x_ref, q_ref, s_ref, *rest):
+    """Transposed-plane int8 group-partial decode GEMV (B <= 8).
+
+    x_ref [B, K] f32 raw ([B, 2K] when act: gate ++ up halves);
+    q_ref [K/2, bn] u8 / [K, bn] i8; s_ref fsT [G, bn];
+    optional (in order): fbT [G, bn], wn [1, K], res [B, bn]; out [B8, bn].
+    """
+    i = 0
+    b_ref = wn_ref = res_ref = None
+    if affine:
+        b_ref = rest[i]
+        i += 1
+    if eps is not None:
+        wn_ref = rest[i]
+        i += 1
+    if has_res:
+        res_ref = rest[i]
+        i += 1
+    o_ref = rest[-1]
+    bn = o_ref.shape[1]
+    x8, amax = _qp8_prologue(K, B, eps, act, x_ref, wn_ref)
+    y = _qp8_body(K, depth, B, gs, pb, off, bn, x8, amax, q_ref, s_ref,
+                  b_ref)
     if res_ref is not None:
         y = y + res_ref[:].astype(jnp.float32)
     if B < o_ref.shape[0]:
@@ -300,7 +365,50 @@ def _qp8_decode_kernel(K: int, depth: int, B: int, gs: int, nibble: bool,
     o_ref[:] = y
 
 
-def _tpf_kernel(K: int, depth: int, gs: int, nibble: bool, affine: bool,
+def _qp8_dual_kernel(K: int, B: int, nba: int,
+                     depth_a: int, gs_a: int, pb_a: tuple, affine_a: bool,
+                     off_a: float,
+                     depth_b: int, gs_b: int, pb_b: tuple, affine_b: bool,
+                     off_b: float, eps,
+                     x_ref, qa_ref, sa_ref, qb_ref, sb_ref, *rest):
+    """TWO t-layout projections of the SAME activation in ONE launch
+    (mixed-type fused-QKV decode: Q4_K wqk + Q6_K wv under Q4_K_M).  The
+    norm + butterfly activation quantization run once per block; grid
+    blocks [0, nba) write tensor A's lanes, the rest tensor B's."""
+    i = 0
+    ba_ref = bb_ref = wn_ref = None
+    if affine_a:
+        ba_ref = rest[i]
+        i += 1
+    if affine_b:
+        bb_ref = rest[i]
+        i += 1
+    if eps is not None:
+        wn_ref = rest[i]
+        i += 1
+    o_ref = rest[-1]
+    bn = o_ref.shape[1]
+    x8, amax = _qp8_prologue(K, B, eps, "", x_ref, wn_ref)
+    gi = pl.program_id(0)
+
+    @pl.when(gi < nba)
+    def _a():
+        y = _qp8_body(K, depth_a, B, gs_a, pb_a, off_a, bn, x8, amax,
+                      qa_ref, sa_ref, ba_ref)
+        if B < o_ref.shape[0]:
+            y = jnp.pad(y, ((0, o_ref.shape[0] - B), (0, 0)))
+        o_ref[:] = y
+
+    @pl.when(gi >= nba)
+    def _b():
+        y = _qp8_body(K, depth_b, B, gs_b, pb_b, off_b, bn, x8, amax,
+                      qb_ref, sb_ref, bb_ref)
+        if B < o_ref.shape[0]:
+            y = jnp.pad(y, ((0, o_ref.shape[0] - B), (0, 0)))
+        o_ref[:] = y
+
+
+def _tpf_kernel(K: int, depth: int, gs: int, pb: tuple, affine: bool,
                 off: float, x_ref, q_ref, s_ref, *rest):
     """Transposed-plane prefill GEMM: per-chunk sublane scale expansion,
     canonical bf16 dots (exact production semantics)."""
@@ -310,8 +418,6 @@ def _tpf_kernel(K: int, depth: int, gs: int, nibble: bool, affine: bool,
     B = x_ref.shape[0]
     e = depth // gs
     nch = K // depth
-    half = K // 2
-    ch_half = half // depth
     acc = jnp.zeros((B, bn), jnp.float32)
     need_xg = affine or off
     mask = None
@@ -322,16 +428,7 @@ def _tpf_kernel(K: int, depth: int, gs: int, nibble: bool, affine: bool,
         colm = jax.lax.broadcasted_iota(jnp.int32, (depth, e), 1)
         mask = (subm == colm).astype(jnp.bfloat16)
     for c in range(nch):
-        if nibble:
-            if c < ch_half:
-                w = (q_ref[c * depth:(c + 1) * depth, :] & 15).astype(
-                    jnp.int8)
-            else:
-                cc = c - ch_half
-                w = (q_ref[cc * depth:(cc + 1) * depth, :].astype(jnp.int32)
-                     >> 4).astype(jnp.int8)
-        else:
-            w = q_ref[c * depth:(c + 1) * depth, :]
+        w = _unpack_rows(q_ref, pb[0], pb[1], K, c * depth, depth)
         sc = s_ref[c * e:(c + 1) * e, :]
         sc_exp = jnp.broadcast_to(
             sc.reshape(e, 1, bn), (e, gs, bn)).reshape(depth, bn)
@@ -357,24 +454,32 @@ def _tpf_kernel(K: int, depth: int, gs: int, nibble: bool, affine: bool,
     o_ref[:] = acc
 
 
-def _pick_bn_t(n2: int, K: int, nibble: bool, B: int) -> int:
-    """Lane-block size: weight block (+ double buffer) must fit VMEM."""
-    per_col = (K // 2 if nibble else K)
-    for bn in (2048, 1024, 512, 256):
+def _pick_bn_t(n2: int, K: int, pb: tuple, B: int) -> int:
+    """Lane-block size: weight block (+ double buffer) must fit VMEM.
+    GHT_QP8_BN overrides the candidate list for ablations."""
+    import os
+
+    env = os.environ.get("GHT_QP8_BN")
+    per_col = K * (pb[0] + pb[1]) // 8
+    for bn in (int(env),) if env else (2048, 1024, 512, 256):
         if n2 % bn:
             continue
-        # block + its unpack/cast intermediates (~3 B/weight decode, ~4
-        # prefill bf16 path) + double buffering
-        scratch = (4 if B > QP8_MAX_DECODE else 3) * bn * per_col
-        if 2 * bn * per_col + scratch + 2 * B * K * 4 <= 90 * 1024 * 1024:
+        if env:
+            return bn
+        # measured on-chip (tools/qp8_sweep.py, production entries, one
+        # process): the K=4096 gate-up shape runs best at an 8 MB-class
+        # weight block (bn=2048, 100.3us), while K=14336 ffn_down
+        # collapses there (71.8us at bn=2048 vs 50.0 at 1024 = 7.3 MB
+        # block) — cap the per-step weight block at 8 MB
+        if bn * per_col <= 8 * 1024 * 1024:
             return bn
     return 256
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "nibble", "G", "bn", "depth", "gs", "eps", "interpret", "act", "off",
+    "pb", "G", "bn", "depth", "gs", "eps", "interpret", "act", "off",
     "decode"))
-def _qp8_call(x, fq, fs, fb=None, wn=None, res=None, *, nibble: bool,
+def _qp8_call(x, fq, fs, fb=None, wn=None, res=None, *, pb: tuple,
               G: int, bn: int, depth: int, gs: int, eps=None,
               interpret: bool = False, act: str = "", off: float = 0.0,
               decode: bool = True):
@@ -385,13 +490,13 @@ def _qp8_call(x, fq, fs, fb=None, wn=None, res=None, *, nibble: bool,
     rowsdim = fq.shape[0]
     if decode:
         kern = functools.partial(
-            _qp8_decode_kernel, K, depth, B, gs, nibble, fb is not None,
+            _qp8_decode_kernel, K, depth, B, gs, pb, fb is not None,
             off, eps, act, res is not None)
         B8 = max(8, B)
     else:
         assert not act and eps is None and res is None
         kern = functools.partial(
-            _tpf_kernel, K, depth, gs, nibble, fb is not None, off)
+            _tpf_kernel, K, depth, gs, pb, fb is not None, off)
         B8 = B
     col_spec = pl.BlockSpec((G, bn), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
@@ -455,11 +560,11 @@ def qp8_ref(x, qt: QTensor):
     K = qt.k
     gs = cfg.gs
     G = K // gs
-    if _is_nib(cfg):
-        p = qt.fq.astype(jnp.int32)
-        vT = jnp.concatenate([p & 15, (p >> 4) & 15], axis=0)
-    else:
-        vT = qt.fq.astype(jnp.int32)
+    pb = _pack_bits(cfg)
+    dch = pick_depth(cfg, K)
+    vT = jnp.concatenate(
+        [_unpack_rows(qt.fq, pb[0], pb[1], K, r0, dch).astype(jnp.int32)
+         for r0 in range(0, K, dch)], axis=0)
     B = x.shape[0]
     x8, xs = _quant_act_seg(x.astype(jnp.float32))
     n2 = vT.shape[1]
@@ -492,12 +597,12 @@ def _qp8_core(x, planes, cfg, n, k, interpret, depth, gs):
     fq, fs, fb = planes
     B, K = x.shape
     G = K // gs
-    nibble = _is_nib(cfg)
-    bn = _pick_bn_t(fq.shape[1], K, nibble, B)
+    pb = _pack_bits(cfg)
+    bn = _pick_bn_t(fq.shape[1], K, pb, B)
     decode = _decode_ok(B)
     off = _offset_bias_t(cfg, fb)
     xin = (x.astype(jnp.float32) if decode else x.astype(jnp.bfloat16))
-    y = _qp8_call(xin, fq, fs, fb, nibble=nibble, G=G, bn=bn, depth=depth,
+    y = _qp8_call(xin, fq, fs, fb, pb=pb, G=G, bn=bn, depth=depth,
                   gs=gs, interpret=interpret, off=off, decode=decode)
     # slice BOTH axes so the custom-vjp cotangent matches x's row count
     return y[:B, :n]
@@ -512,11 +617,11 @@ def _qp8_bwd(cfg, n, k, interpret, depth, gs, resid, g):
     fq, fs, fb = planes
     # straight-through through the activation quant; dx = g @ W^T from the
     # dequantized transposed planes
-    if _is_nib(cfg):
-        p = fq.astype(jnp.int32)
-        vT = jnp.concatenate([p & 15, (p >> 4) & 15], axis=0)
-    else:
-        vT = fq.astype(jnp.int32)
+    pb = _pack_bits(cfg)
+    dch = pick_depth(cfg, k)
+    vT = jnp.concatenate(
+        [_unpack_rows(fq, pb[0], pb[1], k, r0, dch).astype(jnp.int32)
+         for r0 in range(0, k, dch)], axis=0)
     sT = jnp.repeat(fs.astype(jnp.float32), gs, axis=0)
     wT = vT.astype(jnp.float32) * sT                      # [K, n2]
     off = _offset_bias_t(cfg, fb)
@@ -569,8 +674,8 @@ def _qp8_infer(x2, qt: QTensor, wn=None, eps=None, act="", res=None,
     K = qt.k if not act else qt.k
     B = x2.shape[0]
     G = qt.k // cfg.gs
-    nibble = _is_nib(cfg)
-    bn = _pick_bn_t(qt.fq.shape[1], qt.k, nibble, B)
+    pb = _pack_bits(cfg)
+    bn = _pick_bn_t(qt.fq.shape[1], qt.k, pb, B)
     depth = pick_depth(cfg, qt.k)
     off = _offset_bias_t(cfg, qt.fb)
     if res is not None:
@@ -578,7 +683,7 @@ def _qp8_infer(x2, qt: QTensor, wn=None, eps=None, act="", res=None,
         res = jnp.pad(res, ((0, 0), (0, qt.fq.shape[1] - res.shape[1])))
     y = _qp8_call(x2.astype(jnp.float32), qt.fq, qt.fs, qt.fb,
                   None if wn is None else jnp.asarray(wn, jnp.float32),
-                  res, nibble=nibble, G=G, bn=bn, depth=depth, gs=cfg.gs,
+                  res, pb=pb, G=G, bn=bn, depth=depth, gs=cfg.gs,
                   eps=None if eps is None else float(eps),
                   interpret=interpret, act=act, off=off, decode=True)
     del K
@@ -629,3 +734,121 @@ def qp8_matmul_act(x, qt: QTensor, act: str, res=None,
         r2 = res.astype(jnp.float32).reshape(B, qt.n)
     y = _qp8_infer(x2, qt, act=act, res=r2, interpret=interpret)
     return y[:B, :qt.n].reshape(*lead, qt.n).astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# dual projection (mixed-type fused QKV decode)
+# ---------------------------------------------------------------------------
+
+def _dual_bn(qt_a: QTensor, qt_b: QTensor) -> int | None:
+    """Common lane-block for one dual launch, or None.  Lane padding
+    would land mid-output, so both plane widths must equal their n."""
+    if qt_a.fq is None or qt_b.fq is None or qt_a.k != qt_b.k:
+        return None
+    if qt_a.fl != "t" or qt_b.fl != "t":
+        return None
+    if qt_a.fq.shape[1] != qt_a.n or qt_b.fq.shape[1] != qt_b.n:
+        return None
+    for bn in (1024, 512, 256):
+        if qt_a.n % bn == 0 and qt_b.n % bn == 0:
+            return bn
+    return None
+
+
+def supports_qp8_dual(qt_a, qt_b) -> bool:
+    return (isinstance(qt_a, QTensor) and isinstance(qt_b, QTensor)
+            and _dual_bn(qt_a, qt_b) is not None)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "pa", "pb_", "Ga", "Gb", "bn", "da", "db", "gsa", "gsb", "eps",
+    "interpret", "off_a", "off_b"))
+def _qp8_dual_call(x, fqa, fsa, fqb, fsb, fba=None, fbb=None, wn=None, *,
+                   pa, pb_, Ga, Gb, bn, da, db, gsa, gsb, eps=None,
+                   interpret=False, off_a=0.0, off_b=0.0):
+    B, K = x.shape
+    na2, nb2 = fqa.shape[1], fqb.shape[1]
+    nba = na2 // bn
+    nbb = nb2 // bn
+    kern = functools.partial(
+        _qp8_dual_kernel, K, B, nba,
+        da, gsa, pa, fba is not None, off_a,
+        db, gsb, pb_, fbb is not None, off_b, eps)
+
+    def ia(i):
+        return jnp.minimum(i, nba - 1)
+
+    def ib(i):
+        return jnp.clip(i - nba, 0, nbb - 1)
+
+    in_specs = [
+        pl.BlockSpec((B, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((fqa.shape[0], bn), lambda i: (0, ia(i)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Ga, bn), lambda i: (0, ia(i)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((fqb.shape[0], bn), lambda i: (0, ib(i)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Gb, bn), lambda i: (0, ib(i)),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [x, fqa, fsa, fqb, fsb]
+    if fba is not None:
+        in_specs.append(pl.BlockSpec((Ga, bn), lambda i: (0, ia(i)),
+                                     memory_space=pltpu.VMEM))
+        args.append(fba)
+    if fbb is not None:
+        in_specs.append(pl.BlockSpec((Gb, bn), lambda i: (0, ib(i)),
+                                     memory_space=pltpu.VMEM))
+        args.append(fbb)
+    if wn is not None:
+        in_specs.append(pl.BlockSpec((1, K), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(wn.reshape(1, K))
+    B8 = max(8, B)
+    return pl.pallas_call(
+        kern,
+        grid=(nba + nbb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((B8, bn), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B8, na2 + nb2), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * K * (na2 + nb2),
+            bytes_accessed=int(np.prod(fqa.shape))
+            + int(np.prod(fqb.shape)),
+            transcendentals=0),
+        interpret=interpret,
+    )(*args)
+
+
+def qp8_matmul_dual(x, qt_a: QTensor, qt_b: QTensor, wn=None, eps=None,
+                    out_dtype=jnp.float32, interpret=False):
+    """Two t-layout projections of the same activation in one launch,
+    outputs row-concatenated [x @ A' ++ x @ B'] — the qp8 twin of
+    qmm_fast.qmatmul_fast_dual (one dispatch for the mixed-type QKV
+    decode; the shared RMS-norm and activation quantization run once).
+    wn is the RAW norm weight (no interleave on this layout)."""
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    assert K == qt_a.k == qt_b.k
+    bn = _dual_bn(qt_a, qt_b)
+    assert bn is not None
+    B = int(np.prod(lead)) if lead else 1
+    assert _decode_ok(B)
+    x2 = x.reshape(B, K)
+    y = _qp8_dual_call(
+        x2.astype(jnp.float32), qt_a.fq, qt_a.fs, qt_b.fq, qt_b.fs,
+        qt_a.fb, qt_b.fb,
+        None if wn is None else jnp.asarray(wn, jnp.float32),
+        pa=_pack_bits(qt_a.cfg), pb_=_pack_bits(qt_b.cfg),
+        Ga=K // qt_a.cfg.gs, Gb=K // qt_b.cfg.gs, bn=bn,
+        da=pick_depth(qt_a.cfg, K), db=pick_depth(qt_b.cfg, K),
+        gsa=qt_a.cfg.gs, gsb=qt_b.cfg.gs,
+        eps=None if eps is None else float(eps), interpret=interpret,
+        off_a=_offset_bias_t(qt_a.cfg, qt_a.fb),
+        off_b=_offset_bias_t(qt_b.cfg, qt_b.fb))
+    return y[:B].reshape(*lead, qt_a.n + qt_b.n).astype(out_dtype)

@@ -246,17 +246,21 @@ def use_qp8_layout(cfg: QConfig, k: int) -> bool:
     """True when (cfg, K) should build the transposed qp8 planes
     (ops/qmm_qp8.py) instead of the interleaved layout.
 
-    Default: the 4-bit nibble family (Q4_0/Q4_1/Q4_K) — measured 33%
-    faster decode on-chip (tools/kernel_lab9.py); byte formats measured
-    at parity and keep the interleaved f32 route.  GHT_QP8=0 forces the
+    Default: every sub-byte-packable unsigned family — the 4-bit nibbles
+    (Q4_0/Q4_1/Q4_K, measured 33% faster decode on-chip,
+    tools/kernel_lab9.py) and the multi-plane K-quants (Q5_K/Q6_K/Q2_K/
+    Q3_K/Q5_0/Q5_1: wire-density packed planes, e.g. Q6_K at 6 bits vs
+    the interleaved layout's int8 rows — measured ~20% faster on the
+    ffn_down shape, tools/qp8_sweep.py).  Q8_0 (signed), IQ4 (LUT) and
+    the coded i-quants keep the interleaved route.  GHT_QP8=0 forces the
     interleaved layout everywhere."""
     import os
 
     if os.environ.get("GHT_QP8", "1") in ("", "0"):
         return False
-    from ..ops.qmm_qp8 import _is_nib, supports_qp8
+    from ..ops.qmm_qp8 import supports_qp8
 
-    return _is_nib(cfg) and supports_qp8(cfg, k)
+    return supports_qp8(cfg, k)
 
 
 def _build_planes_auto(qt: "QTensor", layout: str | None = None):

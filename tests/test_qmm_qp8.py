@@ -21,7 +21,8 @@ from ggml_hexagon_tpu.ops.qmm_qp8 import (
 from ggml_hexagon_tpu.quant.formats import GGMLType
 from ggml_hexagon_tpu.quant.pack import QCONFIGS, quantize_tensor
 
-T_TYPES = [GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q4_K]
+T_TYPES = [GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q4_K, GGMLType.Q5_0,
+           GGMLType.Q5_K, GGMLType.Q6_K, GGMLType.Q2_K, GGMLType.Q3_K]
 
 
 def make_qt(qtype, n=512, k=512, seed=0):
@@ -184,3 +185,36 @@ def test_take_rows_and_concat_t_layout():
     wb = np.asarray(dequantize_qp8(qb))[: qb.n]
     wc = np.asarray(dequantize_qp8(qc))[: qc.n]
     np.testing.assert_allclose(wf, np.concatenate([wb, wc]), atol=1e-6)
+
+
+def test_dual_matches_separate():
+    from ggml_hexagon_tpu.ops.qmm_qp8 import (qp8_matmul_dual,
+                                              supports_qp8_dual)
+
+    qa = make_qt(GGMLType.Q4_K, n=512, k=512, seed=20)
+    qb = make_qt(GGMLType.Q6_K, n=512, k=512, seed=21)
+    assert supports_qp8_dual(qa, qb)
+    rng = np.random.default_rng(22)
+    x = jnp.asarray(rng.normal(size=(1, 512)), jnp.float32)
+    wn = jnp.asarray(rng.normal(size=(512,)) * 0.1 + 1.0, jnp.float32)
+    eps = 1e-5
+    got = np.asarray(qp8_matmul_dual(x, qa, qb, wn=wn, eps=eps,
+                                     interpret=True))
+    ya = np.asarray(qp8_matmul_normed(x, qa, wn, eps, interpret=True))
+    yb = np.asarray(qp8_matmul_normed(x, qb, wn, eps, interpret=True))
+    want = np.concatenate([ya, yb], axis=1)
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_dual_no_norm_b4():
+    from ggml_hexagon_tpu.ops.qmm_qp8 import qp8_matmul_dual
+
+    qa = make_qt(GGMLType.Q4_0, n=512, k=512, seed=23)
+    qb = make_qt(GGMLType.Q5_K, n=512, k=512, seed=24)
+    rng = np.random.default_rng(25)
+    x = jnp.asarray(rng.normal(size=(4, 512)), jnp.float32)
+    got = np.asarray(qp8_matmul_dual(x, qa, qb, interpret=True))
+    ya = np.asarray(qp8_matmul(x, qa, interpret=True))
+    yb = np.asarray(qp8_matmul(x, qb, interpret=True))
+    np.testing.assert_allclose(got, np.concatenate([ya, yb], axis=1),
+                               rtol=5e-4, atol=5e-4)
