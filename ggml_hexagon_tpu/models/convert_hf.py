@@ -964,3 +964,631 @@ def convert_hf_model(state_dict, hf_config, out_path, qtype=GGMLType.F16,
 
 
 convert_hf = convert_hf_llama
+
+
+# ---------------------------------------------------------------------------
+# round-4 breadth: the remaining reference-registered decoder families
+# (reference: convert_hf_to_gguf.py InternLM2Model, OpenELMModel,
+#  PlamoModel, CodeShellModel, RefactModel, GrokModel, ChameleonModel,
+#  BitnetModel, DeciModel, MiniCPM3Model, PLMModel, ArcticModel,
+#  Qwen2VLModel — mappings re-derived against gguf-py tensor_mapping.py)
+# ---------------------------------------------------------------------------
+
+def convert_hf_internlm2(sd, c, out_path, qtype=GGMLType.F16,
+                         tokenizer_fields=None):
+    """InternLM2ForCausalLM -> GGUF (internlm2 arch).  The fused wqkv is
+    stored grouped [n_groups, q_per_kv+2, hd, d]: split into q/k/v and
+    apply the llama rotate-half permutation to q/k (reference:
+    InternLM2Model.modify_tensors)."""
+    nh = int(c.num_attention_heads)
+    nkv = int(getattr(c, "num_key_value_heads", nh))
+    d = int(c.hidden_size)
+    hd = d // nh
+    qpk = nh // nkv
+    t = {"token_embd.weight": sd["model.tok_embeddings.weight"]}
+    if "output.weight" in sd:
+        t["output.weight"] = sd["output.weight"]
+    for i in range(int(c.num_hidden_layers)):
+        p, g = f"model.layers.{i}.", f"blk.{i}."
+        t[g + "attn_norm.weight"] = sd[p + "attention_norm.weight"]
+        qkv = sd[p + "attention.wqkv.weight"].reshape(nkv, qpk + 2, hd, d)
+        q = qkv[:, :qpk].reshape(nh * hd, d)
+        k = qkv[:, -2].reshape(nkv * hd, d)
+        v = qkv[:, -1].reshape(nkv * hd, d)
+        t[g + "attn_q.weight"] = permute_qk(q, nh)
+        t[g + "attn_k.weight"] = permute_qk(k, nkv)
+        t[g + "attn_v.weight"] = v
+        t[g + "attn_output.weight"] = sd[p + "attention.wo.weight"]
+        t[g + "ffn_norm.weight"] = sd[p + "ffn_norm.weight"]
+        t[g + "ffn_gate.weight"] = sd[p + "feed_forward.w1.weight"]
+        t[g + "ffn_up.weight"] = sd[p + "feed_forward.w3.weight"]
+        t[g + "ffn_down.weight"] = sd[p + "feed_forward.w2.weight"]
+    t["output_norm.weight"] = sd["model.norm.weight"]
+    md = _common_md("internlm2", c, c.intermediate_size, 1e-5, n_head_kv=nkv)
+    md["internlm2.attention.layer_norm_rms_epsilon"] = float(
+        getattr(c, "rms_norm_eps", 1e-5))
+    return _write_gguf(out_path, "internlm2", md, t, qtype,
+                       tokenizer_fields=tokenizer_fields)
+
+
+def _make_divisible(v, divisor):
+    new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
+def convert_hf_openelm(sd, c, out_path, qtype=GGMLType.F16,
+                       tokenizer_fields=None):
+    """OpenELMForCausalLM -> GGUF (openelm arch; per-layer head/ffn
+    arrays, fused QKV, per-head RMS QK norms, tied head)."""
+    d = int(getattr(c, "model_dim"))
+    hd = int(getattr(c, "head_dim"))
+    nq = [int(x) for x in c.num_query_heads]
+    nkv = [int(x) for x in c.num_kv_heads]
+    ffd = [_make_divisible(m * d, int(c.ffn_dim_divisor))
+           for m in c.ffn_multipliers]
+    L = int(getattr(c, "num_transformer_layers"))
+    t = {"token_embd.weight": sd["transformer.token_embeddings.weight"]}
+    for i in range(L):
+        p, g = f"transformer.layers.{i}.", f"blk.{i}."
+        t[g + "attn_norm.weight"] = sd[p + "attn_norm.weight"]
+        t[g + "attn_qkv.weight"] = sd[p + "attn.qkv_proj.weight"]
+        t[g + "attn_output.weight"] = sd[p + "attn.out_proj.weight"]
+        t[g + "attn_q_norm.weight"] = sd[p + "attn.q_norm.weight"]
+        t[g + "attn_k_norm.weight"] = sd[p + "attn.k_norm.weight"]
+        t[g + "ffn_norm.weight"] = sd[p + "ffn_norm.weight"]
+        gu = sd[p + "ffn.proj_1.weight"]
+        t[g + "ffn_gate.weight"] = gu[: ffd[i]]
+        t[g + "ffn_up.weight"] = gu[ffd[i]:]
+        t[g + "ffn_down.weight"] = sd[p + "ffn.proj_2.weight"]
+    t["output_norm.weight"] = sd["transformer.norm.weight"]
+    md = {
+        "openelm.block_count": L,
+        "openelm.context_length": int(getattr(c, "max_context_length", 2048)),
+        "openelm.embedding_length": d,
+        "openelm.feed_forward_length": ffd,
+        "openelm.attention.head_count": nq,
+        "openelm.attention.head_count_kv": nkv,
+        "openelm.rope.freq_base": float(getattr(c, "rope_freq_constant",
+                                                10000.0)),
+        "openelm.attention.layer_norm_rms_epsilon": 1e-6,
+        "openelm.rope.dimension_count": hd,
+        "openelm.attention.key_length": hd,
+        "openelm.attention.value_length": hd,
+        "openelm.vocab_size": int(c.vocab_size),
+    }
+    return _write_gguf(out_path, "openelm", md, t, qtype,
+                       tokenizer_fields=tokenizer_fields)
+
+
+def convert_hf_plamo(sd, c, out_path, qtype=GGMLType.F16,
+                     tokenizer_fields=None):
+    """PlamoForCausalLM -> GGUF (plamo arch; GQA broadcast shuffles on
+    attn_q/attn_output, shared attn/ffn norm, parallel residual)."""
+    d = int(c.hidden_size)
+    nh = int(c.num_attention_heads)
+    nkv = int(getattr(c, "num_key_value_heads", 5) or 5)
+    hd = d // nh
+    grp = nh // nkv
+
+    def shuf_q(a):  # reference: PlamoModel.shuffle_attn_q_weight
+        return a.reshape(grp, nkv, hd, d).transpose(1, 0, 2, 3).reshape(d, d)
+
+    def shuf_o(a):
+        return a.reshape(d, grp, nkv, hd).transpose(0, 2, 1, 3).reshape(d, d)
+
+    t = {"token_embd.weight": sd["model.embed_tokens.weight"],
+         "output.weight": sd["lm_head.weight"],
+         "output_norm.weight": sd["model.norm.weight"]}
+    for i in range(int(c.num_hidden_layers)):
+        p, g = f"model.layers.layers.{i}.", f"blk.{i}."
+        t[g + "attn_norm.weight"] = sd[p + "norm.weight"]
+        t[g + "attn_q.weight"] = shuf_q(sd[p + "self_attn.q_proj.weight"])
+        t[g + "attn_k.weight"] = sd[p + "self_attn.k_proj.weight"]
+        t[g + "attn_v.weight"] = sd[p + "self_attn.v_proj.weight"]
+        t[g + "attn_output.weight"] = shuf_o(sd[p + "self_attn.o_proj.weight"])
+        t[g + "ffn_gate.weight"] = sd[p + "mlp.gate_proj.weight"]
+        t[g + "ffn_up.weight"] = sd[p + "mlp.up_proj.weight"]
+        t[g + "ffn_down.weight"] = sd[p + "mlp.down_proj.weight"]
+    md = _common_md("plamo", c, c.intermediate_size, 1e-5, n_head_kv=nkv)
+    md["plamo.attention.layer_norm_rms_epsilon"] = float(
+        getattr(c, "rms_norm_eps", 1e-5))
+    md["plamo.context_length"] = 4096  # not in config.json (reference)
+    return _write_gguf(out_path, "plamo", md, t, qtype,
+                       tokenizer_fields=tokenizer_fields)
+
+
+def convert_hf_codeshell(sd, c, out_path, qtype=GGMLType.F16,
+                         tokenizer_fields=None):
+    """CodeShellForCausalLM -> GGUF (codeshell arch; gpt-bigcode-style
+    LN + fused QKV with biases, partial NEOX rope)."""
+    t = {"token_embd.weight": sd["transformer.wte.weight"]}
+    if "lm_head.weight" in sd:
+        t["output.weight"] = sd["lm_head.weight"]
+    for i in range(int(getattr(c, "n_layer"))):
+        p, g = f"transformer.h.{i}.", f"blk.{i}."
+        _copy_biased(t, sd, p + "ln_1", g + "attn_norm")
+        _copy_biased(t, sd, p + "attn.c_attn", g + "attn_qkv")
+        _copy_biased(t, sd, p + "attn.c_proj", g + "attn_output")
+        _copy_biased(t, sd, p + "ln_2", g + "ffn_norm")
+        _copy_biased(t, sd, p + "mlp.c_fc", g + "ffn_up")
+        _copy_biased(t, sd, p + "mlp.c_proj", g + "ffn_down")
+    _copy_biased(t, sd, "transformer.ln_f", "output_norm")
+    nh = int(getattr(c, "n_head"))
+    d = int(getattr(c, "n_embd"))
+    md = {
+        "codeshell.block_count": int(getattr(c, "n_layer")),
+        "codeshell.context_length": int(getattr(c, "n_positions", 8192)),
+        "codeshell.embedding_length": d,
+        "codeshell.feed_forward_length": 4 * d,
+        "codeshell.attention.head_count": nh,
+        "codeshell.attention.head_count_kv":
+            int(getattr(c, "num_query_groups", 1)),
+        "codeshell.attention.layer_norm_epsilon":
+            float(getattr(c, "layer_norm_epsilon", 1e-5)),
+        "codeshell.rope.freq_base": 10000.0,
+        "codeshell.rope.scaling.type": "linear",
+        "codeshell.rope.scaling.factor": 1.0,
+        "codeshell.rope.dimension_count": d // nh,
+        "codeshell.vocab_size": int(c.vocab_size),
+    }
+    return _write_gguf(out_path, "codeshell", md, t, qtype,
+                       tokenizer_fields=tokenizer_fields)
+
+
+def convert_hf_refact(sd, c, out_path, qtype=GGMLType.F16,
+                      tokenizer_fields=None):
+    """GPTRefactForCausalLM -> GGUF (refact arch; MQA with split kv
+    tensor, SwiGLU with the llama-2/3 ff rounding, ALiBi)."""
+    d = int(getattr(c, "n_embd"))
+    nh = int(getattr(c, "n_head"))
+    hd = d // nh
+    ff = 256 * ((int(2 * 4 * d / 3) + 255) // 256)
+    t = {"token_embd.weight": sd["transformer.wte.weight"]}
+    if "lm_head.weight" in sd:
+        t["output.weight"] = sd["lm_head.weight"]
+    for i in range(int(getattr(c, "n_layer"))):
+        p, g = f"transformer.h.{i}.", f"blk.{i}."
+        t[g + "attn_norm.weight"] = sd[p + "ln_1.weight"]
+        kv = sd[p + "attn.kv.weight"]
+        t[g + "attn_k.weight"] = kv[:hd]
+        t[g + "attn_v.weight"] = kv[hd:]
+        t[g + "attn_q.weight"] = sd[p + "attn.q.weight"]
+        t[g + "attn_output.weight"] = sd[p + "attn.c_proj.weight"]
+        t[g + "ffn_norm.weight"] = sd[p + "ln_2.weight"]
+        gu = sd[p + "mlp.gate_up_proj.weight"]
+        t[g + "ffn_gate.weight"] = gu[:ff]
+        t[g + "ffn_up.weight"] = gu[ff:]
+        t[g + "ffn_down.weight"] = sd[p + "mlp.c_proj.weight"]
+    t["output_norm.weight"] = sd["transformer.ln_f.weight"]
+    md = {
+        "refact.block_count": int(getattr(c, "n_layer")),
+        "refact.context_length": int(getattr(c, "n_positions", 4096)),
+        "refact.embedding_length": d,
+        "refact.feed_forward_length": ff,
+        "refact.attention.head_count": nh,
+        "refact.attention.head_count_kv": 1,
+        "refact.attention.layer_norm_rms_epsilon":
+            float(getattr(c, "layer_norm_epsilon", 1e-6)),
+        "refact.vocab_size": int(c.vocab_size),
+    }
+    return _write_gguf(out_path, "refact", md, t, qtype,
+                       tokenizer_fields=tokenizer_fields)
+
+
+def convert_hf_grok(sd, c, out_path, qtype=GGMLType.F16,
+                    tokenizer_fields=None):
+    """GrokForCausalLM -> GGUF (grok arch; 4 norms/layer, MoE with
+    merged linear/linear_1/linear_v expert stacks)."""
+    E = int(getattr(c, "num_local_experts", 8))
+    t = {"token_embd.weight": sd["transformer.in_out_embed.weight"],
+         "output_norm.weight": sd["transformer.rms_norm.weight"]}
+    if "lm_head.weight" in sd:
+        t["output.weight"] = sd["lm_head.weight"]
+    for i in range(int(c.num_hidden_layers)):
+        p, g = f"transformer.decoder_layer.{i}.", f"blk.{i}."
+        t[g + "attn_norm.weight"] = sd[p + "rms_norm.weight"]
+        t[g + "attn_output_norm.weight"] = sd[p + "rms_norm_1.weight"]
+        t[g + "ffn_norm.weight"] = sd[p + "rms_norm_2.weight"]
+        t[g + "layer_output_norm.weight"] = sd[p + "rms_norm_3.weight"]
+        for proj, gn in (("query", "attn_q"), ("key", "attn_k"),
+                         ("value", "attn_v"), ("linear", "attn_output")):
+            t[g + gn + ".weight"] = sd[p + f"multi_head_attention.{proj}.weight"]
+        t[g + "ffn_gate_inp.weight"] = sd[p + "router.weight"]
+        for wid, gn in (("linear", "ffn_gate_exps"),
+                        ("linear_v", "ffn_up_exps"),
+                        ("linear_1", "ffn_down_exps")):
+            t[g + gn + ".weight"] = np.stack(
+                [sd[p + f"moe.{e}.{wid}.weight"] for e in range(E)])
+    md = _common_md("grok", c, getattr(c, "intermediate_size", 32768), 1e-5,
+                    n_head_kv=getattr(c, "num_key_value_heads",
+                                      c.num_attention_heads))
+    md["grok.attention.layer_norm_rms_epsilon"] = float(
+        getattr(c, "rms_norm_eps", 1e-5))
+    md["grok.expert_count"] = E
+    md["grok.expert_used_count"] = int(getattr(c, "num_experts_per_tok", 2))
+    return _write_gguf(out_path, "grok", md, t, qtype,
+                       tokenizer_fields=tokenizer_fields)
+
+
+def convert_hf_chameleon(sd, c, out_path, qtype=GGMLType.F16,
+                         tokenizer_fields=None):
+    """ChameleonForCausalLM -> GGUF (chameleon arch; swin_norm flag,
+    per-head LayerNorm QK norms — reference ChameleonModel reshapes the
+    HF [hd] q/k norms to per-head [n_head, hd])."""
+    nh = int(c.num_attention_heads)
+    nkv = int(getattr(c, "num_key_value_heads", nh))
+    hd = int(c.hidden_size) // nh
+    t = {"token_embd.weight": sd["model.embed_tokens.weight"]}
+    if "lm_head.weight" in sd:
+        t["output.weight"] = sd["lm_head.weight"]
+    for i in range(int(c.num_hidden_layers)):
+        p, g = f"model.layers.{i}.", f"blk.{i}."
+        t[g + "attn_norm.weight"] = sd[p + "input_layernorm.weight"]
+        t[g + "ffn_norm.weight"] = sd[p + "post_attention_layernorm.weight"]
+        for proj, gn in (("q_proj", "attn_q"), ("k_proj", "attn_k"),
+                         ("v_proj", "attn_v"), ("o_proj", "attn_output")):
+            a = sd[p + f"self_attn.{proj}.weight"]
+            if gn == "attn_q":
+                a = permute_qk(a, nh)
+            elif gn == "attn_k":
+                a = permute_qk(a, nkv)
+            t[g + gn + ".weight"] = a
+        # per-head QK LayerNorms ([nh, hd]; rope permutation applies on
+        # the head_dim axis like the projections)
+        qn = sd[p + "self_attn.q_norm.weight"]
+        kn = sd[p + "self_attn.k_norm.weight"]
+        if qn.ndim == 1:
+            qn = np.tile(qn[None, :], (nh, 1))
+            kn = np.tile(kn[None, :], (nkv, 1))
+        perm = _rope_half_perm(hd)
+        t[g + "attn_q_norm.weight"] = qn[:, perm]
+        t[g + "attn_k_norm.weight"] = kn[:, perm]
+        if p + "self_attn.q_norm.bias" in sd:
+            qb = sd[p + "self_attn.q_norm.bias"]
+            kb = sd[p + "self_attn.k_norm.bias"]
+            if qb.ndim == 1:
+                qb = np.tile(qb[None, :], (nh, 1))
+                kb = np.tile(kb[None, :], (nkv, 1))
+            t[g + "attn_q_norm.bias"] = qb[:, perm]
+            t[g + "attn_k_norm.bias"] = kb[:, perm]
+        t[g + "ffn_gate.weight"] = sd[p + "mlp.gate_proj.weight"]
+        t[g + "ffn_up.weight"] = sd[p + "mlp.up_proj.weight"]
+        t[g + "ffn_down.weight"] = sd[p + "mlp.down_proj.weight"]
+    t["output_norm.weight"] = sd["model.norm.weight"]
+    md = _common_md("chameleon", c, c.intermediate_size, 1e-5, n_head_kv=nkv)
+    md["chameleon.attention.layer_norm_rms_epsilon"] = float(
+        getattr(c, "rms_norm_eps", 1e-5))
+    md["chameleon.swin_norm"] = bool(getattr(c, "swin_norm", False))
+    return _write_gguf(out_path, "chameleon", md, t, qtype,
+                       tokenizer_fields=tokenizer_fields)
+
+
+def _rope_half_perm(hd):
+    """rotate-half rope permutation of a head_dim vector (the norm-weight
+    analog of permute_qk's row reorder)."""
+    half = hd // 2
+    perm = np.empty(hd, np.int64)
+    perm[:half] = 2 * np.arange(half)
+    perm[half:] = 2 * np.arange(half) + 1
+    return perm
+
+
+def convert_hf_bitnet(sd, c, out_path, qtype=GGMLType.F16,
+                      tokenizer_fields=None):
+    """BitnetForCausalLM -> GGUF (bitnet arch; ternary fake-quant on the
+    projection weights exactly as the reference converts, plus the
+    attn/ffn sub-norms)."""
+    def wq(a):  # reference BitnetModel.weight_quant
+        scale = max(float(np.abs(a).mean()), 1e-5)
+        return np.clip(np.round(a / scale), -1, 1) * scale
+
+    nh = int(c.num_attention_heads)
+    nkv = int(getattr(c, "num_key_value_heads", nh))
+    t = {"token_embd.weight": sd["model.embed_tokens.weight"]}
+    for i in range(int(c.num_hidden_layers)):
+        p, g = f"model.layers.{i}.", f"blk.{i}."
+        t[g + "attn_norm.weight"] = sd[p + "input_layernorm.weight"]
+        t[g + "ffn_norm.weight"] = sd[p + "post_attention_layernorm.weight"]
+        t[g + "attn_sub_norm.weight"] = sd[p + "self_attn.inner_attn_ln.weight"]
+        t[g + "ffn_sub_norm.weight"] = sd[p + "mlp.ffn_layernorm.weight"]
+        t[g + "attn_q.weight"] = wq(permute_qk(sd[p + "self_attn.q_proj.weight"], nh))
+        t[g + "attn_k.weight"] = wq(permute_qk(sd[p + "self_attn.k_proj.weight"], nkv))
+        t[g + "attn_v.weight"] = wq(sd[p + "self_attn.v_proj.weight"])
+        t[g + "attn_output.weight"] = wq(sd[p + "self_attn.o_proj.weight"])
+        t[g + "ffn_gate.weight"] = wq(sd[p + "mlp.gate_proj.weight"])
+        t[g + "ffn_up.weight"] = wq(sd[p + "mlp.up_proj.weight"])
+        t[g + "ffn_down.weight"] = wq(sd[p + "mlp.down_proj.weight"])
+    t["output_norm.weight"] = sd["model.norm.weight"]
+    md = _common_md("bitnet", c, c.intermediate_size, 1e-5, n_head_kv=nkv)
+    md["bitnet.attention.layer_norm_rms_epsilon"] = float(
+        getattr(c, "rms_norm_eps", 1e-5))
+    md["bitnet.rope.scaling.type"] = "linear"
+    md["bitnet.rope.scaling.factor"] = 1.0
+    return _write_gguf(out_path, "bitnet", md, t, qtype,
+                       tokenizer_fields=tokenizer_fields)
+
+
+def convert_hf_deci(sd, c, out_path, qtype=GGMLType.F16,
+                    tokenizer_fields=None):
+    """DeciLMForCausalLM -> GGUF (deci arch).  Handles both the
+    block_configs form (Llama-3_1-Nemotron-51B: per-layer head arrays,
+    attention-free and linear-attention layers) and the
+    num_key_value_heads_per_layer form (DeciLM-7B)."""
+    nh0 = int(c.num_attention_heads)
+    L = int(c.num_hidden_layers)
+    d = int(c.hidden_size)
+    if getattr(c, "block_configs", None):
+        nhs, nkvs, ffs = [], [], []
+        for bc in c.block_configs:
+            at = bc["attention"] if isinstance(bc, dict) else bc.attention
+            ff = bc["ffn"] if isinstance(bc, dict) else bc.ffn
+            g_ = at.get if isinstance(at, dict) else lambda k, d=None: getattr(at, k, d)
+            f_ = ff.get if isinstance(ff, dict) else lambda k, d=None: getattr(ff, k, d)
+            nig = g_("n_heads_in_group")
+            if nig is None:
+                nhs.append(nh0 if g_("replace_with_linear") else 0)
+                nkvs.append(0)
+            else:
+                nhs.append(nh0)
+                nkvs.append(nh0 // int(nig))
+            m = float(f_("ffn_mult") or 4.0)
+            ffs.append(256 * ((int(2 * m * d / 3) + 255) // 256))
+    else:
+        nhs = [nh0] * L
+        nkvs = [int(x) for x in getattr(
+            c, "num_key_value_heads_per_layer",
+            [getattr(c, "num_key_value_heads", nh0)] * L)]
+        ffs = [int(c.intermediate_size)] * L
+    t = {"token_embd.weight": sd["model.embed_tokens.weight"]}
+    if "lm_head.weight" in sd:
+        t["output.weight"] = sd["lm_head.weight"]
+    for i in range(L):
+        p, g = f"model.layers.{i}.", f"blk.{i}."
+        if p + "input_layernorm.weight" in sd:
+            t[g + "attn_norm.weight"] = sd[p + "input_layernorm.weight"]
+        if p + "post_attention_layernorm.weight" in sd:
+            t[g + "ffn_norm.weight"] = sd[p + "post_attention_layernorm.weight"]
+        if p + "self_attn.q_proj.weight" in sd:
+            t[g + "attn_q.weight"] = permute_qk(
+                sd[p + "self_attn.q_proj.weight"], nhs[i] or nh0)
+            t[g + "attn_k.weight"] = permute_qk(
+                sd[p + "self_attn.k_proj.weight"], nkvs[i] or 1)
+            t[g + "attn_v.weight"] = sd[p + "self_attn.v_proj.weight"]
+        if p + "self_attn.o_proj.weight" in sd:
+            t[g + "attn_output.weight"] = sd[p + "self_attn.o_proj.weight"]
+        for hn, gn in (("gate_proj", "ffn_gate"), ("up_proj", "ffn_up"),
+                       ("down_proj", "ffn_down")):
+            if p + f"mlp.{hn}.weight" in sd:
+                t[g + gn + ".weight"] = sd[p + f"mlp.{hn}.weight"]
+    t["output_norm.weight"] = sd["model.norm.weight"]
+    md = {
+        "deci.block_count": L,
+        "deci.context_length": int(getattr(c, "max_position_embeddings", 4096)),
+        "deci.embedding_length": d,
+        "deci.feed_forward_length": ffs,
+        "deci.attention.head_count": nhs,
+        "deci.attention.head_count_kv": nkvs,
+        "deci.attention.layer_norm_rms_epsilon": float(
+            getattr(c, "rms_norm_eps", 1e-5)),
+        "deci.rope.freq_base": float(getattr(c, "rope_theta", 10000.0)),
+        "deci.attention.key_length": d // nh0,
+        "deci.attention.value_length": d // nh0,
+        "deci.vocab_size": int(c.vocab_size),
+    }
+    return _write_gguf(out_path, "deci", md, t, qtype,
+                       tokenizer_fields=tokenizer_fields)
+
+
+def _convert_mla(arch, sd, c, out_path, qtype, tokenizer_fields,
+                 extra_md=None):
+    """Shared MLA-family converter body (minicpm3 / plm — the deepseek2
+    tensor naming with the family's own GGUF key prefix)."""
+    t = {"token_embd.weight": sd["model.embed_tokens.weight"]}
+    if "lm_head.weight" in sd:
+        t["output.weight"] = sd["lm_head.weight"]
+    for i in range(int(c.num_hidden_layers)):
+        p, g = f"model.layers.{i}.", f"blk.{i}."
+        t[g + "attn_norm.weight"] = sd[p + "input_layernorm.weight"]
+        t[g + "ffn_norm.weight"] = sd[p + "post_attention_layernorm.weight"]
+        if p + "self_attn.q_a_proj.weight" in sd:
+            t[g + "attn_q_a.weight"] = sd[p + "self_attn.q_a_proj.weight"]
+            t[g + "attn_q_a_norm.weight"] = sd[p + "self_attn.q_a_layernorm.weight"]
+            t[g + "attn_q_b.weight"] = sd[p + "self_attn.q_b_proj.weight"]
+        else:
+            t[g + "attn_q.weight"] = sd[p + "self_attn.q_proj.weight"]
+        t[g + "attn_kv_a_mqa.weight"] = sd[p + "self_attn.kv_a_proj_with_mqa.weight"]
+        t[g + "attn_kv_a_norm.weight"] = sd[p + "self_attn.kv_a_layernorm.weight"]
+        t[g + "attn_kv_b.weight"] = sd[p + "self_attn.kv_b_proj.weight"]
+        t[g + "attn_output.weight"] = sd[p + "self_attn.o_proj.weight"]
+        if p + "mlp.gate_proj.weight" in sd:
+            t[g + "ffn_gate.weight"] = sd[p + "mlp.gate_proj.weight"]
+        t[g + "ffn_up.weight"] = sd[p + "mlp.up_proj.weight"]
+        t[g + "ffn_down.weight"] = sd[p + "mlp.down_proj.weight"]
+    t["output_norm.weight"] = sd["model.norm.weight"]
+    md = {
+        f"{arch}.block_count": int(c.num_hidden_layers),
+        f"{arch}.context_length": int(getattr(c, "max_position_embeddings", 4096)),
+        f"{arch}.embedding_length": int(c.hidden_size),
+        f"{arch}.feed_forward_length": int(c.intermediate_size),
+        f"{arch}.attention.head_count": int(c.num_attention_heads),
+        f"{arch}.attention.head_count_kv":
+            int(getattr(c, "num_key_value_heads", c.num_attention_heads)),
+        f"{arch}.attention.layer_norm_rms_epsilon":
+            float(getattr(c, "rms_norm_eps", 1e-5)),
+        f"{arch}.rope.freq_base": float(getattr(c, "rope_theta", 10000.0)),
+        f"{arch}.vocab_size": int(c.vocab_size),
+        f"{arch}.attention.kv_lora_rank": int(c.kv_lora_rank),
+        f"{arch}.attention.key_length":
+            int(c.qk_nope_head_dim + c.qk_rope_head_dim),
+        f"{arch}.attention.value_length": int(c.v_head_dim),
+        f"{arch}.rope.dimension_count": int(c.qk_rope_head_dim),
+    }
+    if getattr(c, "q_lora_rank", None):
+        md[f"{arch}.attention.q_lora_rank"] = int(c.q_lora_rank)
+    md.update(extra_md or {})
+    rs = getattr(c, "rope_scaling", None)
+    tensors_extra = {}
+    if rs and rs.get("long_factor") is not None:
+        # minicpm3 longrope freq-factor tensors (reference
+        # MiniCPM3Model.generate_extra_tensors)
+        tensors_extra["blk.0.rope_factors_long.weight"] = np.asarray(
+            rs["long_factor"], np.float32)
+        tensors_extra["blk.0.rope_factors_short.weight"] = np.asarray(
+            rs["short_factor"], np.float32)
+    t.update(tensors_extra)
+    return _write_gguf(out_path, arch, md, t, qtype,
+                       tokenizer_fields=tokenizer_fields)
+
+
+def convert_hf_minicpm3(sd, c, out_path, qtype=GGMLType.F16,
+                        tokenizer_fields=None):
+    """MiniCPM3ForCausalLM -> GGUF (minicpm3 arch; MLA attention +
+    longrope factors; graph scales are hardcoded by the runtime)."""
+    return _convert_mla("minicpm3", sd, c, out_path, qtype,
+                        tokenizer_fields)
+
+
+def convert_hf_plm(sd, c, out_path, qtype=GGMLType.F16,
+                   tokenizer_fields=None):
+    """PLMForCausalLM -> GGUF (plm arch; MLA with direct wq, no-gate
+    relu^2 FFN)."""
+    return _convert_mla("plm", sd, c, out_path, qtype, tokenizer_fields)
+
+
+def convert_hf_arctic(sd, c, out_path, qtype=GGMLType.F16,
+                      tokenizer_fields=None):
+    """ArcticForCausalLM -> GGUF (arctic arch; every layer has a dense
+    residual MLP plus the routed expert branch with its own norm)."""
+    nh = int(c.num_attention_heads)
+    nkv = int(getattr(c, "num_key_value_heads", nh))
+    E = int(getattr(c, "num_local_experts", 0))
+    t = {"token_embd.weight": sd["model.embed_tokens.weight"]}
+    if "lm_head.weight" in sd:
+        t["output.weight"] = sd["lm_head.weight"]
+    for i in range(int(c.num_hidden_layers)):
+        p, g = f"model.layers.{i}.", f"blk.{i}."
+        t[g + "attn_norm.weight"] = sd[p + "input_layernorm.weight"]
+        for proj, gn in (("q_proj", "attn_q"), ("k_proj", "attn_k"),
+                         ("v_proj", "attn_v"), ("o_proj", "attn_output")):
+            a = sd[p + f"self_attn.{proj}.weight"]
+            if gn == "attn_q":
+                a = permute_qk(a, nh)
+            elif gn == "attn_k":
+                a = permute_qk(a, nkv)
+            t[g + gn + ".weight"] = a
+        # dense residual MLP (reference: residual_layernorm/residual_mlp)
+        t[g + "ffn_norm.weight"] = sd[p + "residual_layernorm.weight"]
+        t[g + "ffn_gate.weight"] = sd[p + "residual_mlp.w1.weight"]
+        t[g + "ffn_up.weight"] = sd[p + "residual_mlp.w3.weight"]
+        t[g + "ffn_down.weight"] = sd[p + "residual_mlp.w2.weight"]
+        # routed experts with the MoE-branch norm
+        t[g + "ffn_norm_exps.weight"] = sd[p + "post_attention_layernorm.weight"]
+        t[g + "ffn_gate_inp.weight"] = sd[p + "block_sparse_moe.gate.weight"]
+        for wid, gn in (("w1", "ffn_gate_exps"), ("w3", "ffn_up_exps"),
+                        ("w2", "ffn_down_exps")):
+            t[g + gn + ".weight"] = np.stack(
+                [sd[p + f"block_sparse_moe.experts.{e}.{wid}.weight"]
+                 for e in range(E)])
+    t["output_norm.weight"] = sd["model.norm.weight"]
+    md = _common_md("arctic", c, c.intermediate_size, 1e-5, n_head_kv=nkv)
+    md["arctic.attention.layer_norm_rms_epsilon"] = float(
+        getattr(c, "rms_norm_eps", 1e-5))
+    md["arctic.expert_count"] = E
+    md["arctic.expert_used_count"] = int(getattr(c, "num_experts_per_tok", 2))
+    md["arctic.rope.dimension_count"] = int(c.hidden_size) // nh
+    return _write_gguf(out_path, "arctic", md, t, qtype,
+                       tokenizer_fields=tokenizer_fields)
+
+
+def convert_hf_qwen2vl(sd, c, out_path, qtype=GGMLType.F16,
+                       tokenizer_fields=None):
+    """Qwen2VLForConditionalGeneration (text side) -> GGUF (qwen2vl arch
+    with M-RoPE sections; the vision tower converts separately via
+    models/clip.convert_hf_clip_vision)."""
+    tc = getattr(c, "text_config", None) or c
+    # strip the HF "model.language_model."/"language_model.model." wrapper
+    sd2 = {}
+    for k, v in sd.items():
+        for pre in ("model.language_model.", "language_model.model.",
+                    "language_model."):
+            if k.startswith(pre):
+                k = "model." + k[len(pre):]
+                break
+        sd2[k] = v
+    path = convert_hf_llama(sd2, tc, out_path, qtype=qtype,
+                            tokenizer_fields=tokenizer_fields)
+    # rewrite arch-specific metadata: qwen2vl = qwen2 graph + mrope
+    from ..gguf import GGUFReader, GGUFWriter
+
+    rs = getattr(tc, "rope_scaling", None) or {}
+    sections = rs.get("mrope_section") or [16, 24, 24]
+    with GGUFReader.open(path) as r:
+        md = dict(r.metadata)
+        # COPY payloads: tensor_bytes views the reader's mmap, which dies
+        # with the context manager
+        tensors = {n: (np.array(r.tensor_bytes(n)), r.tensors[n].ggml_type,
+                       tuple(r.tensors[n].ne)) for n in r.tensors}
+    w = GGUFWriter()
+    arch_old = md.pop("general.architecture")
+    w.add("general.architecture", "qwen2vl")
+    for k, v in md.items():
+        w.add(k.replace(f"{arch_old}.", "qwen2vl.", 1)
+              if k.startswith(f"{arch_old}.") else k, v)
+    w.add("qwen2vl.rope.dimension_sections",
+          [int(x) for x in sections] + [0] * (4 - len(sections)))
+    for name, (raw, tt, ne) in tensors.items():
+        w.add_tensor(name, raw, tt, raw_ne=ne)
+    w.write_file(path)
+    return path
+
+
+_CONVERTERS.update({
+    "internlm2": convert_hf_internlm2,
+    "internlm3": convert_hf_llama,       # llama graph with standard names
+    "openelm": convert_hf_openelm,
+    "plamo": convert_hf_plamo,
+    "codeshell": convert_hf_codeshell,
+    "gpt_refact": convert_hf_refact,
+    "refact": convert_hf_refact,
+    "grok-1": convert_hf_grok,
+    "grok": convert_hf_grok,
+    "chameleon": convert_hf_chameleon,
+    "bitnet": convert_hf_bitnet,
+    "deci": convert_hf_deci,
+    "nemotron-nas": convert_hf_deci,
+    "minicpm3": convert_hf_minicpm3,
+    "plm": convert_hf_plm,
+    "arctic": convert_hf_arctic,
+    "qwen2_vl": convert_hf_qwen2vl,
+    "qwen2_5_vl": convert_hf_qwen2vl,
+})
+
+
+def _register_family_converters():
+    """Route family-module converters through the central dispatch (the
+    reference's single convert_hf_to_gguf.py surface)."""
+    from .bert import convert_hf_bert
+    from .deepseek2 import convert_hf_deepseek2
+    from .mamba import convert_hf_mamba
+    from .rwkv6 import convert_hf_rwkv6
+    from .t5 import convert_hf_t5, convert_hf_t5encoder
+
+    _CONVERTERS.update({
+        "deepseek_v2": convert_hf_deepseek2,
+        "deepseek_v3": convert_hf_deepseek2,
+        "mamba": convert_hf_mamba,
+        "falcon_mamba": convert_hf_mamba,
+        "rwkv6": convert_hf_rwkv6,
+        "t5": convert_hf_t5,
+        "mt5": convert_hf_t5,
+        "umt5": convert_hf_t5,
+        "t5encoder": convert_hf_t5encoder,
+        "roberta": convert_hf_bert,
+        "xlm-roberta": convert_hf_bert,
+        "camembert": convert_hf_bert,
+    })
+
+
+_register_family_converters()
