@@ -142,15 +142,20 @@ def compare_quantize(base: str, tmp: str, qname: str) -> dict:
     return {"same": same, "diff": diff, "ref": ref_out, "our": our_out}
 
 
-def greedy_compare(gguf: str, prompt: str, n: int = 32) -> dict:
+def greedy_compare(gguf: str, prompt: str, n: int = 32,
+                   q8_act: bool = False) -> dict:
     r = run([f"{REF_BIN}/llama-cli", "-m", gguf, "-p", prompt, "-n", str(n),
              "--temp", "0", "--seed", "1", "-no-cnv", "--no-display-prompt",
              "-t", "4"])
     ref_text = r.stdout.strip()
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "GHT_COMPUTE_F32": "1"}
+    if q8_act:
+        # reproduce the reference CPU backend's activation quantization
+        # (vec_dot_*_q8_K semantics) — ops/qmatmul.quantize_act_ref
+        env["GHT_Q8_ACT"] = "1"
     code = run([sys.executable, "-m", "ggml_hexagon_tpu.cli", "generate",
                 "-m", gguf, "-p", prompt, "-n", str(n), "--temp", "0"],
-               cwd="/root/repo", env={**os.environ, "JAX_PLATFORMS": "cpu",
-                                      "GHT_COMPUTE_F32": "1"})
+               cwd="/root/repo", env=env)
     our_text = code.stdout.strip()
     return {"ref": ref_text, "our": our_text, "match": ref_text == our_text}
 
@@ -160,13 +165,23 @@ def ppl_compare(gguf: str, textfile: str, n_ctx: int = 128) -> dict:
              "-c", str(n_ctx), "-b", str(n_ctx), "-t", "4"])
     m = re.search(r"Final estimate: PPL = ([0-9.]+)", r.stdout + r.stderr)
     ref_ppl = float(m.group(1)) if m else None
-    rr = run([sys.executable, "-m", "ggml_hexagon_tpu.cli", "perplexity",
-              "-m", gguf, "-f", textfile, "-c", str(n_ctx)],
-             cwd="/root/repo", env={**os.environ, "JAX_PLATFORMS": "cpu",
-                                    "GHT_PPL_F32": "1"})
-    ours = json.loads(rr.stdout.strip().splitlines()[-1])
-    return {"ref_ppl": ref_ppl, "our_ppl": ours["ppl"],
-            "delta": None if ref_ppl is None else ours["ppl"] - ref_ppl}
+
+    def ours_with(extra):
+        rr = run([sys.executable, "-m", "ggml_hexagon_tpu.cli",
+                  "perplexity", "-m", gguf, "-f", textfile,
+                  "-c", str(n_ctx)], cwd="/root/repo",
+                 env={**os.environ, "JAX_PLATFORMS": "cpu",
+                      "GHT_PPL_F32": "1", **extra})
+        return json.loads(rr.stdout.strip().splitlines()[-1])["ppl"]
+
+    our = ours_with({})
+    # q8-activation contraction mode: the reference's own activation
+    # rounding (GHT_Q8_ACT; VERDICT r3 #3 closure) — deltas should
+    # collapse to reduction-order noise
+    our_q8 = ours_with({"GHT_Q8_ACT": "1"})
+    return {"ref_ppl": ref_ppl, "our_ppl": our, "our_ppl_q8": our_q8,
+            "delta": None if ref_ppl is None else our - ref_ppl,
+            "delta_q8": None if ref_ppl is None else our_q8 - ref_ppl}
 
 
 def main():
@@ -213,10 +228,19 @@ def main():
         if not g["match"]:
             print(f"    ref: {g['ref'][:120]!r}\n    our: {g['our'][:120]!r}",
                   flush=True)
+            g8 = greedy_compare(qres["ref"], "The meaning of life is",
+                                q8_act=True)
+            results["greedy"][q + "_q8act"] = g8["match"]
+            print(f"  greedy (q8-act mode) identical: {g8['match']}",
+                  flush=True)
+            if not g8["match"]:
+                print(f"    ref: {g8['ref'][:120]!r}\n"
+                      f"    our: {g8['our'][:120]!r}", flush=True)
         p = ppl_compare(qres["ref"], corpus)
         results["ppl"][q] = p
         print(f"  ppl ref={p['ref_ppl']} ours={p['our_ppl']} "
-              f"delta={p['delta']}", flush=True)
+              f"delta={p['delta']} | q8-act ours={p['our_ppl_q8']} "
+              f"delta={p['delta_q8']}", flush=True)
     with open(os.path.join(args.tmp, "parity_results.json"), "w") as f:
         json.dump(results, f, indent=1, default=str)
     print("done")
