@@ -242,7 +242,7 @@ def drop_wire_planes(weights: dict) -> dict:
 FAST_MATMUL = True
 
 
-def use_qp8_layout(cfg: QConfig, k: int) -> bool:
+def use_qp8_layout(cfg: QConfig, k: int, n_pad: int = 0) -> bool:
     """True when (cfg, K) should build the transposed qp8 planes
     (ops/qmm_qp8.py) instead of the interleaved layout.
 
@@ -258,16 +258,25 @@ def use_qp8_layout(cfg: QConfig, k: int) -> bool:
 
     if os.environ.get("GHT_QP8", "1") in ("", "0"):
         return False
-    from ..ops.qmm_qp8 import supports_qp8
+    from ..ops.qmm_qp8 import _is_nib, supports_qp8
 
-    return supports_qp8(cfg, k)
+    if not supports_qp8(cfg, k):
+        return False
+    # lm_head-class multi-plane tensors keep the interleaved f32 route:
+    # measured 542 GB/s on the qp8 Q6_K 128256x4096 head vs ~750 on the
+    # il byte path (tools/decode_comp.py r4) — the e=K/16 expansion rows
+    # and 4+2-bit unpack don't amortize at this width
+    if not _is_nib(cfg) and n_pad >= 65536:
+        return False
+    return True
 
 
 def _build_planes_auto(qt: "QTensor", layout: str | None = None):
     """-> (fq, fs, fb, fl) for qt, choosing the layout."""
     if layout is None:
         layout = "t" if (isinstance(qt.q, np.ndarray)
-                         and use_qp8_layout(qt.cfg, qt.k)) else "il"
+                         and use_qp8_layout(qt.cfg, qt.k, qt.n_pad)) \
+            else "il"
     if layout == "t":
         from ..ops.qmm_qp8 import build_t_planes
 
