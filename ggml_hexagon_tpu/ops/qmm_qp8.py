@@ -66,9 +66,25 @@ _BN = 512
 
 def _pack_bits(cfg: QConfig):
     """(bits_lo, bits_hi) of the packed t-plane, or None when the type
-    can't ride this layout (signed int8 / LUT / coded formats keep the
-    interleaved planes)."""
-    if cfg.code_map or cfg.expand or cfg.lut or cfg.signed:
+    can't ride this layout (signed int8 / LUT formats keep the
+    interleaved planes).
+
+    Coded formats (i-quants / ternary) pack their ARITHMETIC CODES, not
+    values: 2-magnitude-code alphabets (iq2/iq1) ride 2+1 bits (code +
+    sign = 3 bpw vs the interleaved coded nibbles' 4 and wire's
+    1.56-2.06 — the remaining gap is the reference's 256-entry grid
+    codebooks, which need a gather unit the TPU lacks); 8-magnitude
+    alphabets (iq3) keep sign+code nibbles (4+0); ternary is a plain
+    2-bit code."""
+    if cfg.lut or (cfg.signed and not cfg.code_map):
+        return None
+    if cfg.code_map in ("iq2", "iq1"):
+        return 2, 1
+    if cfg.code_map in ("iq3xxs", "iq3s"):
+        return 4, 0
+    if cfg.code_map == "tern":
+        return 2, 0
+    if cfg.code_map or cfg.expand:
         return None
     if (cfg.bits_lo, cfg.bits_hi) in ((4, 0), (4, 1), (4, 2),
                                       (2, 0), (2, 1)):
@@ -141,6 +157,19 @@ def build_t_planes(qt: QTensor):
         return None, None, None
     assert isinstance(qt.q, np.ndarray), "t-planes build host-side"
     v = _int_values_np(qt)                       # [n_pad, K] ints
+    if cfg.code_map:
+        # re-encode int8 alphabet values as sign+magnitude codes (the
+        # kernels decode arithmetically; qmm_fast.encode_codes_np): for
+        # 2+1 layouts the low 2 bits carry the magnitude code and the
+        # hi plane the sign bit
+        from .qmm_fast import encode_codes_np
+
+        codes = encode_codes_np(cfg.code_map, np.asarray(v))
+        bl, bh = _pack_bits(cfg)
+        if (bl, bh) == (2, 1):
+            v = (codes & 3) | (((codes >> 3) & 1) << 2)
+        else:
+            v = codes
     scale_g, bias_g = _group_scale_bias_np(qt)   # [n_pad, G] f32
     if cfg.offset and cfg.asym == "none":
         bias_g = None  # derived in-kernel as off * scale
@@ -202,9 +231,37 @@ def _unpack_rows(fq, bits_lo: int, bits_hi: int, K: int, row0: int,
     return w.astype(jnp.int8)
 
 
+#: 4-entry magnitude alphabets as one 32-bit shift-LUT constant
+#: (byte c of the word = alphabet[c]); decoded with ONE lane-wise
+#: variable shift + mask instead of a select chain
+_SHIFT_LUTS = {"iq2": 0x2B190800, "iq1": 0x09070100}
+
+
+def _decode_cm(cm: str, pb: tuple, w):
+    """Arithmetic code -> int8 value for coded formats; identity
+    otherwise.  w holds (bits_lo + bits_hi)-bit raw codes: 2+1 layouts
+    carry the magnitude code in bits 0-1 and the sign in bit 2; nibble
+    layouts use the qmm_fast convention (sign bit 3)."""
+    if not cm:
+        return w
+    from .qmm_fast import decode_codes
+
+    wi = w.astype(jnp.int32)
+    if pb == (2, 1):
+        if cm in _SHIFT_LUTS:
+            mag = (_SHIFT_LUTS[cm] >> ((wi & 3) * 8)) & 0xFF
+            sign = 1 - ((wi >> 2) << 1)     # bit2 -> +1/-1
+            return (sign * mag).astype(jnp.int8)
+        wi = (wi & 3) | ((wi >> 2) << 3)   # -> sign-bit-3 convention
+    elif cm == "tern":
+        pass                                # 2-bit code, no sign bit
+    return decode_codes(cm, wi).astype(jnp.int8)
+
+
 def _unpack_t(fq, cfg: QConfig, K: int, row0: int, d: int):
     bits_lo, bits_hi = _pack_bits(cfg)
-    return _unpack_rows(fq, bits_lo, bits_hi, K, row0, d)
+    return _decode_cm(cfg.code_map, (bits_lo, bits_hi),
+                      _unpack_rows(fq, bits_lo, bits_hi, K, row0, d))
 
 
 def dequantize_qp8(qt: QTensor, dtype=jnp.float32):
@@ -274,8 +331,8 @@ def _qp8_prologue(K: int, B: int, eps, act: str, x_ref, wn_ref):
     return x8, amax
 
 
-def _qp8_body(K: int, depth: int, B: int, gs: int, pb: tuple, off: float,
-              bn: int, x8, amax, q_ref, s_ref, b_ref):
+def _qp8_body(K: int, depth: int, B: int, gs: int, pb: tuple, cm: str,
+              off: float, bn: int, x8, amax, q_ref, s_ref, b_ref):
     """Group-partial int8 contraction against ONE tensor's plane blocks:
     expansion, chunk dots, P-domain scales, bias.  Returns y [B, bn]."""
     e = depth // gs
@@ -298,7 +355,9 @@ def _qp8_body(K: int, depth: int, B: int, gs: int, pb: tuple, off: float,
     b_of_r = srow // e
     acc = jnp.zeros((rows, bn), jnp.float32)
     for c in range(nch):
-        w = _unpack_rows(q_ref, pb[0], pb[1], K, c * depth, depth)
+        w = _decode_cm(cm, pb,
+                       _unpack_rows(q_ref, pb[0], pb[1], K, c * depth,
+                                    depth))
         xc = X4[:, c * depth:(c + 1) * depth]
         p = jax.lax.dot_general(xc, w, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.int32)
@@ -334,7 +393,7 @@ def _qp8_body(K: int, depth: int, B: int, gs: int, pb: tuple, off: float,
 
 
 def _qp8_decode_kernel(K: int, depth: int, B: int, gs: int, pb: tuple,
-                       affine: bool, off: float, eps, act: str,
+                       cm: str, affine: bool, off: float, eps, act: str,
                        has_res: bool, x_ref, q_ref, s_ref, *rest):
     """Transposed-plane int8 group-partial decode GEMV (B <= 8).
 
@@ -356,8 +415,8 @@ def _qp8_decode_kernel(K: int, depth: int, B: int, gs: int, pb: tuple,
     o_ref = rest[-1]
     bn = o_ref.shape[1]
     x8, amax = _qp8_prologue(K, B, eps, act, x_ref, wn_ref)
-    y = _qp8_body(K, depth, B, gs, pb, off, bn, x8, amax, q_ref, s_ref,
-                  b_ref)
+    y = _qp8_body(K, depth, B, gs, pb, cm, off, bn, x8, amax, q_ref,
+                  s_ref, b_ref)
     if res_ref is not None:
         y = y + res_ref[:].astype(jnp.float32)
     if B < o_ref.shape[0]:
@@ -366,10 +425,10 @@ def _qp8_decode_kernel(K: int, depth: int, B: int, gs: int, pb: tuple,
 
 
 def _qp8_dual_kernel(K: int, B: int, nba: int,
-                     depth_a: int, gs_a: int, pb_a: tuple, affine_a: bool,
-                     off_a: float,
-                     depth_b: int, gs_b: int, pb_b: tuple, affine_b: bool,
-                     off_b: float, eps,
+                     depth_a: int, gs_a: int, pb_a: tuple, cm_a: str,
+                     affine_a: bool, off_a: float,
+                     depth_b: int, gs_b: int, pb_b: tuple, cm_b: str,
+                     affine_b: bool, off_b: float, eps,
                      x_ref, qa_ref, sa_ref, qb_ref, sb_ref, *rest):
     """TWO t-layout projections of the SAME activation in ONE launch
     (mixed-type fused-QKV decode: Q4_K wqk + Q6_K wv under Q4_K_M).  The
@@ -393,23 +452,23 @@ def _qp8_dual_kernel(K: int, B: int, nba: int,
 
     @pl.when(gi < nba)
     def _a():
-        y = _qp8_body(K, depth_a, B, gs_a, pb_a, off_a, bn, x8, amax,
-                      qa_ref, sa_ref, ba_ref)
+        y = _qp8_body(K, depth_a, B, gs_a, pb_a, cm_a, off_a, bn, x8,
+                      amax, qa_ref, sa_ref, ba_ref)
         if B < o_ref.shape[0]:
             y = jnp.pad(y, ((0, o_ref.shape[0] - B), (0, 0)))
         o_ref[:] = y
 
     @pl.when(gi >= nba)
     def _b():
-        y = _qp8_body(K, depth_b, B, gs_b, pb_b, off_b, bn, x8, amax,
-                      qb_ref, sb_ref, bb_ref)
+        y = _qp8_body(K, depth_b, B, gs_b, pb_b, cm_b, off_b, bn, x8,
+                      amax, qb_ref, sb_ref, bb_ref)
         if B < o_ref.shape[0]:
             y = jnp.pad(y, ((0, o_ref.shape[0] - B), (0, 0)))
         o_ref[:] = y
 
 
-def _tpf_kernel(K: int, depth: int, gs: int, pb: tuple, affine: bool,
-                off: float, x_ref, q_ref, s_ref, *rest):
+def _tpf_kernel(K: int, depth: int, gs: int, pb: tuple, cm: str,
+                affine: bool, off: float, x_ref, q_ref, s_ref, *rest):
     """Transposed-plane prefill GEMM: per-chunk sublane scale expansion,
     canonical bf16 dots (exact production semantics)."""
     b_ref = rest[0] if affine else None
@@ -428,7 +487,9 @@ def _tpf_kernel(K: int, depth: int, gs: int, pb: tuple, affine: bool,
         colm = jax.lax.broadcasted_iota(jnp.int32, (depth, e), 1)
         mask = (subm == colm).astype(jnp.bfloat16)
     for c in range(nch):
-        w = _unpack_rows(q_ref, pb[0], pb[1], K, c * depth, depth)
+        w = _decode_cm(cm, pb,
+                       _unpack_rows(q_ref, pb[0], pb[1], K, c * depth,
+                                    depth))
         sc = s_ref[c * e:(c + 1) * e, :]
         sc_exp = jnp.broadcast_to(
             sc.reshape(e, 1, bn), (e, gs, bn)).reshape(depth, bn)
@@ -477,12 +538,12 @@ def _pick_bn_t(n2: int, K: int, pb: tuple, B: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "pb", "G", "bn", "depth", "gs", "eps", "interpret", "act", "off",
-    "decode"))
+    "pb", "cm", "G", "bn", "depth", "gs", "eps", "interpret", "act",
+    "off", "decode"))
 def _qp8_call(x, fq, fs, fb=None, wn=None, res=None, *, pb: tuple,
-              G: int, bn: int, depth: int, gs: int, eps=None,
-              interpret: bool = False, act: str = "", off: float = 0.0,
-              decode: bool = True):
+              cm: str = "", G: int, bn: int, depth: int, gs: int,
+              eps=None, interpret: bool = False, act: str = "",
+              off: float = 0.0, decode: bool = True):
     B, K = x.shape
     if act:
         K = K // 2
@@ -490,13 +551,13 @@ def _qp8_call(x, fq, fs, fb=None, wn=None, res=None, *, pb: tuple,
     rowsdim = fq.shape[0]
     if decode:
         kern = functools.partial(
-            _qp8_decode_kernel, K, depth, B, gs, pb, fb is not None,
+            _qp8_decode_kernel, K, depth, B, gs, pb, cm, fb is not None,
             off, eps, act, res is not None)
         B8 = max(8, B)
     else:
         assert not act and eps is None and res is None
         kern = functools.partial(
-            _tpf_kernel, K, depth, gs, pb, fb is not None, off)
+            _tpf_kernel, K, depth, gs, pb, cm, fb is not None, off)
         B8 = B
     col_spec = pl.BlockSpec((G, bn), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
@@ -563,8 +624,9 @@ def qp8_ref(x, qt: QTensor):
     pb = _pack_bits(cfg)
     dch = pick_depth(cfg, K)
     vT = jnp.concatenate(
-        [_unpack_rows(qt.fq, pb[0], pb[1], K, r0, dch).astype(jnp.int32)
-         for r0 in range(0, K, dch)], axis=0)
+        [_decode_cm(cfg.code_map, pb,
+                    _unpack_rows(qt.fq, pb[0], pb[1], K, r0, dch))
+         .astype(jnp.int32) for r0 in range(0, K, dch)], axis=0)
     B = x.shape[0]
     x8, xs = _quant_act_seg(x.astype(jnp.float32))
     n2 = vT.shape[1]
@@ -602,8 +664,9 @@ def _qp8_core(x, planes, cfg, n, k, interpret, depth, gs):
     decode = _decode_ok(B)
     off = _offset_bias_t(cfg, fb)
     xin = (x.astype(jnp.float32) if decode else x.astype(jnp.bfloat16))
-    y = _qp8_call(xin, fq, fs, fb, pb=pb, G=G, bn=bn, depth=depth,
-                  gs=gs, interpret=interpret, off=off, decode=decode)
+    y = _qp8_call(xin, fq, fs, fb, pb=pb, cm=cfg.code_map, G=G, bn=bn,
+                  depth=depth, gs=gs, interpret=interpret, off=off,
+                  decode=decode)
     # slice BOTH axes so the custom-vjp cotangent matches x's row count
     return y[:B, :n]
 
@@ -620,8 +683,9 @@ def _qp8_bwd(cfg, n, k, interpret, depth, gs, resid, g):
     pb = _pack_bits(cfg)
     dch = pick_depth(cfg, k)
     vT = jnp.concatenate(
-        [_unpack_rows(fq, pb[0], pb[1], k, r0, dch).astype(jnp.int32)
-         for r0 in range(0, k, dch)], axis=0)
+        [_decode_cm(cfg.code_map, pb,
+                    _unpack_rows(fq, pb[0], pb[1], k, r0, dch))
+         .astype(jnp.int32) for r0 in range(0, k, dch)], axis=0)
     sT = jnp.repeat(fs.astype(jnp.float32), gs, axis=0)
     wT = vT.astype(jnp.float32) * sT                      # [K, n2]
     off = _offset_bias_t(cfg, fb)
@@ -683,7 +747,8 @@ def _qp8_infer(x2, qt: QTensor, wn=None, eps=None, act="", res=None,
         res = jnp.pad(res, ((0, 0), (0, qt.fq.shape[1] - res.shape[1])))
     y = _qp8_call(x2.astype(jnp.float32), qt.fq, qt.fs, qt.fb,
                   None if wn is None else jnp.asarray(wn, jnp.float32),
-                  res, pb=pb, G=G, bn=bn, depth=depth, gs=cfg.gs,
+                  res, pb=pb, cm=cfg.code_map, G=G, bn=bn, depth=depth,
+                  gs=cfg.gs,
                   eps=None if eps is None else float(eps),
                   interpret=interpret, act=act, off=off, decode=True)
     del K
@@ -761,19 +826,19 @@ def supports_qp8_dual(qt_a, qt_b) -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "pa", "pb_", "Ga", "Gb", "bn", "da", "db", "gsa", "gsb", "eps",
-    "interpret", "off_a", "off_b"))
+    "pa", "pb_", "cma", "cmb", "Ga", "Gb", "bn", "da", "db", "gsa",
+    "gsb", "eps", "interpret", "off_a", "off_b"))
 def _qp8_dual_call(x, fqa, fsa, fqb, fsb, fba=None, fbb=None, wn=None, *,
-                   pa, pb_, Ga, Gb, bn, da, db, gsa, gsb, eps=None,
-                   interpret=False, off_a=0.0, off_b=0.0):
+                   pa, pb_, cma="", cmb="", Ga, Gb, bn, da, db, gsa, gsb,
+                   eps=None, interpret=False, off_a=0.0, off_b=0.0):
     B, K = x.shape
     na2, nb2 = fqa.shape[1], fqb.shape[1]
     nba = na2 // bn
     nbb = nb2 // bn
     kern = functools.partial(
         _qp8_dual_kernel, K, B, nba,
-        da, gsa, pa, fba is not None, off_a,
-        db, gsb, pb_, fbb is not None, off_b, eps)
+        da, gsa, pa, cma, fba is not None, off_a,
+        db, gsb, pb_, cmb, fbb is not None, off_b, eps)
 
     def ia(i):
         return jnp.minimum(i, nba - 1)
@@ -845,6 +910,7 @@ def qp8_matmul_dual(x, qt_a: QTensor, qt_b: QTensor, wn=None, eps=None,
         qt_a.fb, qt_b.fb,
         None if wn is None else jnp.asarray(wn, jnp.float32),
         pa=_pack_bits(qt_a.cfg), pb_=_pack_bits(qt_b.cfg),
+        cma=qt_a.cfg.code_map, cmb=qt_b.cfg.code_map,
         Ga=K // qt_a.cfg.gs, Gb=K // qt_b.cfg.gs, bn=bn,
         da=pick_depth(qt_a.cfg, K), db=pick_depth(qt_b.cfg, K),
         gsa=qt_a.cfg.gs, gsb=qt_b.cfg.gs,

@@ -309,7 +309,11 @@ def test_coded_iquant_fast_planes(tname):
     oracle = np.asarray(dequantize_jax(qt, jnp.float32))[:n]
     qtf = qt.with_fast_planes()
     assert qtf.fq is not None, "coded fast planes must build"
-    assert qtf.fq.dtype == np.uint8 and qtf.fq.shape[1] == k // 2
+    assert qtf.fq.dtype == np.uint8
+    if qtf.fl == "t":   # qp8 coded planes: [k*(bits)/8, n2] at 2-4 bpw
+        assert qtf.fq.shape[0] * 8 // k in (2, 3, 4)
+    else:
+        assert qtf.fq.shape[1] == k // 2
     # wire-less dequant reconstructs the oracle up to the bf16 rounding
     # of the group-scale planes (~2^-8 relative; the integer codes are
     # exact — qmm_fast module docstring)
@@ -430,11 +434,15 @@ def test_fast_dual_matches_two_matmuls(tb):
     got = np.asarray(qmatmul_fast_dual(x, qa, qb, interpret=True))
     assert nmse(got, want) < MUL_MAT_NMSE
 
-    # fused-norm flavor (the production decode configuration)
+    # fused-norm flavor (the production decode configuration); the qp8
+    # layout takes the RAW norm weight (no interleave exists there)
     wn = (rng.random(K) + 0.5).astype(np.float32)
     gs_a, gs_b = qa.cfg.gs, qb.cfg.gs
-    wn_a = wn.reshape(K // gs_a, gs_a).T.reshape(K)
-    wn_b = wn.reshape(K // gs_b, gs_b).T.reshape(K)
+    if qa.fl == "t" and qb.fl == "t":
+        wn_a = wn_b = wn
+    else:
+        wn_a = wn.reshape(K // gs_a, gs_a).T.reshape(K)
+        wn_b = wn.reshape(K // gs_b, gs_b).T.reshape(K)
     xn = rms_norm(x, jnp.asarray(wn), 1e-5)
     want_n = np.concatenate(
         [np.asarray(qmatmul_xla(xn, qa)), np.asarray(qmatmul_xla(xn, qb))],

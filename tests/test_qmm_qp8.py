@@ -135,7 +135,10 @@ def test_supports_and_depth():
     assert supports_qp8(QCONFIGS[GGMLType.Q4_K], 4096)
     assert pick_depth(QCONFIGS[GGMLType.Q4_K], 4096) == 512
     assert pick_depth(QCONFIGS[GGMLType.Q4_K], 11008) == 128
-    assert not supports_qp8(QCONFIGS[GGMLType.IQ2_XXS], 4096)
+    # coded i-quants ride 2+1-bit code planes since round 4
+    assert supports_qp8(QCONFIGS[GGMLType.IQ2_XXS], 4096)
+    assert not supports_qp8(QCONFIGS[GGMLType.Q8_0], 4096)  # signed int8
+    assert not supports_qp8(QCONFIGS[GGMLType.IQ4_NL], 4096)  # LUT
 
 
 def test_dispatch_through_qmatmul_fast():
@@ -218,3 +221,32 @@ def test_dual_no_norm_b4():
     yb = np.asarray(qp8_matmul(x, qb, interpret=True))
     np.testing.assert_allclose(got, np.concatenate([ya, yb], axis=1),
                                rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.parametrize("qtype,k,bpw", [
+    (GGMLType.IQ2_XXS, 512, 3.0), (GGMLType.IQ3_XXS, 512, 4.0),
+    (GGMLType.IQ1_S, 512, 3.0), (GGMLType.IQ2_XS, 512, 3.0),
+    (GGMLType.TQ2_0, 2048, 2.0)])
+def test_coded_qp8_planes(qtype, k, bpw):
+    """i-quant / ternary qp8 planes: arithmetic sign+magnitude codes at
+    2-4 bpw (vs 4.5 on the interleaved coded nibbles; the remaining gap
+    to wire is the reference's 256-entry grid codebooks, which need a
+    gather unit the TPU lacks — docs/performance.md)."""
+    qt = make_qt(qtype, n=512, k=k)
+    assert qt.fq.shape[0] * 8 / qt.k == bpw
+    w_wire = np.asarray(dequantize_jax(qt))[: qt.n]
+    w_t = np.asarray(dequantize_qp8(qt))[: qt.n]
+    nm = float(np.mean((w_t - w_wire) ** 2)
+               / (np.mean(w_wire**2) + 1e-12))
+    assert nm < 5e-5, nm  # bf16 scale-plane rounding only
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, qt.k)), jnp.float32)
+    y = np.asarray(qp8_matmul(x, qt, interpret=True))
+    want = np.asarray(qp8_ref(x, qt))[:, : qt.n]
+    np.testing.assert_allclose(y, want, rtol=5e-4, atol=5e-4)
+    # prefill route too
+    xp = jnp.asarray(rng.normal(size=(12, qt.k)), jnp.bfloat16)
+    yp = np.asarray(qp8_matmul(xp, qt, interpret=True))
+    wantp = np.asarray(xp, np.float32) @ w_t.T
+    err = np.abs(yp - wantp).max() / (np.abs(wantp).max() + 1e-9)
+    assert err < 3e-2, err

@@ -73,11 +73,33 @@ def main():
         "down6": ("act", 4096, 14336, GGMLType.Q6_K),
         "head6": ("plain", 128256, 4096, GGMLType.Q6_K),
         "v6": ("normed", 1024, 4096, GGMLType.Q6_K),
+        # coded i-quant planes (3/4/3/2 bpw; any bit pattern is a valid
+        # arithmetic code, so synthetic planes suffice for bandwidth)
+        "iq2": ("plain", 28672, 4096, GGMLType.IQ2_XXS),
+        "iq3": ("plain", 28672, 4096, GGMLType.IQ3_XXS),
+        "iq1": ("plain", 28672, 4096, GGMLType.IQ1_S),
+        "tq2": ("plain", 28672, 4096, GGMLType.TQ2_0),
     }
     for name in args.shapes:
         kind, n, k, qtype = shapes[name]
-        qt = random_qtensor(rng, n, k, qtype,
-                            fast="host").astype_device(layout="t")
+        from ggml_hexagon_tpu.quant.pack import QCONFIGS, QTensor
+        cfgq = QCONFIGS[qtype]
+        if cfgq.code_map:
+            # synthetic coded planes at the exact production geometry
+            from ggml_hexagon_tpu.ops.qmm_qp8 import _pack_bits
+            import jax.numpy as _jnp
+            bl, bh = _pack_bits(cfgq)
+            n2 = -(-n // 512) * 512
+            rows = k * (bl + bh) // 8
+            G = k // cfgq.gs
+            qt = QTensor(
+                cfgq, n, k, None, None, None, None, None, None,
+                _jnp.asarray(rng.integers(0, 256, (rows, n2), np.uint8)),
+                _jnp.asarray((rng.random((G, n2)) * 2e-3).astype(
+                    np.float32), _jnp.bfloat16), None, fl="t")
+        else:
+            qt = random_qtensor(rng, n, k, qtype,
+                                fast="host").astype_device(layout="t")
         nbytes = (qt.fq.size + qt.fs.size * 2
                   + (qt.fb.size * 2 if qt.fb is not None else 0))
         wn = jnp.asarray(rng.normal(size=(k,)) * 0.1 + 1.0, jnp.float32)
