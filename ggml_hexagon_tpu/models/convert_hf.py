@@ -66,6 +66,9 @@ def _arch_of(hf_config) -> str:
         "qwen3": "qwen3", "qwen3_moe": "qwen3moe",
         "minicpm": "minicpm", "phimoe": "phimoe", "deepseek": "deepseek",
         "xverse": "xverse",
+        # llama-graph families with their own HF model_type (the
+        # reference's InternLM3Model/SmolLM map to MODEL_ARCH.LLAMA)
+        "internlm3": "llama", "smollm": "llama",
     }.get(mt, mt)
 
 
@@ -1592,3 +1595,72 @@ def _register_family_converters():
 
 
 _register_family_converters()
+
+
+def convert_hf_bailingmoe(sd, c, out_path, qtype=GGMLType.F16,
+                          tokenizer_fields=None):
+    """BailingMoeForCausalLM -> GGUF (bailingmoe arch; fused
+    query_key_value split + rotate-half permute, dense-lead + routed
+    experts + unconditional shared expert)."""
+    nh = int(c.num_attention_heads)
+    nkv = int(getattr(c, "num_key_value_heads", nh))
+    d = int(c.hidden_size)
+    hd = int(getattr(c, "head_dim", 0) or d // nh)
+    E = int(getattr(c, "num_experts", 0))
+    lead = int(getattr(c, "first_k_dense_replace", 0))
+    t = {"token_embd.weight": sd["model.word_embeddings.weight"]}
+    if "lm_head.weight" in sd:
+        t["output.weight"] = sd["lm_head.weight"]
+    for i in range(int(c.num_hidden_layers)):
+        p, g = f"model.layers.{i}.", f"blk.{i}."
+        t[g + "attn_norm.weight"] = sd[p + "input_layernorm.weight"]
+        t[g + "ffn_norm.weight"] = sd[p + "post_attention_layernorm.weight"]
+        qkv = sd[p + "attention.query_key_value.weight"]
+        nq = nh * hd
+        nk = nkv * hd
+        t[g + "attn_q.weight"] = permute_qk(qkv[:nq], nh)
+        t[g + "attn_k.weight"] = permute_qk(qkv[nq:nq + nk], nkv)
+        t[g + "attn_v.weight"] = qkv[nq + nk:]
+        t[g + "attn_output.weight"] = sd[p + "attention.dense.weight"]
+        if i < lead or E == 0:
+            t[g + "ffn_gate.weight"] = sd[p + "mlp.gate_proj.weight"]
+            t[g + "ffn_up.weight"] = sd[p + "mlp.up_proj.weight"]
+            t[g + "ffn_down.weight"] = sd[p + "mlp.down_proj.weight"]
+        else:
+            t[g + "ffn_gate_inp.weight"] = sd[p + "mlp.gate.weight"]
+            for hn, gn in (("gate_proj", "ffn_gate_exps"),
+                           ("up_proj", "ffn_up_exps"),
+                           ("down_proj", "ffn_down_exps")):
+                t[g + gn + ".weight"] = np.stack(
+                    [sd[p + f"mlp.experts.{e}.{hn}.weight"]
+                     for e in range(E)])
+            for hn, gn in (("gate_proj", "ffn_gate_shexp"),
+                           ("up_proj", "ffn_up_shexp"),
+                           ("down_proj", "ffn_down_shexp")):
+                t[g + gn + ".weight"] = sd[
+                    p + f"mlp.shared_experts.{hn}.weight"]
+    t["output_norm.weight"] = sd["model.norm.weight"]
+    md = _common_md("bailingmoe", c,
+                    getattr(c, "intermediate_size", 4 * d), 1e-5,
+                    n_head_kv=nkv)
+    md["bailingmoe.attention.layer_norm_rms_epsilon"] = float(
+        getattr(c, "rms_norm_eps", 1e-5))
+    md["bailingmoe.rope.dimension_count"] = hd
+    md["bailingmoe.leading_dense_block_count"] = lead
+    if E:
+        md["bailingmoe.expert_count"] = E
+        md["bailingmoe.expert_used_count"] = int(
+            getattr(c, "num_experts_per_tok", 2))
+        md["bailingmoe.expert_feed_forward_length"] = int(
+            getattr(c, "moe_intermediate_size", 0))
+        md["bailingmoe.expert_shared_count"] = int(
+            getattr(c, "num_shared_experts", 0))
+        md["bailingmoe.expert_weights_scale"] = 1.0
+        md["bailingmoe.expert_weights_norm"] = bool(
+            getattr(c, "norm_topk_prob", False))
+    return _write_gguf(out_path, "bailingmoe", md, t, qtype,
+                       tokenizer_fields=tokenizer_fields)
+
+
+_CONVERTERS["bailing_moe"] = convert_hf_bailingmoe
+_CONVERTERS["bailingmoe"] = convert_hf_bailingmoe

@@ -383,3 +383,41 @@ def test_qwen2vl(tmp_path, rng):
     cfg = run_smoke(sd, c, tmp_path, "qwen2vl")
     assert cfg.arch == "qwen2vl" and cfg.rope_mode == "mrope"
     assert cfg.rope_sections[:3] == (8, 12, 12)
+
+
+def test_bailingmoe(tmp_path, rng):
+    nh, nkv, E = 4, 2, 4
+    hd = D // nh
+    sd = {"model.word_embeddings.weight": rnd(rng, V, D),
+          "model.norm.weight": np.ones(D, np.float32),
+          "lm_head.weight": rnd(rng, V, D)}
+    for i in range(L):
+        p = f"model.layers.{i}."
+        sd[p + "input_layernorm.weight"] = np.ones(D, np.float32)
+        sd[p + "post_attention_layernorm.weight"] = np.ones(D, np.float32)
+        sd[p + "attention.query_key_value.weight"] = rnd(
+            rng, (nh + 2 * nkv) * hd, D)
+        sd[p + "attention.dense.weight"] = rnd(rng, D, D)
+        if i == 0:  # dense lead layer
+            sd[p + "mlp.gate_proj.weight"] = rnd(rng, FF, D)
+            sd[p + "mlp.up_proj.weight"] = rnd(rng, FF, D)
+            sd[p + "mlp.down_proj.weight"] = rnd(rng, D, FF)
+        else:
+            sd[p + "mlp.gate.weight"] = rnd(rng, E, D)
+            for e in range(E):
+                for hn, rows in (("gate_proj", FF), ("up_proj", FF)):
+                    sd[p + f"mlp.experts.{e}.{hn}.weight"] = rnd(rng, rows, D)
+                sd[p + f"mlp.experts.{e}.down_proj.weight"] = rnd(rng, D, FF)
+            for hn, rows in (("gate_proj", FF), ("up_proj", FF)):
+                sd[p + f"mlp.shared_experts.{hn}.weight"] = rnd(rng, rows, D)
+            sd[p + "mlp.shared_experts.down_proj.weight"] = rnd(rng, D, FF)
+    c = SimpleNamespace(model_type="bailing_moe", num_hidden_layers=L,
+                        hidden_size=D, intermediate_size=FF,
+                        num_attention_heads=nh, num_key_value_heads=nkv,
+                        num_experts=E, num_experts_per_tok=2,
+                        first_k_dense_replace=1, num_shared_experts=1,
+                        moe_intermediate_size=FF, norm_topk_prob=True,
+                        vocab_size=V, rms_norm_eps=1e-5, rope_theta=1e4,
+                        max_position_embeddings=4096)
+    cfg = run_smoke(sd, c, tmp_path, "bailingmoe")
+    assert cfg.arch == "bailingmoe"
