@@ -209,11 +209,7 @@ def load_llama_weights(reader, dtype=jnp.bfloat16, device: bool = True) -> tuple
                 shape = (shape[0] * shape[1], shape[2])
             if len(shape) == 2:
                 qt = pack_tensor(reader.tensor_bytes(name), t.ggml_type, shape)
-                # stacked expert tensors keep the interleaved layout: the
-                # gathered-expert kernel (qmatmul_fast_indirect) indexes
-                # row blocks per expert
-                lay = "il" if len(t.shape) == 3 else None
-                return qt.astype_device(layout=lay) if device else qt
+                return qt.astype_device() if device else qt
         # dense fallback (f16/f32 2-D/3-D, or K not chunk-aligned)
         arr = reader.tensor_f32(name)
         if arr.ndim == 3:

@@ -1292,7 +1292,9 @@ def supports_indirect(qt, npe: int, B: int = 8) -> bool:
     if not isinstance(qt, QTensor) or qt.fq is None or npe <= 0:
         return False
     if qt.fl == "t":
-        return False  # expert stacks build interleaved planes (loader)
+        from .qmm_qp8 import supports_qp8_indirect
+
+        return supports_qp8_indirect(qt, npe)
     nib = _is_nibble(qt.cfg) or bool(qt.cfg.code_map)
     bn, nkj = _pick_blocks(max(8, B), qt.k, nib, qt.cfg.gs)
     if nkj != 1:
@@ -1312,6 +1314,11 @@ def qmatmul_fast_indirect(x, qt: QTensor, ids, npe: int,
     P is padded to the kernel's 8-row sublane tile internally; returns
     [P, npe].
     """
+    if qt.fl == "t":
+        from .qmm_qp8 import qp8_matmul_indirect
+
+        return qp8_matmul_indirect(x, qt, ids, npe, out_dtype=out_dtype,
+                                   interpret=interpret)
     P, K = x.shape
     assert K == qt.k and qt.fq is not None
     cfg = qt.cfg

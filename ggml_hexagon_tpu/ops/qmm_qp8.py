@@ -918,3 +918,94 @@ def qp8_matmul_dual(x, qt_a: QTensor, qt_b: QTensor, wn=None, eps=None,
         off_a=_offset_bias_t(qt_a.cfg, qt_a.fb),
         off_b=_offset_bias_t(qt_b.cfg, qt_b.fb))
     return y[:B].reshape(*lead, qt_a.n + qt_b.n).astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# gathered-expert (MUL_MAT_ID) path
+# ---------------------------------------------------------------------------
+
+def _qp8_indirect_kernel(K: int, depth: int, gs: int, pb: tuple, cm: str,
+                         affine: bool, off: float,
+                         ids_ref, x_ref, q_ref, s_ref, *rest):
+    """One grid step = (input row p, expert-lane block j): the scalar-
+    prefetched ids drive the weight-plane lane-index maps, so only the
+    SELECTED experts' lanes ever stream from HBM (MUL_MAT_ID,
+    ggml.h:1135).  x_ref selects row p via its own index map; the
+    butterfly activation quant runs per block (B=1 cost, trivial)."""
+    b_ref = rest[0] if affine else None
+    o_ref = rest[-1]
+    bn = o_ref.shape[1]
+    x8, amax = _qp8_prologue(K, 1, None, "", x_ref, None)
+    y = _qp8_body(K, depth, 1, gs, pb, cm, off, bn, x8, amax, q_ref,
+                  s_ref, b_ref)
+    o_ref[:] = jnp.broadcast_to(y, (o_ref.shape[0], bn))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "pb", "cm", "G", "bn", "npe", "depth", "gs", "interpret", "off"))
+def _qp8_indirect_call(ids, x, fq, fs, fb=None, *, pb, cm, G, bn, npe,
+                       depth, gs, interpret=False, off=0.0):
+    P, K = x.shape
+    nb = npe // bn
+    kern = functools.partial(_qp8_indirect_kernel, K, depth, gs, pb, cm,
+                             fb is not None, off)
+    wmap = lambda p, j, ids_ref: (0, ids_ref[p] * nb + j)
+    in_specs = [
+        pl.BlockSpec((1, K), lambda p, j, ids_ref: (p, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((fq.shape[0], bn), wmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, bn), wmap, memory_space=pltpu.VMEM),
+    ]
+    args = [x, fq, fs]
+    if fb is not None:
+        in_specs.append(pl.BlockSpec((G, bn), wmap,
+                                     memory_space=pltpu.VMEM))
+        args.append(fb)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(P, nb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((8, bn), lambda p, j, ids_ref: (p, j),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((P * 8, npe), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * P * K * npe,
+            bytes_accessed=P * npe * fq.shape[0] // bn,
+            transcendentals=0),
+        interpret=interpret,
+    )(jnp.asarray(ids, jnp.int32), *args)
+
+
+def supports_qp8_indirect(qt, npe: int) -> bool:
+    """Stacked [E*npe, k] expert planes can serve the gathered path when
+    a lane block divides the per-expert width and no lane padding exists
+    (expert boundaries must align with plane lanes)."""
+    if not isinstance(qt, QTensor) or qt.fq is None or qt.fl != "t":
+        return False
+    if npe <= 0 or qt.fq.shape[1] != qt.n or qt.n % npe:
+        return False
+    return any(npe % b == 0 for b in (1024, 512, 256, 128))
+
+
+def qp8_matmul_indirect(x, qt: QTensor, ids, npe: int,
+                        out_dtype=jnp.float32, interpret=False):
+    """y[p] = x[p] @ dequant(W_{ids[p]}).T over stacked expert planes —
+    the qp8 twin of qmm_fast.qmatmul_fast_indirect (decode cost scales
+    with n_expert_used, not n_expert)."""
+    P, K = x.shape
+    assert K == qt.k and qt.fq is not None
+    cfg = qt.cfg
+    bn = next(b for b in (1024, 512, 256, 128) if npe % b == 0)
+    y = _qp8_indirect_call(
+        ids, x.astype(jnp.float32), qt.fq, qt.fs, qt.fb,
+        pb=_pack_bits(cfg), cm=cfg.code_map, G=K // cfg.gs, bn=bn,
+        npe=npe, depth=pick_depth(cfg, K), gs=cfg.gs,
+        interpret=interpret, off=_offset_bias_t(cfg, qt.fb))
+    return y.reshape(P, 8, npe)[:, 0, :].astype(out_dtype)

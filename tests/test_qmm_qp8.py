@@ -250,3 +250,30 @@ def test_coded_qp8_planes(qtype, k, bpw):
     wantp = np.asarray(xp, np.float32) @ w_t.T
     err = np.abs(yp - wantp).max() / (np.abs(wantp).max() + 1e-9)
     assert err < 3e-2, err
+
+
+@pytest.mark.parametrize("qtype", [GGMLType.Q4_K, GGMLType.Q4_0])
+def test_indirect_qp8_matches_oracle(qtype):
+    """Gathered-expert (MUL_MAT_ID) on qp8 planes: only the selected
+    experts' lanes stream; numerics follow the qp8 decode contract."""
+    from ggml_hexagon_tpu.ops.qmm_fast import (qmatmul_fast_indirect,
+                                               supports_indirect)
+    from ggml_hexagon_tpu.quant.pack import QTensor
+
+    rng = np.random.default_rng(31)
+    E, npe, K = 4, 256, 512
+    w = rng.normal(size=(E * npe, K)).astype(np.float32)
+    qt = quantize_tensor(w, qtype)
+    fq, fs, fb = build_t_planes(qt)
+    qt = QTensor(qt.cfg, qt.n, qt.k, None, None, None, None, None, None,
+                 jnp.asarray(fq), jnp.asarray(fs),
+                 None if fb is None else jnp.asarray(fb), fl="t")
+    assert supports_indirect(qt, npe)
+    x = jnp.asarray(rng.normal(size=(5, K)), jnp.float32)
+    ids = np.array([2, 0, 3, 2, 1], np.int32)
+    got = np.asarray(qmatmul_fast_indirect(x, qt, jnp.asarray(ids), npe,
+                                           interpret=True))
+    full = np.asarray(qp8_ref(x, qt))       # [5, E*npe] vs every expert
+    want = np.stack([full[p, ids[p] * npe:(ids[p] + 1) * npe]
+                     for p in range(5)])
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)

@@ -29,6 +29,10 @@ def main():
                          "3-launch split path in ONE process (device "
                          "state varies ~10%% across runs; same-process "
                          "A/B is the only honest comparison)")
+    ap.add_argument("--ab-qp8", action="store_true",
+                    help="time the qp8 transposed-plane layout against "
+                         "the interleaved layout in ONE process "
+                         "(drift-proof evidence of the structural win)")
     args = ap.parse_args()
 
     import jax
@@ -62,6 +66,7 @@ def main():
 
     policy = QuantPolicy("Q4_K_M", 32)
     d = cfg.n_embd
+
     layers = []
     for il in range(args.layers):
         print(f"  building layer {il}", flush=True)
@@ -107,6 +112,65 @@ def main():
     print("layer0 keys:", sorted(l0.keys()), flush=True)
 
     weights_b = None
+    label_a, label_b = "default", None
+    if args.ab_qp8:
+        # rebuild the SAME weights with the interleaved layout (GHT_QP8=0
+        # is read at plane-build time); keep both resident — the 8-layer
+        # slice fits HBM twice over
+        import os as _os
+
+        _os.environ["GHT_QP8"] = "0"
+        rng_b = np.random.default_rng(0)
+        layers_b = []
+        for il in range(args.layers):
+            print(f"  building il twin layer {il}", flush=True)
+            t_v = policy.tensor_type(f"blk.{il}.attn_v.weight", (d, d))
+            t_dn = policy.tensor_type(f"blk.{il}.ffn_down.weight",
+                                      (d, cfg.n_ff))
+            hq = lambda n, k, t: B.random_qtensor(rng_b, n, k, t,
+                                                  fast="host")
+            gate = hq(cfg.n_ff, d, GGMLType.Q4_K)
+            up = hq(cfg.n_ff, d, GGMLType.Q4_K)
+            gateup = B.host_concat([gate, up])
+            qkv_parts = [hq(cfg.n_head * cfg.hd, d, GGMLType.Q4_K),
+                         hq(cfg.n_head_kv * cfg.hd, d, GGMLType.Q4_K),
+                         hq(cfg.n_head_kv * cfg.hd, d, t_v)]
+            lw = {
+                "attn_norm": jnp.ones(d, jnp.float32),
+                "wo": hq(d, cfg.n_head * cfg.hd,
+                         GGMLType.Q4_K).astype_device().without_wire(),
+                "ffn_norm": jnp.ones(d, jnp.float32),
+                "ffn_down": hq(d, cfg.n_ff,
+                               t_dn).astype_device().without_wire(),
+            }
+            if all(p.cfg == qkv_parts[0].cfg for p in qkv_parts):
+                lw["wqkv"] = B.host_concat(
+                    qkv_parts).astype_device().without_wire()
+            else:
+                for key, p_ in zip(("wq", "wk", "wv"), qkv_parts):
+                    lw[key] = p_.astype_device().without_wire()
+            lw["w_gateup"] = gateup.astype_device().without_wire()
+            layers_b.append(lw)
+        weights_il = {
+            "tok_embd": weights["tok_embd"],
+            "output_norm": jnp.ones(d, jnp.float32),
+            "output": B.random_qtensor(rng_b, cfg.n_vocab, d,
+                                       GGMLType.Q6_K).without_wire(),
+            "layers": layers_b,
+        }
+        _os.environ["GHT_QP8"] = "1"
+        if not args.no_fuse:
+            from ggml_hexagon_tpu.models.fuse import fuse_weights as _fw
+            from ggml_hexagon_tpu.models.fuse import \
+                permute_rope_neox as _pr
+            from ggml_hexagon_tpu.quant.pack import \
+                drop_wire_planes as _dw
+
+            weights_il, _cfg2 = _pr(weights_il, cfg)
+            weights_il = _fw(weights_il, _cfg2)
+            weights_il = _dw(weights_il)
+        weights_b = weights_il
+        label_a, label_b = "qp8", "interleaved"
     if args.ab_ffp:
         # split-path twin: strip the ffp markers and un-permute wo/down
         from ggml_hexagon_tpu.ops.qmm_fast import interleave_perm
@@ -164,13 +228,15 @@ def main():
               flush=True)
         return best
 
-    a = time_variant(weights, "ffp" if weights_b is not None else "default")
+    if args.ab_ffp:
+        label_a, label_b = "ffp", "split"
+    a = time_variant(weights, label_a)
     if weights_b is not None:
-        b = time_variant(weights_b, "split")
+        b = time_variant(weights_b, label_b)
         # interleave a second pass of each to cancel drift
-        a2 = time_variant(weights, "ffp#2")
-        b2 = time_variant(weights_b, "split#2")
-        print(f"A/B: megakernel {min(a, a2)*1e3:.3f} vs split "
+        a2 = time_variant(weights, label_a + "#2")
+        b2 = time_variant(weights_b, label_b + "#2")
+        print(f"A/B: {label_a} {min(a, a2)*1e3:.3f} vs {label_b} "
               f"{min(b, b2)*1e3:.3f} ms/step", flush=True)
 
 
