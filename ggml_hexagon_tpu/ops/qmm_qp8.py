@@ -107,10 +107,13 @@ def _is_nib(cfg: QConfig) -> bool:
             and not cfg.lut and not cfg.code_map and not cfg.expand)
 
 
-def pick_depth(cfg: QConfig, k: int) -> int | None:
-    """Largest chunk depth in {512, 256, 128} dividing every shift-slice
-    period of the packed planes (K/(8/bits) rows per slice — chunk
-    slices must stay inside one shift slice).
+def pick_depth(cfg: QConfig, k: int, prefill: bool = False) -> int | None:
+    """Chunk depth dividing every shift-slice period of the packed
+    planes (K/(8/bits) rows per slice — chunk slices must stay inside
+    one shift slice).  Decode prefers 512 (smaller expansion); prefill
+    prefers 1024 — deeper chunks pipeline the MXU better (measured
+    on-chip, B=512 gate-up: d=1024 197.7 TFLOP/s vs d=512's 42-124,
+    /tmp-era sweep now in docs/performance.md).
     GHT_QP8_DEPTH overrides for whole-model ablations."""
     import os
 
@@ -122,7 +125,9 @@ def pick_depth(cfg: QConfig, k: int) -> int | None:
     if bits_hi:
         periods.append(k * bits_hi // 8)
     env = os.environ.get("GHT_QP8_DEPTH")
-    cands = (int(env),) if env else (512, 256, 128, 64, 32)
+    cands = ((int(env),) if env
+             else (1024, 512, 256, 128, 64, 32) if prefill
+             else (512, 256, 128, 64, 32))
     for d in cands:
         if d % cfg.gs or k % d:
             continue
@@ -725,7 +730,7 @@ def qp8_matmul(x, qt: QTensor, out_dtype=jnp.float32, interpret=False):
     K = x.shape[-1]
     assert K == qt.k and qt.fq is not None
     lead, B, x2 = _lead2(x, K)
-    depth = pick_depth(qt.cfg, K)
+    depth = pick_depth(qt.cfg, K, prefill=not _decode_ok(B))
     y = _qp8_core(x2, (qt.fq, qt.fs, qt.fb), qt.cfg, qt.n, K,
                   interpret, depth, qt.cfg.gs)
     return y[:B].reshape(*lead, qt.n).astype(out_dtype)
