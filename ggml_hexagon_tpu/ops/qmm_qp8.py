@@ -527,7 +527,13 @@ def _pick_bn_t(n2: int, K: int, pb: tuple, B: int) -> int:
 
     env = os.environ.get("GHT_QP8_BN")
     per_col = K * (pb[0] + pb[1]) // 8
-    for bn in (int(env),) if env else (2048, 1024, 512, 256):
+    # decode: bn=4096 measured 98.3us vs 2048's 136.3 on the gate-up
+    # shape (same process, tools/qp8_sweep.py r4); the 8 MB cap keeps
+    # wide-K shapes on smaller blocks.  Prefill measured best at 2048
+    # (d=1024, 197.7 TFLOP/s) — keep its list unchanged.
+    cands = ((4096, 2048, 1024, 512, 256) if B <= QP8_MAX_DECODE
+             else (2048, 1024, 512, 256))
+    for bn in (int(env),) if env else cands:
         if n2 % bn:
             continue
         if env:
