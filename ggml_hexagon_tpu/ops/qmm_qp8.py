@@ -37,7 +37,9 @@ interleaved layout):
   fb  bf16 [G, n2]   affine bias (minsb: -dmin*m; min: m), or None
 
 QTensor.fl == "t" marks the layout; the qmm_fast public entry points
-dispatch here.  i-quants (coded nibbles) keep the interleaved layout.
+dispatch here.  Coded i-quants/ternary ride 2-4 bpw arithmetic-code
+planes (see _pack_bits); Q8_0 (signed) and IQ4 (LUT) keep the
+interleaved layout.
 
 Reference analog: the Hexagon fork's VTCM dequant-dot kernels
 (ggml-hexagon/kernels/ggml-dsp.c:1192) — packed weights stream
