@@ -114,8 +114,8 @@ def pick_depth(cfg: QConfig, k: int, prefill: bool = False) -> int | None:
     planes (K/(8/bits) rows per slice — chunk slices must stay inside
     one shift slice).  Decode prefers 512 (smaller expansion); prefill
     prefers 1024 — deeper chunks pipeline the MXU better (measured
-    on-chip, B=512 gate-up: d=1024 197.7 TFLOP/s vs d=512's 42-124,
-    /tmp-era sweep now in docs/performance.md).
+    on-chip, B=512 gate-up: d=1024 197.7 TFLOP/s vs d=512's 42-124;
+    docs/performance.md round-4 section).
     GHT_QP8_DEPTH overrides for whole-model ablations."""
     import os
 
