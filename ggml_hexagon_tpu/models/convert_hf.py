@@ -1576,6 +1576,7 @@ def _register_family_converters():
     from .deepseek2 import convert_hf_deepseek2
     from .mamba import convert_hf_mamba
     from .rwkv6 import convert_hf_rwkv6
+    from .rwkv6 import convert_hf_rwkv7 as _cv_rwkv7
     from .t5 import convert_hf_t5, convert_hf_t5encoder
 
     _CONVERTERS.update({
@@ -1584,6 +1585,7 @@ def _register_family_converters():
         "mamba": convert_hf_mamba,
         "falcon_mamba": convert_hf_mamba,
         "rwkv6": convert_hf_rwkv6,
+        "rwkv7": _cv_rwkv7,
         "t5": convert_hf_t5,
         "mt5": convert_hf_t5,
         "umt5": convert_hf_t5,

@@ -633,3 +633,129 @@ def forward_rwkv6qwen2(cfg: RWKV7Config, weights, tokens, state,
         h = h[:, -1, :]
     logits = matmul(h.astype(cd), weights["output"])
     return logits.astype(jnp.float32), state
+
+
+def convert_hf_rwkv7(sd, c, out_path, qtype=GGMLType.F16,
+                     tokenizer_fields=None):
+    """HF rwkv7 checkpoint -> GGUF (reference: convert_hf_to_gguf.py
+    Rwkv7Model).  Name-driven: normalizes blocks/attn/time_mixer/_lora
+    spellings, stacks the r/w/k/v/a/g lerp vectors into
+    time_mix_lerp_fused, transposes plain-form lora planes to (out,in),
+    flattens r_k, and duplicates a0/a1/a2 as v0/v1/v2 on layer 0 (the
+    first layer has no value-residual lora)."""
+    from .convert_hf import _write_gguf
+
+    gv = (lambda k, d=None: c.get(k, d)) if isinstance(c, dict) else (
+        lambda k, d=None: getattr(c, k, d))
+    hidden = int(gv("hidden_size"))
+    n_layer = int(gv("num_hidden_layers"))
+    head_size = int(gv("head_size", None) or gv("head_dim", 64))
+    ln_eps = float(gv("layer_norm_epsilon", None) or gv("norm_eps", 1e-5))
+    n_ff = int(gv("intermediate_size", None) or hidden * 4)
+    wkv_has_gate = bool(gv("wkv_has_gate", True))
+    lerp_list = (["r", "w", "k", "v", "a", "g"] if wkv_has_gate
+                 else ["r", "w", "k", "v", "a"])
+
+    suffix_map = {
+        "attention.w0": "time_mix_w0", "attention.w1": "time_mix_w1",
+        "attention.w2": "time_mix_w2", "attention.a0": "time_mix_a0",
+        "attention.a1": "time_mix_a1", "attention.a2": "time_mix_a2",
+        "attention.v0": "time_mix_v0", "attention.v1": "time_mix_v1",
+        "attention.v2": "time_mix_v2", "attention.g1": "time_mix_g1",
+        "attention.g2": "time_mix_g2", "attention.k_k": "time_mix_k_k",
+        "attention.k_a": "time_mix_k_a", "attention.r_k": "time_mix_r_k",
+        "attention.receptance": "time_mix_receptance",
+        "attention.r_proj": "time_mix_receptance",
+        "attention.key": "time_mix_key",
+        "attention.k_proj": "time_mix_key",
+        "attention.value": "time_mix_value",
+        "attention.v_proj": "time_mix_value",
+        "attention.output": "time_mix_output",
+        "attention.o_proj": "time_mix_output",
+        "attention.ln_x": "time_mix_ln",
+        "ln1": "attn_norm", "ln2": "attn_norm_2",
+        "feed_forward.x_k": "channel_mix_lerp_k",
+        "feed_forward.key": "channel_mix_key",
+        "feed_forward.value": "channel_mix_value",
+    }
+    transpose_lora = {"time_mix_w1", "time_mix_w2", "time_mix_a1",
+                      "time_mix_a2", "time_mix_v1", "time_mix_v2",
+                      "time_mix_g1", "time_mix_g2"}
+    t = {}
+    lerps = {}
+    lora_form = any("_lora.lora" in k for k in sd)
+    for name, arr in sd.items():
+        a = np.asarray(arr)
+        nm = (name.replace("blocks", "layers")
+              .replace("ffn", "feed_forward")
+              .replace("self_attn", "attention")
+              .replace("attn", "attention")
+              .replace("time_mixer.", ""))
+        nm = (nm.replace("_lora.lora.0.weight", "1.weight")
+              .replace("_lora.lora.2.weight", "2.weight")
+              .replace("_lora.lora.2.bias", "0.weight")
+              .replace("feed_forward_norm", "ln2")
+              .replace("g_norm", "ln_x"))
+        if nm in ("model.embeddings.weight", "model.embedding.weight",
+                  "embeddings.weight"):
+            t["token_embd.weight"] = a
+            continue
+        if nm.startswith("model.layers.0.pre_norm"):
+            t["token_embd_norm" + nm[len("model.layers.0.pre_norm"):]] = a
+            continue
+        if nm in ("model.norm.weight", "model.ln_out.weight"):
+            t["output_norm.weight"] = a
+            continue
+        if nm in ("model.norm.bias", "model.ln_out.bias"):
+            t["output_norm.bias"] = a
+            continue
+        if nm in ("lm_head.weight", "head.weight"):
+            t["output.weight"] = a
+            continue
+        if not nm.startswith("model.layers."):
+            continue
+        rest = nm[len("model.layers."):]
+        i, _, tail = rest.partition(".")
+        i = int(i)
+        if tail.startswith("attention.x_"):
+            if tail.startswith("attention.x_x"):
+                t[f"blk.{i}.time_mix_lerp_fused.weight"] = a.reshape(
+                    len(lerp_list), 1, 1, -1)
+            else:
+                lerps.setdefault(i, {})[tail[len("attention.x_"):]
+                                        .split(".")[0]] = a.reshape(-1)
+            continue
+        stem, _, kind = tail.rpartition(".")
+        if kind not in ("weight", "bias"):
+            # bare parameters (a0, w0, k_k, x_k, ...) carry no suffix in
+            # HF state dicts (reference appends .weight the same way)
+            stem, kind = tail, "weight"
+        gg = suffix_map.get(stem)
+        if gg is None:
+            continue
+        a = np.squeeze(a)
+        if not lora_form and gg in transpose_lora and a.ndim == 2:
+            a = a.T
+        if gg == "time_mix_r_k":
+            a = a.reshape(-1)
+        t[f"blk.{i}.{gg}.{kind}"] = a
+        if i == 0 and gg.startswith("time_mix_a") and gg != "time_mix_ln":
+            # dummy value-residual lora on the first layer (reference)
+            t[f"blk.0.{gg.replace('time_mix_a', 'time_mix_v')}.{kind}"] = a
+    for i, d_ in lerps.items():
+        if all(k in d_ for k in lerp_list):
+            t[f"blk.{i}.time_mix_lerp_fused.weight"] = np.stack(
+                [d_[k] for k in lerp_list]).reshape(len(lerp_list), 1, 1,
+                                                    -1)
+    md = {
+        "rwkv7.block_count": n_layer,
+        "rwkv7.context_length": 1048576,
+        "rwkv7.embedding_length": hidden,
+        "rwkv7.feed_forward_length": n_ff,
+        "rwkv7.attention.layer_norm_epsilon": ln_eps,
+        "rwkv7.wkv.head_size": head_size,
+        "rwkv7.attention.head_count": 0,
+        "rwkv7.vocab_size": int(gv("vocab_size", 65536)),
+    }
+    return _write_gguf(out_path, "rwkv7", md, t, qtype,
+                       tokenizer_fields=tokenizer_fields)

@@ -421,3 +421,69 @@ def test_bailingmoe(tmp_path, rng):
                         max_position_embeddings=4096)
     cfg = run_smoke(sd, c, tmp_path, "bailingmoe")
     assert cfg.arch == "bailingmoe"
+
+
+def test_rwkv7_converter(tmp_path, rng):
+    """HF rwkv7 (fla lora-form naming) -> GGUF -> finite forward."""
+    from ggml_hexagon_tpu.models.rwkv6 import (convert_hf_rwkv7,
+                                               forward_rwkv7,
+                                               init_rwkv7_state,
+                                               load_rwkv7_weights)
+
+    Dm, FFm, Lm, Vm, HSm, RK = 64, 256, 2, 80, 16, 8
+    sd = {"model.embeddings.weight": rnd(rng, Vm, Dm),
+          "model.layers.0.pre_norm.weight": np.ones(Dm, np.float32),
+          "model.layers.0.pre_norm.bias": np.zeros(Dm, np.float32),
+          "model.norm.weight": np.ones(Dm, np.float32),
+          "model.norm.bias": np.zeros(Dm, np.float32),
+          "lm_head.weight": rnd(rng, Vm, Dm)}
+    for i in range(Lm):
+        p = f"model.layers.{i}."
+        sd[p + "attn_norm.weight"] = np.ones(Dm, np.float32)  # -> ln1?
+        del sd[p + "attn_norm.weight"]
+        sd[p + "ln1.weight"] = np.ones(Dm, np.float32)
+        sd[p + "ln1.bias"] = np.zeros(Dm, np.float32)
+        sd[p + "ln2.weight"] = np.ones(Dm, np.float32)
+        sd[p + "ln2.bias"] = np.zeros(Dm, np.float32)
+        a = p + "attn."
+        sd[a + "g_norm.weight"] = np.ones(Dm, np.float32)
+        sd[a + "g_norm.bias"] = np.zeros(Dm, np.float32)
+        sd[a + "w0"] = rnd(rng, 1, 1, Dm) - 2.0
+        sd[a + "w_lora.lora.0.weight"] = rnd(rng, RK, Dm)
+        sd[a + "w_lora.lora.2.weight"] = rnd(rng, Dm, RK)
+        sd[a + "a0"] = rnd(rng, 1, 1, Dm)
+        sd[a + "a_lora.lora.0.weight"] = rnd(rng, RK, Dm)
+        sd[a + "a_lora.lora.2.weight"] = rnd(rng, Dm, RK)
+        if i > 0:
+            sd[a + "v_lora.lora.0.weight"] = rnd(rng, RK, Dm)
+            sd[a + "v_lora.lora.2.weight"] = rnd(rng, Dm, RK)
+            sd[a + "v_lora.lora.2.bias"] = rnd(rng, Dm)
+        sd[a + "g_lora.lora.0.weight"] = rnd(rng, RK, Dm)
+        sd[a + "g_lora.lora.2.weight"] = rnd(rng, Dm, RK)
+        for nm in ("x_r", "x_w", "x_k", "x_v", "x_a", "x_g"):
+            sd[a + nm] = rnd(rng, 1, 1, Dm)
+        sd[a + "k_k"] = 1.0 + rnd(rng, Dm)
+        sd[a + "k_a"] = rnd(rng, Dm)
+        sd[a + "r_k"] = rnd(rng, Dm // HSm, HSm)
+        for nm in ("r_proj", "k_proj", "v_proj", "o_proj"):
+            sd[a + nm + ".weight"] = rnd(rng, Dm, Dm)
+        f = p + "ffn."
+        sd[f + "x_k"] = rnd(rng, 1, 1, Dm)
+        sd[f + "key.weight"] = rnd(rng, FFm, Dm)
+        sd[f + "value.weight"] = rnd(rng, Dm, FFm)
+    c = SimpleNamespace(hidden_size=Dm, num_hidden_layers=Lm,
+                        head_size=HSm, layer_norm_epsilon=1e-5,
+                        intermediate_size=FFm, vocab_size=Vm,
+                        wkv_has_gate=True)
+    path = str(tmp_path / "rwkv7.gguf")
+    convert_hf_rwkv7(sd, c, path, qtype=GGMLType.F32)
+    with GGUFReader.open(path) as r:
+        cfg, weights = load_rwkv7_weights(r)
+    assert cfg.arch == "rwkv7" and cfg.head_size == HSm
+    lw0 = weights["layers"][0]
+    assert "time_mix_v0" in lw0  # layer-0 dummy from a0
+    assert lw0["time_mix_w1"].shape == (RK, Dm)
+    st = init_rwkv7_state(cfg, 1)
+    logits, _ = forward_rwkv7(cfg, weights, jnp.zeros((1, 4), jnp.int32),
+                              st, logits_all=True)
+    assert np.isfinite(np.asarray(logits)).all()
