@@ -100,7 +100,7 @@ def _butterfly_absmax(x, seg):
 
 
 def qp8t_kernel(K, depth, B, gs, nibble, affine, off,
-                x_ref, q_ref, s_ref, *rest):
+                x_ref, q_ref, s_ref, *rest, unscaled=False):
     """Transposed-plane int8 group-partial decode GEMV (B <= 8).
 
     x_ref [B, K] f32 raw; q_ref [K/2, bn] u8 (nibble) / [K, bn] i8;
@@ -170,7 +170,13 @@ def qp8t_kernel(K, depth, B, gs, nibble, affine, off,
         m = s_ref[c * e:(c + 1) * e, :].astype(jnp.float32)   # [e, bn]
         if B > 1:
             m = pltpu.repeat(m, B, axis=0)
-        acc = acc + p.astype(jnp.float32) * (m * xs_sel)
+        if unscaled:
+            # ablation: drop the P-domain multiplies AND the xs selects
+            # (keeps quant+expansion+unpack+dots) — the structural cost
+            # floor of this kernel family
+            acc = acc + p.astype(jnp.float32)
+        else:
+            acc = acc + p.astype(jnp.float32) * (m * xs_sel)
         if affine or off:
             s8 = jax.lax.dot_general(
                 xc, ones, (((1,), (0,)), ((), ())),
@@ -329,6 +335,7 @@ def run(mode, B, n2, K, bn, depth, check=False, interpret=False):
     byte = mode.endswith("b") or "b_" in mode
     affine = mode.endswith("a")
     nibble = not byte
+    unscaled = "u" in mode.replace("tpf", "").replace("t8", "")
     gs = 16 if byte else 32
     off = 0.0
     rng = np.random.default_rng(7)
@@ -337,13 +344,14 @@ def run(mode, B, n2, K, bn, depth, check=False, interpret=False):
     vals, fqT, scT_d, fbT_d, scT, fbT, nbytes = make_planes(
         rng, n2, K, gs, nibble, affine, off)
     decode = mode.startswith("t8")
+    # mode suffix 'u' = unscaled ablation (t8u)
     rowsdim = K // 2 if nibble else K
     wspec = pl.BlockSpec((rowsdim, bn), lambda i: (0, i),
                          memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec((G, bn), lambda i: (0, i), memory_space=pltpu.VMEM)
     if decode:
         kern = functools.partial(qp8t_kernel, K, depth, B, gs, nibble,
-                                 affine, off)
+                                 affine, off, unscaled=unscaled)
         B8 = max(8, B)
         xspec = pl.BlockSpec((B, K), lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
