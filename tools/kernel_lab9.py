@@ -100,7 +100,8 @@ def _butterfly_absmax(x, seg):
 
 
 def qp8t_kernel(K, depth, B, gs, nibble, affine, off,
-                x_ref, q_ref, s_ref, *rest, unscaled=False):
+                x_ref, q_ref, s_ref, *rest, unscaled=False,
+                noprolog=False):
     """Transposed-plane int8 group-partial decode GEMV (B <= 8).
 
     x_ref [B, K] f32 raw; q_ref [K/2, bn] u8 (nibble) / [K, bn] i8;
@@ -118,6 +119,15 @@ def qp8t_kernel(K, depth, B, gs, nibble, affine, off,
     nseg = K // SEG
     # ---- per-segment symmetric int8 activation quantization ----------
     xf = x_ref[:].astype(jnp.float32)
+    if noprolog:
+        # ablation: skip butterfly + mask (x cast straight to int8,
+        # broadcast without subgroup selects) — bounds the per-grid-block
+        # prologue recomputation cost
+        amax = xf
+        x8 = xf.astype(jnp.int32)
+        x8b = jnp.broadcast_to(x8, (rows, K)) if B == 1 else             jnp.broadcast_to(x8.reshape(B, 1, K), (B, e, K)).reshape(
+                rows, K)
+        X4 = x8b.astype(jnp.int8)
     amax = _butterfly_absmax(xf, SEG)                      # [B, K] per-lane
     iscale = jnp.where(amax > 0, 127.0 / amax, 0.0)
     x8 = jnp.round(xf * iscale).astype(jnp.int32)          # [B, K] (i32:
@@ -127,14 +137,16 @@ def qp8t_kernel(K, depth, B, gs, nibble, affine, off,
     xs = [[amax[b, s * SEG] * (1.0 / 127.0) for s in range(nseg)]
           for b in range(B)]
     # ---- expansion: row b*e+s keeps weight-subgroup s of each chunk --
-    if B == 1:
-        x8b = jnp.broadcast_to(x8, (rows, K))
-    else:
-        x8b = jnp.broadcast_to(
-            x8.reshape(B, 1, K), (B, e, K)).reshape(rows, K)
-    sub = (jax.lax.broadcasted_iota(jnp.int32, (rows, K), 1) // gs) % e
-    rid = jax.lax.broadcasted_iota(jnp.int32, (rows, K), 0) % e
-    X4 = jnp.where(sub == rid, x8b, 0).astype(jnp.int8)
+    if not noprolog:
+        if B == 1:
+            x8b = jnp.broadcast_to(x8, (rows, K))
+        else:
+            x8b = jnp.broadcast_to(
+                x8.reshape(B, 1, K), (B, e, K)).reshape(rows, K)
+    if not noprolog:
+        sub = (jax.lax.broadcasted_iota(jnp.int32, (rows, K), 1) // gs) % e
+        rid = jax.lax.broadcasted_iota(jnp.int32, (rows, K), 0) % e
+        X4 = jnp.where(sub == rid, x8b, 0).astype(jnp.int8)
     ones = jnp.ones((depth, 1), jnp.int8)
     srow = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) % e
     half = K // 2
@@ -335,7 +347,9 @@ def run(mode, B, n2, K, bn, depth, check=False, interpret=False):
     byte = mode.endswith("b") or "b_" in mode
     affine = mode.endswith("a")
     nibble = not byte
-    unscaled = "u" in mode.replace("tpf", "").replace("t8", "")
+    core = mode.replace("tpf", "").replace("t8", "")
+    unscaled = "u" in core or "v" in core
+    noprolog = "v" in core
     gs = 16 if byte else 32
     off = 0.0
     rng = np.random.default_rng(7)
@@ -351,7 +365,8 @@ def run(mode, B, n2, K, bn, depth, check=False, interpret=False):
     sspec = pl.BlockSpec((G, bn), lambda i: (0, i), memory_space=pltpu.VMEM)
     if decode:
         kern = functools.partial(qp8t_kernel, K, depth, B, gs, nibble,
-                                 affine, off, unscaled=unscaled)
+                                 affine, off, unscaled=unscaled,
+                                 noprolog=noprolog)
         B8 = max(8, B)
         xspec = pl.BlockSpec((B, K), lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
