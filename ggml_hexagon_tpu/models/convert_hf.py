@@ -1270,11 +1270,14 @@ def convert_hf_chameleon(sd, c, out_path, qtype=GGMLType.F16,
 
 def _rope_half_perm(hd):
     """rotate-half rope permutation of a head_dim vector (the norm-weight
-    analog of permute_qk's row reorder)."""
+    analog of permute_qk's row reorder): out[2p] = in[p],
+    out[2p+1] = in[half+p] (ChameleonModel._reverse_hf_permute,
+    convert_hf_to_gguf.py chameleon section) — equivalently
+    v.reshape(2, hd//2).T.ravel()."""
     half = hd // 2
     perm = np.empty(hd, np.int64)
-    perm[:half] = 2 * np.arange(half)
-    perm[half:] = 2 * np.arange(half) + 1
+    perm[0::2] = np.arange(half)
+    perm[1::2] = half + np.arange(half)
     return perm
 
 

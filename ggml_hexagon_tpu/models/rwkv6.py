@@ -733,6 +733,13 @@ def convert_hf_rwkv7(sd, c, out_path, qtype=GGMLType.F16,
         gg = suffix_map.get(stem)
         if gg is None:
             continue
+        if i == 0 and gg in ("time_mix_v0", "time_mix_v1", "time_mix_v2"):
+            # layer 0 has no value-residual lora: the reference DROPS any
+            # source v0/v1/v2 there and emits copies of a0/a1/a2 instead
+            # (Rwkv7Model.modify_tensors early return) — skip the source
+            # tensors so the a*-copies are deterministically the emitted
+            # ones regardless of state-dict iteration order
+            continue
         a = np.squeeze(a)
         if not lora_form and gg in transpose_lora and a.ndim == 2:
             a = a.T
@@ -747,6 +754,22 @@ def convert_hf_rwkv7(sd, c, out_path, qtype=GGMLType.F16,
             t[f"blk.{i}.time_mix_lerp_fused.weight"] = np.stack(
                 [d_[k] for k in lerp_list]).reshape(len(lerp_list), 1, 1,
                                                     -1)
+    def calc_lora_rank(exponent, multiplier):
+        # reference Rwkv7Model.calc_lora_rank (convert_hf_to_gguf.py:3603)
+        return max(1, round(hidden ** exponent * multiplier / 32)) * 32
+
+    def lora_rank(cfg_keys, tensor, exponent, multiplier):
+        """config value > emitted lora plane's small dim > calc fallback."""
+        for k in cfg_keys:
+            v = gv(k)
+            if v is not None:
+                return int(v)
+        for i in reversed(range(n_layer)):  # layer 0's v-lora is an a-copy
+            a = t.get(f"blk.{i}.{tensor}.weight")
+            if a is not None and a.ndim == 2:
+                return int(min(a.shape))
+        return calc_lora_rank(exponent, multiplier)
+
     md = {
         "rwkv7.block_count": n_layer,
         "rwkv7.context_length": 1048576,
@@ -756,6 +779,19 @@ def convert_hf_rwkv7(sd, c, out_path, qtype=GGMLType.F16,
         "rwkv7.wkv.head_size": head_size,
         "rwkv7.attention.head_count": 0,
         "rwkv7.vocab_size": int(gv("vocab_size", 65536)),
+        # lora ranks (reference writes all four, gguf constants
+        # DECAY/ICLR/VALUE_RESIDUAL_MIX/GATE_LORA_RANK)
+        "rwkv7.attention.decay_lora_rank": lora_rank(
+            ("lora_rank_decay", "decay_low_rank_dim"), "time_mix_w1",
+            0.5, 1.8),
+        "rwkv7.attention.iclr_lora_rank": lora_rank(
+            ("lora_rank_iclr", "a_low_rank_dim"), "time_mix_a1", 0.5, 1.8),
+        "rwkv7.attention.value_residual_mix_lora_rank": lora_rank(
+            ("lora_rank_value_residual_mix", "v_low_rank_dim"),
+            "time_mix_v1", 0.5, 1.3),
+        "rwkv7.attention.gate_lora_rank": lora_rank(
+            ("lora_rank_gate", "gate_low_rank_dim"), "time_mix_g1",
+            0.8, 0.6),
     }
     return _write_gguf(out_path, "rwkv7", md, t, qtype,
                        tokenizer_fields=tokenizer_fields)

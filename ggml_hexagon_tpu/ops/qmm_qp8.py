@@ -127,17 +127,32 @@ def pick_depth(cfg: QConfig, k: int, prefill: bool = False) -> int | None:
     if bits_hi:
         periods.append(k * bits_hi // 8)
     env = os.environ.get("GHT_QP8_DEPTH")
-    cands = ((int(env),) if env
-             else (1024, 512, 256, 128, 64, 32) if prefill
-             else (512, 256, 128, 64, 32))
+    auto = ((1024, 512, 256, 128, 64, 32) if prefill
+            else (512, 256, 128, 64, 32))
+    cands = (int(env),) if env else auto
+
+    def ok(d):
+        return not (d % cfg.gs or k % d or any(p % d for p in periods)
+                    or d // cfg.gs < 2)
+
     for d in cands:
-        if d % cfg.gs or k % d:
-            continue
-        if any(p % d for p in periods):
-            continue
-        if d // cfg.gs < 2:
-            continue
-        return d
+        if ok(d):
+            return d
+    if env:
+        # an env-forced depth that fails the divisibility gates would
+        # otherwise surface as an opaque TypeError(depth=None) inside the
+        # kernel call — fall back to the automatic list with a warning
+        # when the tensor's planes were already built for this layout
+        import warnings
+
+        for d in auto:
+            if ok(d):
+                warnings.warn(
+                    f"GHT_QP8_DEPTH={env} incompatible with "
+                    f"(qtype={cfg.qtype.name}, K={k}): depth must divide "
+                    f"K, every shift-slice period, and be >= 2 groups — "
+                    f"using depth={d} for this tensor")
+                return d
     return None
 
 

@@ -251,9 +251,11 @@ def use_qp8_layout(cfg: QConfig, k: int, n_pad: int = 0) -> bool:
     tools/kernel_lab9.py) and the multi-plane K-quants (Q5_K/Q6_K/Q2_K/
     Q3_K/Q5_0/Q5_1: wire-density packed planes, e.g. Q6_K at 6 bits vs
     the interleaved layout's int8 rows — measured ~20% faster on the
-    ffn_down shape, tools/qp8_sweep.py).  Q8_0 (signed), IQ4 (LUT) and
-    the coded i-quants keep the interleaved route.  GHT_QP8=0 forces the
-    interleaved layout everywhere."""
+    ffn_down shape, tools/qp8_sweep.py) — plus the coded i-quants and
+    ternary, which ride 2-4 bpw arithmetic-code qp8 planes (subject to
+    the 65536-row gate below).  Only Q8_0 (signed) and IQ4 (LUT) keep
+    the interleaved route.  GHT_QP8=0 forces the interleaved layout
+    everywhere."""
     import os
 
     if os.environ.get("GHT_QP8", "1") in ("", "0"):

@@ -348,3 +348,49 @@ def test_chameleon_vs_hf(tmp_path):
                       logits_all=True, compute_dtype=jnp.float32)
     err = np.abs(np.asarray(ours) - ref).max() / (np.abs(ref).max() + 1e-9)
     assert err < 2e-3, err
+
+
+def test_chameleon_converter_vs_hf(tmp_path):
+    """The actual convert_hf chameleon path (incl. _rope_half_perm on the
+    per-head QK LayerNorm affines) vs the HF graph, with NON-constant norm
+    weights so a wrong channel permutation cannot pass (advisor r4)."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    hf_cfg = transformers.ChameleonConfig(
+        vocab_size=V, hidden_size=D, intermediate_size=FF,
+        num_hidden_layers=2, num_attention_heads=H, num_key_value_heads=H,
+        max_position_embeddings=128, rms_norm_eps=1e-5, rope_theta=10000.0,
+        swin_norm=False, vocabulary_map={})
+    torch.manual_seed(23)
+    m = transformers.ChameleonForConditionalGeneration(hf_cfg).eval()
+    with torch.no_grad():  # randomize qk-norm affines: permutation-sensitive
+        for layer in m.model.layers:
+            for mod in (layer.self_attn.q_norm, layer.self_attn.k_norm):
+                mod.weight.uniform_(0.5, 1.5)
+                mod.bias.uniform_(-0.1, 0.1)
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+
+    from types import SimpleNamespace
+
+    from ggml_hexagon_tpu.models.convert_hf import convert_hf_model
+    from ggml_hexagon_tpu.quant.formats import GGMLType
+
+    c = SimpleNamespace(model_type="chameleon", num_hidden_layers=2,
+                        hidden_size=D, intermediate_size=FF,
+                        num_attention_heads=H, num_key_value_heads=H,
+                        vocab_size=V, rms_norm_eps=1e-5, rope_theta=1e4,
+                        max_position_embeddings=128, swin_norm=False)
+    path = str(tmp_path / "chameleon_conv.gguf")
+    convert_hf_model(sd, c, path, qtype=GGMLType.F32)
+
+    ids = np.arange(8).reshape(1, 8) % V
+    with torch.no_grad():
+        ref = m(torch.tensor(ids)).logits.numpy()
+    with GGUFReader.open(path) as r:
+        cfg, weights = load_llama_weights(r, dtype=jnp.float32)
+    kv = init_kv_cache(cfg, 1, 16, dtype=jnp.float32)
+    ours, _ = forward(cfg, weights, jnp.asarray(ids, jnp.int32), kv, 0,
+                      logits_all=True, compute_dtype=jnp.float32)
+    err = np.abs(np.asarray(ours) - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 2e-3, err
