@@ -53,6 +53,12 @@ class Slot:
     stop_strings: list = field(default_factory=list)
     out_queue: Optional[queue.Queue] = None
     pending_logits: Optional[np.ndarray] = None
+    # speculative rounds emit every accepted token (each sampled EXACTLY
+    # once — common_sampler_sample_and_accept_n semantics); the last one
+    # is carried here as the next round's `cur` instead of being
+    # re-sampled from pending_logits (a re-sample would advance stateful
+    # samplers twice per boundary token)
+    pending_tok: Optional[int] = None
     t_start: float = 0.0
     t_first_token: float = 0.0
     finish_reason: str = ""
@@ -68,6 +74,7 @@ class Slot:
         self.settled = []
         self.sampler = None
         self.pending_logits = None
+        self.pending_tok = None
         self.finish_reason = ""
         self.n_decoded = 0
 
@@ -320,6 +327,13 @@ class BatchEngine:
         # sample on host for every generating slot
         to_decode = []
         for s in gen_slots:
+            if s.pending_tok is not None:
+                # carried from the last speculative round: already sampled
+                # AND emitted there — just feed it as this round's cur
+                tok = s.pending_tok
+                s.pending_tok = None
+                to_decode.append((s, tok))
+                continue
             tok = s.sampler.sample(s.pending_logits)
             if s.t_first_token == 0.0:
                 s.t_first_token = time.perf_counter() - s.t_start
@@ -451,7 +465,16 @@ class BatchEngine:
             self.weights, jnp.asarray(tokens), self.kv, jnp.asarray(pos),
             logits_all=True)
         logits = np.asarray(logits)
-        # 4. accept the longest agreeing prefix per slot
+        # 4. accept the longest agreeing prefix per slot.  Each position
+        #    is sampled EXACTLY ONCE (the reference's
+        #    common_sampler_sample_and_accept_n, common/sampling.h:79 —
+        #    sample, accept into the sampler, stop at the first
+        #    disagreement); every accepted token is emitted NOW, and the
+        #    last one carries over as next round's `cur` via pending_tok
+        #    instead of being re-sampled (a re-sample would advance
+        #    stateful samplers — penalty/DRY rings, RNG draws — twice for
+        #    the boundary token and could emit a different token than the
+        #    one the round accepted)
         for s, tok in to_decode:
             prop = proposals[s.id]
             accepted = []
@@ -476,11 +499,13 @@ class BatchEngine:
             # the correction token (the reference's prompt-reuse)
             d.n_past[s.id] += 1 + min(n_agree,
                                       max(d_written.get(s.id, 1) - 1, 0))
-            for a in accepted[:-1]:
+            for j, a in enumerate(accepted):
                 if self._emit(s, a) or s.state != SlotState.GENERATING:
                     break
-            # accepted[-1] stays unemitted: it is re-sampled as next
-            # round's `cur` from pending_logits (matching _decode_tick)
+                if j == len(accepted) - 1:
+                    # fully emitted and still generating: the last token
+                    # is the next round's cur (already sampled + emitted)
+                    s.pending_tok = a
 
     def _emit(self, s: Slot, tok: int) -> bool:
         """Deliver a sampled token; returns True when the slot finished."""
@@ -526,15 +551,42 @@ class BatchEngine:
         for name, arr in sub.items():
             self.kv[name] = self.kv[name].at[:, slot_id : slot_id + 1].set(arr)
         s.n_past -= n_discard
-        if self.draft is not None:
-            # the draft cache re-syncs via catch-up from the shifted
-            # frontier; simplest correct state is a full re-feed
-            self.draft.reset_slot(slot_id)
-            # catch-up would replay the whole history; cap by re-feeding
-            # only from n_keep is unsafe after rotation — accept the cost
         # the settled-token list mirrors the cache content (the
         # reference's slot.cache_tokens)
         s.settled = s.settled[:n_keep] + s.settled[n_keep + n_discard :]
+        if self.draft is not None:
+            # the draft's rotated positions don't match its un-rotated
+            # rope rows, so its cache is invalid from n_keep on — re-feed
+            # the post-shift history in [B, chunk] prefill forwards HERE
+            # (one-time, ~len/128 dispatches) instead of leaving it to
+            # the speculative catch-up loop, which replays one [B, 1]
+            # forward per token and stalls the tick for many rounds
+            # (round-4 weak #6; reference: the draft ctx re-prompts in
+            # batches, common/speculative.cpp:137-278)
+            self.draft.reset_slot(slot_id)
+            self._draft_refeed(slot_id, s.settled[: s.n_past])
+
+    def _draft_refeed(self, slot_id: int, toks: list):
+        """Re-prefill one slot's draft KV with `toks` in chunked [B, chunk]
+        forwards (other rows parked), leaving draft.n_past = len(toks)."""
+        d = self.draft
+        B = self.n_slots
+        chunk = min(PROMPT_CHUNK, d.max_seq - 1)
+        done = 0
+        while done < len(toks):
+            take = min(chunk, len(toks) - done)
+            tokens = np.zeros((B, chunk), np.int32)
+            pos = np.full(B, d.max_seq - 1, np.int32)
+            idx = np.zeros(B, np.int32)
+            tokens[slot_id, :take] = toks[done : done + take]
+            pos[slot_id] = done
+            idx[slot_id] = take - 1
+            # same (shape, logits_idx) signature as the prompt mirror in
+            # _prompt_tick -> reuses its compiled program
+            _, d.kv = d._fwd(d.weights, jnp.asarray(tokens), d.kv,
+                             jnp.asarray(pos), logits_idx=jnp.asarray(idx))
+            done += take
+        d.n_past[slot_id] = len(toks)
 
     def _finish(self, s: Slot, reason: str) -> bool:
         s.finish_reason = reason
@@ -545,16 +597,26 @@ class BatchEngine:
     # -- slot state save/restore (server slot_save API analog) ---------------
 
     def save_slot(self, slot_id: int, path: str):
-        """Persist a slot's KV rows + bookkeeping (llama-server /slots/{id}?action=save)."""
+        """Persist a slot's KV rows + bookkeeping (llama-server
+        /slots/{id}?action=save).  EVERY cache plane is saved — with a
+        quantized cache (kv_dtype="q8_0"/"q4_0") that includes the
+        per-row scale planes k_d/v_d; a restore that dropped them would
+        attend with stale scales."""
         import numpy as np
 
         s = self.slots[slot_id]
+        planes = {}
+        for name, arr in self.kv.items():
+            a = arr[:, slot_id]
+            if jnp.issubdtype(arr.dtype, jnp.floating):
+                planes[name] = np.asarray(a, np.float32)
+            else:  # int8/int4 value planes -> portable int8
+                planes[name] = np.asarray(a.astype(jnp.int8))
         np.savez(
             path,
-            k=np.asarray(self.kv["k"][:, slot_id]).astype(np.float32),
-            v=np.asarray(self.kv["v"][:, slot_id]).astype(np.float32),
             n_past=np.int64(s.n_past),
             prompt=np.asarray(s.prompt + s.generated, np.int64),
+            **planes,
         )
 
     def erase_slot(self, slot_id: int) -> int:
@@ -575,9 +637,15 @@ class BatchEngine:
         s = self.slots[slot_id]
         if s.state != SlotState.IDLE:
             raise RuntimeError(f"slot {slot_id} busy")
-        kdt = self.kv["k"].dtype
-        self.kv["k"] = self.kv["k"].at[:, slot_id].set(jnp.asarray(z["k"], kdt))
-        self.kv["v"] = self.kv["v"].at[:, slot_id].set(jnp.asarray(z["v"], kdt))
+        missing = [n for n in self.kv if n not in z]
+        if missing:
+            raise ValueError(
+                f"slot file {path} lacks cache planes {missing} required "
+                f"by this engine's kv_dtype (saved with a different cache "
+                f"type?)")
+        for name in self.kv:
+            self.kv[name] = self.kv[name].at[:, slot_id].set(
+                jnp.asarray(z[name], self.kv[name].dtype))
         s.n_past = int(z["n_past"])
         s.prompt = z["prompt"].astype(int).tolist()
         s.n_prompt_done = len(s.prompt)

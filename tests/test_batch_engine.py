@@ -346,3 +346,129 @@ def test_spec_decoupled_still_matches_baseline(model):
                 break
             out.append(tok)
         assert out == baseline(model, p, 8)
+
+
+def _drain(q):
+    out = []
+    while True:
+        tok, fin = q.get_nowait()
+        if tok is None:
+            return out, fin
+        out.append(tok)
+
+
+def _mk_draft(model, n_slots, max_seq=128):
+    from ggml_hexagon_tpu.gguf.reader import GGUFReader
+    from ggml_hexagon_tpu.models.llama import load_llama_weights
+    from ggml_hexagon_tpu.server.batch_engine import DraftModel
+
+    with GGUFReader.open(model) as r:
+        dcfg, dweights = load_llama_weights(r, dtype=jnp.float32)
+    return DraftModel(dcfg, dweights, n_slots=n_slots, max_seq=max_seq,
+                      compute_dtype=jnp.float32, kv_dtype=jnp.float32)
+
+
+def test_slot_save_restore_quantized_kv(model, tmp_path):
+    """q8_0-cache slot save/restore roundtrip: the per-row scale planes
+    k_d/v_d must survive (round-4 weak #3 — dropping them makes a
+    restored slot attend with stale scales)."""
+    prompt = [1, 10, 20, 30]
+    be = BatchEngine.from_gguf(model, n_slots=2, max_seq=128,
+                               kv_dtype="q8_0", compute_dtype=jnp.float32)
+    out1 = be.complete(prompt, n_predict=6, stop_ids=set())
+    assert set(be.kv) == {"k", "v", "k_d", "v_d"}
+    path = str(tmp_path / "slot0.npz")
+    sid = next(s.id for s in be.slots if s.n_past > 0)
+    be.save_slot(sid, path)
+    orig = {n: np.asarray(a[:, sid]).copy() for n, a in be.kv.items()}
+    n_past = be.slots[sid].n_past
+    # corrupt everything, then restore: every plane must round-trip
+    be.erase_slot(sid)
+    be.kv = {n: jnp.zeros_like(a) for n, a in be.kv.items()}
+    be.restore_slot(sid, path)
+    for n in orig:
+        np.testing.assert_array_equal(np.asarray(be.kv[n][:, sid]), orig[n])
+    assert be.slots[sid].n_past == n_past
+    # and the restored slot CONTINUES exactly like a fresh engine
+    out2 = be.complete(prompt + out1, n_predict=6, stop_ids=set())
+    be2 = BatchEngine.from_gguf(model, n_slots=2, max_seq=128,
+                                kv_dtype="q8_0", compute_dtype=jnp.float32)
+    assert out2 == be2.complete(prompt + out1, n_predict=6, stop_ids=set())
+
+
+def test_spec_stateful_sampler_matches_nonspec(model):
+    """Atomic sample-and-accept (round-4 weak #4): with a STATEFUL
+    stochastic chain (repeat-penalty ring + seeded RNG draws), speculative
+    output must equal non-speculative output — any position sampled twice
+    (the old re-sample of accepted[-1]) desyncs the RNG stream and the
+    penalty ring and diverges."""
+    mk = lambda: make_chain(temp=0.9, top_k=0, top_p=1.0, min_p=0.0,
+                            penalty_last_n=8, penalty_repeat=1.4, seed=11)
+    prompt = [1, 10, 20, 30]
+    be_ref = BatchEngine.from_gguf(model, n_slots=1, max_seq=128,
+                                   kv_dtype=jnp.float32,
+                                   compute_dtype=jnp.float32)
+    q = be_ref.submit(prompt, n_predict=14, sampler=mk(), stop_ids=set())
+    be_ref.run_until_idle()
+    want, _ = _drain(q)
+
+    be = BatchEngine.from_gguf(model, n_slots=1, max_seq=128,
+                               kv_dtype=jnp.float32,
+                               compute_dtype=jnp.float32,
+                               draft=_mk_draft(model, 1), n_draft=4,
+                               draft_p_min=0.0)
+    q = be.submit(prompt, n_predict=14, sampler=mk(), stop_ids=set())
+    be.run_until_idle()
+    got, _ = _drain(q)
+    assert got == want
+    assert be.metrics["n_draft_proposed"] > 0
+
+
+def test_ctx_shift_draft_refeed_bounded(model):
+    """After a context shift the draft cache re-syncs by CHUNKED re-prefill
+    (round-4 weak #6), not a one-token-per-forward replay of the whole
+    history — and generation with a draft still matches the no-draft
+    engine through the shift."""
+    from functools import partial as _part
+
+    prompt = [1, 10, 20, 30]
+    be_ref = BatchEngine.from_gguf(model, n_slots=1, max_seq=48,
+                                   kv_dtype=jnp.float32,
+                                   compute_dtype=jnp.float32,
+                                   ctx_shift=True, n_keep=4)
+    q = be_ref.submit(prompt, n_predict=50, stop_ids=set())
+    be_ref.run_until_idle()
+    want, _ = _drain(q)
+    assert be_ref.metrics["n_ctx_shifts"] >= 1
+
+    draft = _mk_draft(model, 1, max_seq=64)
+    be = BatchEngine.from_gguf(model, n_slots=1, max_seq=48,
+                               kv_dtype=jnp.float32,
+                               compute_dtype=jnp.float32,
+                               draft=draft, n_draft=4, draft_p_min=0.0,
+                               ctx_shift=True, n_keep=4)
+    calls = {"one": 0, "chunk": 0}
+    inner = draft._fwd
+
+    def counting_fwd(w, toks, kv, pos, **kw):
+        calls["one" if toks.shape[1] == 1 else "chunk"] += 1
+        return inner(w, toks, kv, pos, **kw)
+
+    draft._fwd = counting_fwd
+    q = be.submit(prompt, n_predict=50, stop_ids=set())
+    be.run_until_idle()
+    got, fin = _drain(q)
+    # shift TIMING differs between the engines (spec_room reserves
+    # 1+n_draft slots), so full-sequence equality is not expected — the
+    # pre-shift prefix must match and the slot must survive to length
+    assert got[:30] == want[:30]
+    assert len(got) == 50 and fin == "length"
+    assert be.metrics["n_ctx_shifts"] >= 1
+    # the refeed ran chunked (>= one [B, chunk] forward per shift) and
+    # the draft frontier is synced — the per-round [B,1] catch-up never
+    # replays history, so [B,1] forwards stay bounded by
+    # rounds * (seed + n_draft + ~2 catch-up) with rounds <= 50
+    assert calls["chunk"] >= be.metrics["n_ctx_shifts"]
+    assert calls["one"] <= 50 * (1 + 4 + 2), calls
+    s = be.slots[0]
+    assert int(draft.n_past[0]) >= s.n_past - 1
