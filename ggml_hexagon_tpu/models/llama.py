@@ -559,16 +559,24 @@ def _kv_write(cache_l, new, pos_start):
 
 
 def qtensor_rows(qt, start: int, n: int):
-    """Row-slice a QTensor (used for stacked MoE expert weights)."""
+    """Row-slice a QTensor (used for stacked MoE expert weights).  Fast
+    planes slice along their output-feature axis (0 for the interleaved
+    layout, 1 for the transposed qp8 layout) so per-expert slices keep
+    the Pallas kernel path (parallel/moe.py EP shards)."""
     if isinstance(qt, QTensor):
+        def gw(a):
+            return None if a is None else a[start:start + n]
+
+        def gf(a):
+            if a is None:
+                return None
+            return a[:, start:start + n] if qt.fl == "t" \
+                else a[start:start + n]
+
         return QTensor(
-            qt.cfg, n, qt.k,
-            qt.q[start : start + n], qt.d[start : start + n],
-            None if qt.qh is None else qt.qh[start : start + n],
-            None if qt.sc is None else qt.sc[start : start + n],
-            None if qt.dmin is None else qt.dmin[start : start + n],
-            None if qt.m is None else qt.m[start : start + n],
-        )
+            qt.cfg, n, qt.k, gw(qt.q), gw(qt.d), gw(qt.qh), gw(qt.sc),
+            gw(qt.dmin), gw(qt.m), gf(qt.fq), gf(qt.fs), gf(qt.fb),
+            fl=qt.fl)
     return qt[start : start + n]
 
 
@@ -836,10 +844,12 @@ def _dense_ffn(cfg, lw, f, compute_dtype, tap=None, il=0, norm_il=None,
 
 
 def _ffn_out(cfg, lw, f, h_in, compute_dtype, tap=None, il=0, norm_il=None,
-             res=None):
+             res=None, tp_axis=None):
     """FFN dispatch: MoE, arctic's parallel dense+MoE, or dense.
     Returns (ffn_out, res_consumed) — res (the residual row) is only ever
-    consumed by the dense decode fast path (in-kernel add)."""
+    consumed by the dense decode fast path (in-kernel add).
+    tp_axis: row-parallel ffn_down partials psum here (pre post-norms);
+    the in-kernel residual fusion disables (res forced None by caller)."""
     consumed = False
     if "ffn_gate_inp" in lw and "ffn_norm_exps" in lw:
         # arctic: dense MLP on the ffn_norm'd residual branch PLUS an MoE
@@ -856,6 +866,10 @@ def _ffn_out(cfg, lw, f, h_in, compute_dtype, tap=None, il=0, norm_il=None,
             res = None  # output is re-normed before the residual add
         ffn_out, consumed = _dense_ffn(cfg, lw, f, compute_dtype, tap, il,
                                        norm_il, res)
+    if tp_axis is not None:
+        assert not consumed
+        ffn_out = jax.lax.psum(
+            ffn_out.astype(jnp.float32), tp_axis).astype(ffn_out.dtype)
     if cfg.post_norms:
         ffn_out = _norm(cfg, ffn_out, lw["post_ffn_norm"])
     if cfg.swin_norm:  # chameleon: ffn_norm applied to output, pre-residual
@@ -864,14 +878,14 @@ def _ffn_out(cfg, lw, f, h_in, compute_dtype, tap=None, il=0, norm_il=None,
 
 
 def _ffn_block(cfg, lw, f, h, h_in, compute_dtype, tap=None, il=0,
-               norm_il=None):
+               norm_il=None, tp_axis=None):
     """FFN + residual for layers without attention (deci)."""
     if ("ffn_up" not in lw and "ffn_gate_inp" not in lw
             and "w_gateup" not in lw and "w_gateup_il" not in lw):
         return h  # fully pass-through layer
-    res = h if cfg.residual_scale == 1.0 else None
+    res = h if (cfg.residual_scale == 1.0 and tp_axis is None) else None
     ffn_out, consumed = _ffn_out(cfg, lw, f, h_in, compute_dtype, tap, il,
-                                 norm_il, res)
+                                 norm_il, res, tp_axis)
     h = ffn_out if consumed else h + ffn_out * cfg.residual_scale
     if "cvec" in lw:
         h = h + lw["cvec"].astype(h.dtype)
@@ -894,6 +908,10 @@ def forward(
     write_pos=None,  # storage slot for new rows when != pos_start
     seq_parallel: bool = False,  # KV sharded over a mesh 'sp' axis: keep
     # attention on the GSPMD einsum path (collectives by compiler)
+    tp_axis: str | None = None,  # running INSIDE shard_map with col/row-
+    # sharded weights (parallel/tp_fast.py): wo/ffn_down partials psum
+    # over this axis; in-kernel residual fusions disable (the residual
+    # add must follow the reduction)
 ):
     """One decoder step over T new tokens.  Returns (logits, new_kv_cache).
 
@@ -964,13 +982,15 @@ def forward(
                 new_v.append(kv_cache["v"][il])
             if "wo" in lw and nh > 0:  # linear attention
                 attn_out = matmul(a, lw["wo"]).astype(compute_dtype)
+                if tp_axis is not None:
+                    attn_out = jax.lax.psum(attn_out, tp_axis)
                 h = h + attn_out * cfg.residual_scale
             # else: layer input passes through untouched (no residual add)
             fuse_f = "ffn_norm_il" in lw and tap is None
             f = (_norm(cfg, h, lw.get("ffn_norm"), lw.get("ffn_norm_b"))
                  if (cfg.pre_norms and not fuse_f) else h)
             h = _ffn_block(cfg, lw, f, h, h_in, compute_dtype, tap, il,
-                           lw["ffn_norm_il"] if fuse_f else None)
+                           lw["ffn_norm_il"] if fuse_f else None, tp_axis)
             continue
         if tap is not None:
             tap(f"blk.{il}.attn_q.weight", a)
@@ -1151,7 +1171,7 @@ def forward(
         # hidden state streams through in the il32 layout baked into the
         # row-permuted wo/ffn_down planes (fuse.attach_ffn_fused_layout)
         if ("ffp" in lw and T == 1 and B <= 8 and tap is None
-                and "attn_sub_norm" not in lw
+                and tp_axis is None and "attn_sub_norm" not in lw
                 and (jax.default_backend() == "tpu"
                      or FUSED_EPILOGUE_INTERPRET)):
             from ..ops.ffn_fused import ffn_fused
@@ -1171,6 +1191,7 @@ def forward(
         # (one fewer XLA op per layer off the dispatch-bound decode tail)
         wo_res = (
             T == 1 and B <= 8 and tap is None and "ffp" not in lw
+            and tp_axis is None
             and not any(k in lw for k in ("wo_lora", "wo_scale", "bo"))
             and not cfg.post_norms and not cfg.swin_norm
             and not cfg.parallel_residual and cfg.residual_scale == 1.0
@@ -1198,6 +1219,14 @@ def forward(
                 attn_out = attn_out * lw["wo_scale"]
             if "bo" in lw:
                 attn_out = attn_out + lw["bo"]
+            if tp_axis is not None:
+                # row-parallel wo: reduce the per-shard partial sums (the
+                # split-buffer gather of llama-model.cpp:317-335, as an
+                # ICI all-reduce) in f32, BEFORE the compute-dtype cast
+                # and post-norms/residual — cast(psum(f32 partials)) ==
+                # the single-device cast of the full f32 sum
+                attn_out = jax.lax.psum(
+                    attn_out.astype(jnp.float32), tp_axis)
             attn_out = attn_out.astype(compute_dtype)
             if cfg.post_norms:
                 attn_out = _norm(cfg, attn_out, lw["post_attn_norm"])
@@ -1216,10 +1245,11 @@ def forward(
                  if (cfg.pre_norms and not cfg.swin_norm
                      and not fuse_ffn_norm) else h)
         ffn_res = (h if (not cfg.parallel_residual
-                         and cfg.residual_scale == 1.0) else None)
+                         and cfg.residual_scale == 1.0
+                         and tp_axis is None) else None)
         ffn_out, ffn_consumed = _ffn_out(
             cfg, lw, f, h_in, compute_dtype, tap, il,
-            lw["ffn_norm_il"] if fuse_ffn_norm else None, ffn_res)
+            lw["ffn_norm_il"] if fuse_ffn_norm else None, ffn_res, tp_axis)
         if ffn_consumed:
             h = ffn_out
         elif cfg.parallel_residual:

@@ -307,6 +307,16 @@ def qmatmul_pallas(
     return out[:B, : qt.n].reshape(*lead, qt.n)
 
 
+def fast_interpret() -> bool:
+    """CPU escape hatch: GHT_FAST_INTERPRET=1 routes the auto dispatch
+    through the Pallas kernels in interpret mode off-TPU — used by the
+    tp_fast shard_map tests/dryruns to prove the PRODUCTION kernels (not
+    the XLA fallback) execute per shard."""
+    import os
+
+    return os.environ.get("GHT_FAST_INTERPRET", "") not in ("", "0")
+
+
 def qmatmul(x, qt: QTensor, out_dtype=jnp.float32, compute_dtype=jnp.bfloat16,
             backend: str = "auto", **kw):
     """Quantized matmul for x [..., K] -> [..., n].
@@ -321,8 +331,11 @@ def qmatmul(x, qt: QTensor, out_dtype=jnp.float32, compute_dtype=jnp.bfloat16,
         from .qmm_fast import MAX_FAST_BATCH, qmatmul_fast
 
         B = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
-        if qt.fq is not None and jax.default_backend() == "tpu" and (
+        interp = fast_interpret()
+        if qt.fq is not None and (jax.default_backend() == "tpu"
+                                  or interp) and (
                 B <= MAX_FAST_BATCH or qt.q is None):
+            kw.setdefault("interpret", interp)
             return qmatmul_fast(x, qt, out_dtype=out_dtype, **kw)
         return qmatmul_xla(x, qt, out_dtype, compute_dtype)
     if backend == "fast":
@@ -348,8 +361,10 @@ def qmatmul_normed(x, qt: QTensor, wn_il, eps: float,
                            uninterleave_norm)
 
     B = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
-    if qt.fq is not None and jax.default_backend() == "tpu" and (
+    interp = fast_interpret()
+    if qt.fq is not None and (jax.default_backend() == "tpu" or interp) and (
             B <= MAX_FAST_BATCH or qt.q is None):
+        kw.setdefault("interpret", interp)
         return qmatmul_fast_normed(x, qt, wn_il, eps, out_dtype=out_dtype,
                                    **kw)
     if wn is None:

@@ -734,9 +734,21 @@ def _interleave_x(x2, G: int, gs: int, nibble: bool, nkj: int,
     return x_il
 
 
+#: trace-time launch counter: incremented whenever an interleaved-layout
+#: Pallas kernel call is STAGED into a program (tests/dryruns assert the
+#: production path — not the XLA fallback — was compiled)
+KERNEL_TRACES = 0
+
+
+def _count_trace():
+    global KERNEL_TRACES
+    KERNEL_TRACES += 1
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
 def _fast_core(x, planes, gs, nibble, n, interpret, cm="", off=0.0,
                pre_il=False):
+    _count_trace()
     fq, fs, fb = planes
     B, K = x.shape
     G = K // gs

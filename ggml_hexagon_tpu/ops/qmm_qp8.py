@@ -353,15 +353,11 @@ def _qp8_prologue(K: int, B: int, eps, act: str, x_ref, wn_ref):
     return x8, amax
 
 
-def _qp8_body(K: int, depth: int, B: int, gs: int, pb: tuple, cm: str,
-              off: float, bn: int, x8, amax, q_ref, s_ref, b_ref):
-    """Group-partial int8 contraction against ONE tensor's plane blocks:
-    expansion, chunk dots, P-domain scales, bias.  Returns y [B, bn]."""
+def _qp8_expand(K: int, depth: int, B: int, gs: int, x8):
+    """int8 activation row(s) -> e = depth/gs masked sub-rows per batch
+    row (row b*e+s keeps weight-subgroup s of each chunk)."""
     e = depth // gs
     rows = B * e
-    nch = K // depth
-    affine = b_ref is not None
-    # ---- expansion: row b*e+s keeps weight-subgroup s of each chunk ----
     if B == 1:
         x8b = jnp.broadcast_to(x8, (rows, K))
     else:
@@ -369,7 +365,20 @@ def _qp8_body(K: int, depth: int, B: int, gs: int, pb: tuple, cm: str,
             x8.reshape(B, 1, K), (B, e, K)).reshape(rows, K)
     sub = (jax.lax.broadcasted_iota(jnp.int32, (rows, K), 1) // gs) % e
     rid = jax.lax.broadcasted_iota(jnp.int32, (rows, K), 0) % e
-    X4 = jnp.where(sub == rid, x8b, 0).astype(jnp.int8)
+    return jnp.where(sub == rid, x8b, 0).astype(jnp.int8)
+
+
+def _qp8_body(K: int, depth: int, B: int, gs: int, pb: tuple, cm: str,
+              off: float, bn: int, X4, amax, q_ref, s_ref, b_ref):
+    """Group-partial int8 contraction against ONE tensor's plane blocks:
+    chunk dots, P-domain scales, bias.  X4 is the pre-expanded activation
+    (array, or a VMEM scratch ref computed once at grid step 0 — the
+    r5 hoist: quant+expansion ran once PER GRID STEP before); amax
+    likewise array-or-ref.  Returns y [B, bn]."""
+    e = depth // gs
+    rows = B * e
+    nch = K // depth
+    affine = b_ref is not None
     need_s8 = affine or off
     ones = jnp.ones((depth, 1), jnp.int8) if need_s8 else None
     srow = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
@@ -416,7 +425,8 @@ def _qp8_body(K: int, depth: int, B: int, gs: int, pb: tuple, cm: str,
 
 def _qp8_decode_kernel(K: int, depth: int, B: int, gs: int, pb: tuple,
                        cm: str, affine: bool, off: float, eps, act: str,
-                       has_res: bool, x_ref, q_ref, s_ref, *rest):
+                       has_res: bool, hoist: bool,
+                       x_ref, q_ref, s_ref, *rest):
     """Transposed-plane int8 group-partial decode GEMV (B <= 8).
 
     x_ref [B, K] f32 raw ([B, 2K] when act: gate ++ up halves);
@@ -434,10 +444,26 @@ def _qp8_decode_kernel(K: int, depth: int, B: int, gs: int, pb: tuple,
     if has_res:
         res_ref = rest[i]
         i += 1
-    o_ref = rest[-1]
+    x4_s, amax_s = rest[-2], rest[-1]   # VMEM scratch (persist over grid)
+    o_ref = rest[-3]
     bn = o_ref.shape[1]
-    x8, amax = _qp8_prologue(K, B, eps, act, x_ref, wn_ref)
-    y = _qp8_body(K, depth, B, gs, pb, cm, off, bn, x8, amax, q_ref,
+
+    # r5 hoist: norm + butterfly quantization + expansion run ONCE (grid
+    # step 0) into scratch instead of once per lane block — on the
+    # gate-up shape at bn=4096 that's 7x fewer prologue/expansion passes
+    # (hoist=False keeps the r4 per-step path for same-process A/Bs)
+    if hoist:
+        @pl.when(pl.program_id(0) == 0)
+        def _prep():
+            x8, amax = _qp8_prologue(K, B, eps, act, x_ref, wn_ref)
+            x4_s[:] = _qp8_expand(K, depth, B, gs, x8)
+            amax_s[:] = amax
+
+        X4, amax = x4_s, amax_s
+    else:
+        x8, amax = _qp8_prologue(K, B, eps, act, x_ref, wn_ref)
+        X4 = _qp8_expand(K, depth, B, gs, x8)
+    y = _qp8_body(K, depth, B, gs, pb, cm, off, bn, X4, amax, q_ref,
                   s_ref, b_ref)
     if res_ref is not None:
         y = y + res_ref[:].astype(jnp.float32)
@@ -467,23 +493,34 @@ def _qp8_dual_kernel(K: int, B: int, nba: int,
     if eps is not None:
         wn_ref = rest[i]
         i += 1
-    o_ref = rest[-1]
+    x8_s, amax_s = rest[-2], rest[-1]   # VMEM scratch (persist over grid)
+    o_ref = rest[-3]
     bn = o_ref.shape[1]
-    x8, amax = _qp8_prologue(K, B, eps, "", x_ref, wn_ref)
     gi = pl.program_id(0)
+
+    # norm + butterfly quantization hoisted to grid step 0 (the two
+    # tensors' (gs, depth) geometries differ, so expansion stays per
+    # body — it starts from the shared int8 row)
+    @pl.when(gi == 0)
+    def _prep():
+        x8, amax = _qp8_prologue(K, B, eps, "", x_ref, wn_ref)
+        x8_s[:] = x8.astype(jnp.int8)
+        amax_s[:] = amax
 
     @pl.when(gi < nba)
     def _a():
-        y = _qp8_body(K, depth_a, B, gs_a, pb_a, cm_a, off_a, bn, x8,
-                      amax, qa_ref, sa_ref, ba_ref)
+        X4 = _qp8_expand(K, depth_a, B, gs_a, x8_s[:].astype(jnp.int32))
+        y = _qp8_body(K, depth_a, B, gs_a, pb_a, cm_a, off_a, bn, X4,
+                      amax_s, qa_ref, sa_ref, ba_ref)
         if B < o_ref.shape[0]:
             y = jnp.pad(y, ((0, o_ref.shape[0] - B), (0, 0)))
         o_ref[:] = y
 
     @pl.when(gi >= nba)
     def _b():
-        y = _qp8_body(K, depth_b, B, gs_b, pb_b, cm_b, off_b, bn, x8,
-                      amax, qb_ref, sb_ref, bb_ref)
+        X4 = _qp8_expand(K, depth_b, B, gs_b, x8_s[:].astype(jnp.int32))
+        y = _qp8_body(K, depth_b, B, gs_b, pb_b, cm_b, off_b, bn, X4,
+                      amax_s, qb_ref, sb_ref, bb_ref)
         if B < o_ref.shape[0]:
             y = jnp.pad(y, ((0, o_ref.shape[0] - B), (0, 0)))
         o_ref[:] = y
@@ -565,23 +602,35 @@ def _pick_bn_t(n2: int, K: int, pb: tuple, B: int) -> int:
     return 256
 
 
+def _hoist_enabled() -> bool:
+    import os
+
+    return os.environ.get("GHT_QP8_HOIST", "1") not in ("", "0")
+
+
 @functools.partial(jax.jit, static_argnames=(
     "pb", "cm", "G", "bn", "depth", "gs", "eps", "interpret", "act",
-    "off", "decode"))
+    "off", "decode", "hoist"))
 def _qp8_call(x, fq, fs, fb=None, wn=None, res=None, *, pb: tuple,
               cm: str = "", G: int, bn: int, depth: int, gs: int,
               eps=None, interpret: bool = False, act: str = "",
-              off: float = 0.0, decode: bool = True):
+              off: float = 0.0, decode: bool = True, hoist: bool = True):
     B, K = x.shape
     if act:
         K = K // 2
     n2 = fq.shape[1]
     rowsdim = fq.shape[0]
+    scratch = None
     if decode:
         kern = functools.partial(
             _qp8_decode_kernel, K, depth, B, gs, pb, cm, fb is not None,
-            off, eps, act, res is not None)
+            off, eps, act, res is not None, hoist)
         B8 = max(8, B)
+        e = depth // gs
+        rows = (B * e) if B > 1 else e
+        # prologue/expansion scratch, written once at grid step 0
+        scratch = [pltpu.VMEM((rows, K), jnp.int8),
+                   pltpu.VMEM((B, K), jnp.float32)]
     else:
         assert not act and eps is None and res is None
         kern = functools.partial(
@@ -615,8 +664,12 @@ def _qp8_call(x, fq, fs, fb=None, wn=None, res=None, *, pb: tuple,
         out_specs=pl.BlockSpec((B8, bn), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B8, n2), jnp.float32),
+        scratch_shapes=scratch or [],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
+            # decode: scratch written at step 0, read by later steps —
+            # the grid must run in order
+            dimension_semantics=(("arbitrary",) if scratch
+                                 else ("parallel",)),
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * K * n2,
@@ -682,8 +735,18 @@ def _decode_ok(B: int) -> bool:
     return B <= QP8_MAX_DECODE
 
 
+#: trace-time launch counter (see ops/qmm_fast.KERNEL_TRACES)
+KERNEL_TRACES = 0
+
+
+def _count_trace():
+    global KERNEL_TRACES
+    KERNEL_TRACES += 1
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def _qp8_core(x, planes, cfg, n, k, interpret, depth, gs):
+    _count_trace()
     fq, fs, fb = planes
     B, K = x.shape
     G = K // gs
@@ -694,7 +757,7 @@ def _qp8_core(x, planes, cfg, n, k, interpret, depth, gs):
     xin = (x.astype(jnp.float32) if decode else x.astype(jnp.bfloat16))
     y = _qp8_call(xin, fq, fs, fb, pb=pb, cm=cfg.code_map, G=G, bn=bn,
                   depth=depth, gs=gs, interpret=interpret, off=off,
-                  decode=decode)
+                  decode=decode, hoist=_hoist_enabled())
     # slice BOTH axes so the custom-vjp cotangent matches x's row count
     return y[:B, :n]
 
@@ -762,6 +825,7 @@ def qp8_matmul(x, qt: QTensor, out_dtype=jnp.float32, interpret=False):
 def _qp8_infer(x2, qt: QTensor, wn=None, eps=None, act="", res=None,
                interpret=False):
     """Inference-only fused launch (no vjp): norm / act / residual."""
+    _count_trace()
     cfg = qt.cfg
     K = qt.k if not act else qt.k
     B = x2.shape[0]
@@ -778,7 +842,8 @@ def _qp8_infer(x2, qt: QTensor, wn=None, eps=None, act="", res=None,
                   res, pb=pb, cm=cfg.code_map, G=G, bn=bn, depth=depth,
                   gs=cfg.gs,
                   eps=None if eps is None else float(eps),
-                  interpret=interpret, act=act, off=off, decode=True)
+                  interpret=interpret, act=act, off=off, decode=True,
+                  hoist=_hoist_enabled())
     del K
     return y
 
@@ -906,6 +971,8 @@ def _qp8_dual_call(x, fqa, fsa, fqb, fsb, fba=None, fbb=None, wn=None, *,
         out_specs=pl.BlockSpec((B8, bn), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B8, na2 + nb2), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((B, K), jnp.int8),
+                        pltpu.VMEM((B, K), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -964,7 +1031,8 @@ def _qp8_indirect_kernel(K: int, depth: int, gs: int, pb: tuple, cm: str,
     o_ref = rest[-1]
     bn = o_ref.shape[1]
     x8, amax = _qp8_prologue(K, 1, None, "", x_ref, None)
-    y = _qp8_body(K, depth, 1, gs, pb, cm, off, bn, x8, amax, q_ref,
+    X4 = _qp8_expand(K, depth, 1, gs, x8)
+    y = _qp8_body(K, depth, 1, gs, pb, cm, off, bn, X4, amax, q_ref,
                   s_ref, b_ref)
     o_ref[:] = jnp.broadcast_to(y, (o_ref.shape[0], bn))
 

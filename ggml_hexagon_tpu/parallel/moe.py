@@ -37,24 +37,41 @@ def make_ep_mesh(ep: int, devices=None) -> Mesh:
     return Mesh(np.asarray(devices[:ep]), axis_names=("ep",))
 
 
+def _ep_fast_ok(v: QTensor, ep: int) -> bool:
+    """Fast planes can shard over 'ep' only when the padded feature axis
+    IS the stacked expert dim (no tail padding rows) and splits into
+    whole-expert blocks — else they drop and the shard runs wire planes."""
+    return (v.fq is not None and v.n_pad == v.n and v.n % ep == 0)
+
+
 def shard_experts_ep(lw: dict, mesh: Mesh) -> dict:
     """Place the stacked expert planes so each 'ep' device holds a
     contiguous block of experts (row-shard over the stacked expert dim);
-    router + norms replicate."""
+    router + norms replicate.  Fast planes shard along their own feature
+    axis (il: rows; t: lanes) so each owner keeps the Pallas kernel path
+    for its experts."""
+    ep = mesh.shape["ep"]
     col = NamedSharding(mesh, P("ep", None))
+    tcol = NamedSharding(mesh, P(None, "ep"))
     rep = NamedSharding(mesh, P())
 
     def put(v, sh):
         if isinstance(v, QTensor):
-            def g(a):
+            keep_fast = _ep_fast_ok(v, ep)
+
+            def g(a, fast=False):
                 if a is None:
                     return None
                 a = jnp.asarray(a)
-                ok = a.shape[0] % mesh.shape["ep"] == 0
+                if fast:
+                    if not keep_fast:
+                        return None
+                    return jax.device_put(a, tcol if v.fl == "t" else sh)
+                ok = a.shape[0] % ep == 0
                 return jax.device_put(a, sh if ok and a.ndim == 2 else rep)
             return QTensor(v.cfg, v.n, v.k, g(v.q), g(v.d), g(v.qh),
-                           g(v.sc), g(v.dmin), g(v.m), g(v.fq), g(v.fs),
-                           g(v.fb))
+                           g(v.sc), g(v.dmin), g(v.m), g(v.fq, True),
+                           g(v.fs, True), g(v.fb, True), fl=v.fl)
         return jax.device_put(jnp.asarray(v), sh)
 
     out = dict(lw)
@@ -84,13 +101,15 @@ def _local_expert_ffn(cfg, gate, up, down, x, eoh, act_fn):
 
 def _mm(x, qt, start, n):
     """Row-sliced quantized matmul on the LOCAL shard of a stacked expert
-    tensor (wire planes; shard_map sees the per-device slice)."""
-    from ..ops.qmatmul import qmatmul_xla
+    tensor (shard_map sees the per-device slice).  The slice carries the
+    fast planes (qtensor_rows), so on TPU the per-expert matmul runs the
+    production Pallas kernels — wire planes remain the oracle fallback."""
+    from ..ops.qmatmul import qmatmul
 
     if isinstance(qt, QTensor):
         from ..models.llama import qtensor_rows
 
-        return qmatmul_xla(x, qtensor_rows(qt, start, n))
+        return qmatmul(x, qtensor_rows(qt, start, n))
     return x.astype(jnp.float32) @ qt[start:start + n].T
 
 
@@ -161,16 +180,34 @@ def moe_ffn_ep(cfg, lw, f, mesh: Mesh, capacity: int | None = None):
         out = jnp.einsum("ecd,pec->pd", y_back, disp) * wts[:, None]
         return jnp.sum(out.reshape(Bl * T, K, d), axis=1).reshape(Bl, T, d)
 
-    # QTensor is a registered pytree: the P("ep", None) prefix spec
-    # row-shards EVERY wire plane of the stacked expert tensors (all
-    # leading axes are proportional to E*n_per_expert), so each device's
-    # shard_map body sees only ITS experts' packed bytes — quantized
-    # weights never replicate and never move; only activations ride the
-    # all-to-all.
-    spec_w = P("ep", None)
+    # QTensor is a registered pytree: per-tensor spec trees (tp_fast.
+    # _qt_specs) shard every wire plane over the stacked expert dim AND
+    # the fast planes along their own feature axis (il: rows, t: lanes),
+    # so each device's shard_map body sees only ITS experts' packed bytes
+    # and keeps the Pallas kernel path — quantized weights never
+    # replicate and never move; only activations ride the all-to-all.
+    from .tp_fast import _qt_specs
+
+    def local(qt):
+        if isinstance(qt, QTensor) and not _ep_fast_ok(qt, ep):
+            # fast planes that can't split into whole-expert blocks drop
+            # (fl rides along so a t-layout stack is never mislabeled —
+            # r4 advisor finding); wire planes remain the shard payload
+            return QTensor(qt.cfg, qt.n, qt.k, qt.q, qt.d, qt.qh, qt.sc,
+                           qt.dmin, qt.m, fl=qt.fl)
+        return qt
+
+    def espec(qt):
+        if isinstance(qt, QTensor):
+            return _qt_specs(qt, "col", "ep")
+        return P("ep", None)
+
+    exps = [local(lw["ffn_gate_exps"]), local(lw["ffn_up_exps"]),
+            local(lw["ffn_down_exps"])]
     fn = shard_map(
         body, mesh=mesh,
-        in_specs=(P(), spec_w, spec_w, spec_w, P("ep", None, None)),
+        in_specs=(P(), espec(exps[0]), espec(exps[1]), espec(exps[2]),
+                  P("ep", None, None)),
         out_specs=P("ep", None, None),
     )
     gate_inp = lw["ffn_gate_inp"]
@@ -179,13 +216,4 @@ def moe_ffn_ep(cfg, lw, f, mesh: Mesh, capacity: int | None = None):
 
         gate_inp = dequantize_jax(gate_inp, jnp.float32)
 
-    def local(qt):
-        if isinstance(qt, QTensor):
-            # drop fast planes (qtensor_rows operates on wire planes) and
-            # let the prefix spec shard the wire planes per device
-            return QTensor(qt.cfg, qt.n, qt.k, qt.q, qt.d, qt.qh, qt.sc,
-                           qt.dmin, qt.m)
-        return qt
-
-    return fn(jnp.asarray(gate_inp), local(lw["ffn_gate_exps"]),
-              local(lw["ffn_up_exps"]), local(lw["ffn_down_exps"]), f)
+    return fn(jnp.asarray(gate_inp), *exps, f)

@@ -79,9 +79,23 @@ def shard_pipeline(weights: dict, kv: dict, mesh: Mesh):
 
     tp = mesh.shape.get("tp", 1)
     stacked_raw = stack_layers(weights)
+
+    def strip_fast(qt, key):
+        """tp>1: the per-ndim specs can only express col-sharding of the
+        INTERLEAVED fast layout (plane rows = output features); t-layout
+        and row-parallel fast planes would mis-shard, so those fall back
+        to wire planes per rank (parallel/tp_fast.py holds the full
+        fast-plane TP story for the non-pipelined path)."""
+        if (not isinstance(qt, QTensor) or qt.fq is None or qt.q is None
+                or (key in _COL_KEYS and qt.fl == "il")):
+            return qt
+        return QTensor(qt.cfg, qt.n, qt.k, qt.q, qt.d, qt.qh, qt.sc,
+                       qt.dmin, qt.m)
+
     stacked = {}
     for key, val in stacked_raw.items():
         if tp > 1 and key in _COL_KEYS + _ROW_KEYS:
+            val = strip_fast(val, key)
             stacked[key] = jax.tree.map(
                 lambda x, k=key: put(x, _weight_spec(k, x)), val)
         else:
@@ -104,12 +118,23 @@ def shard_pipeline(weights: dict, kv: dict, mesh: Mesh):
 def _localize(w):
     """Rebuild a QTensor's (n, k) aux from its LOCAL plane shapes — inside
     shard_map the planes are this rank's block but the aux still carries the
-    global sizes (qmatmul asserts on k and trims on n)."""
+    global sizes (qmatmul asserts on k and trims on n).  Fast planes ride
+    along (with their layout tag) so the per-rank matmuls keep the Pallas
+    path; layer-stacked planes carry a leading L_loc axis the per-layer
+    scan strips before this runs."""
     if not isinstance(w, QTensor):
         return w
-    local_k = w.q.shape[-1] * 8 // w.cfg.bits_lo
-    return QTensor(w.cfg, w.q.shape[0], local_k, w.q, w.d, w.qh, w.sc,
-                   w.dmin, w.m)
+    if w.q is not None:
+        local_k = w.q.shape[-1] * 8 // w.cfg.bits_lo
+        local_n = w.q.shape[0]
+    elif w.fl == "t":  # wire-less: derive from the transposed fast planes
+        local_k = w.fs.shape[0] * w.cfg.gs
+        local_n = min(w.n, w.fq.shape[1])
+    else:
+        local_k = w.fs.shape[1] * w.cfg.gs
+        local_n = min(w.n, w.fq.shape[0])
+    return QTensor(w.cfg, local_n, local_k, w.q, w.d, w.qh, w.sc,
+                   w.dmin, w.m, w.fq, w.fs, w.fb, fl=w.fl)
 
 
 def _layer(cfg, lw, h, kv_k, kv_v, positions, pos_start, T, scale,

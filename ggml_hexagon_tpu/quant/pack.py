@@ -535,6 +535,56 @@ def pack_tensor(
     )
 
 
+def slice_rows_host(qt: QTensor, n0: int, n1: int) -> QTensor:
+    """Host-side output-feature slice [n0, n1) of a wire QTensor.
+
+    Used by the fast-plane sharders (parallel/tp_fast.py): each shard's
+    planes are rebuilt from its row slice so every device holds a valid
+    standalone plane set (the reference's split-buffer row TP,
+    ggml-cuda.cu:761+, slices rows the same way).  Padding rows beyond
+    qt.n are dropped — the per-shard plane build re-pads."""
+    assert isinstance(qt.q, np.ndarray), "host slicing needs wire planes"
+    assert 0 <= n0 < n1 <= qt.n, (n0, n1, qt.n)
+
+    def g(a):
+        return None if a is None else a[n0:n1]
+
+    return QTensor(qt.cfg, n1 - n0, qt.k, g(qt.q), g(qt.d), g(qt.qh),
+                   g(qt.sc), g(qt.dmin), g(qt.m))
+
+
+def slice_k_host(qt: QTensor, k0: int, k1: int) -> QTensor:
+    """Host-side contraction-dim slice [k0, k1) of a wire QTensor.
+
+    Boundaries must be 256-aligned (superblock + qp8 SEG granularity).
+    The packed bit planes are unpacked, column-sliced, and repacked so the
+    result is a valid standalone [N, k1-k0] QTensor — the row-parallel
+    shard of the reference's split-K tensor parallelism."""
+    cfg = qt.cfg
+    assert isinstance(qt.q, np.ndarray), "host slicing needs wire planes"
+    assert k0 % 256 == 0 and k1 % 256 == 0 and 0 <= k0 < k1 <= qt.k, (
+        k0, k1, qt.k)
+    kl = k1 - k0
+    if cfg.signed:
+        q = qt.q[:, k0:k1]
+        qh = None
+    else:
+        v = unpack_bits(np.asarray(qt.q), cfg.bits_lo, qt.k)[:, k0:k1]
+        q = _pack_bits(v, cfg.bits_lo)
+        qh = None
+        if cfg.bits_hi:
+            vh = unpack_bits(np.asarray(qt.qh), cfg.bits_hi, qt.k)[:, k0:k1]
+            qh = _pack_bits(vh, cfg.bits_hi)
+
+    def gg(a, per: int):
+        return None if a is None else a[:, k0 // per:k1 // per]
+
+    d_per = 256 if cfg.superblock else cfg.gs
+    return QTensor(cfg, qt.n, kl, q, gg(qt.d, d_per), qh,
+                   gg(qt.sc, cfg.gs), gg(qt.dmin, 256),
+                   gg(qt.m, cfg.gs))
+
+
 def quantize_tensor(
     w: np.ndarray, qtype: GGMLType, quant_weights: np.ndarray | None = None
 ) -> QTensor:

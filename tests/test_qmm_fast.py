@@ -302,7 +302,11 @@ def test_coded_iquant_fast_planes(tname):
     from ggml_hexagon_tpu.quant.pack import pack_tensor
 
     gt = getattr(GGMLType, tname)
-    rng = np.random.default_rng(hash(tname) % 2**31)
+    # NOTE: str hash is process-salted (PYTHONHASHSEED) — it made this a
+    # different fuzz every run; crc32 keeps per-type variety but is stable
+    import zlib
+
+    rng = np.random.default_rng(zlib.crc32(tname.encode()) % 2**31)
     n, k = 16, 512
     raw = rng.integers(0, 256, size=(row_size(gt, k) * n,), dtype=np.uint8)
     qt = pack_tensor(raw, gt, (n, k))
@@ -329,7 +333,24 @@ def test_coded_iquant_fast_planes(tname):
     # matmul conformance (interpret-mode kernel vs f32 oracle @ bf16
     # budget); output columns touched by non-finite scales are excluded
     x = rng.normal(size=(4, k)).astype(np.float32)
-    want = x @ np.where(fin, oracle, 0.0).T
+    # the oracle weight for the MATMUL check is the bf16-plane dequant
+    # (`back`): fuzzed wire bytes can hold near-f16-max scales where the
+    # planes' deliberate bf16 rounding (0.4% rel) times a huge |w| row
+    # dwarfs the kernel-arithmetic budget this assert is about
+    xbf = np.asarray(jnp.asarray(x, jnp.bfloat16), np.float32)
+    if qtf.fl == "t":
+        # qp8 decode contract: per-SEG int8 activation quantization —
+        # with fuzzed near-f16-max weight scales the dense oracle can't
+        # bound it; qp8_ref models the exact contract
+        from ggml_hexagon_tpu.ops.qmm_qp8 import qp8_ref
+
+        want = np.asarray(qp8_ref(jnp.asarray(xbf), qtd))[:, :n]
+    else:
+        # the kernel's value*scale product is a bf16 MXU operand — round
+        # the oracle weight the same way
+        wbf = np.asarray(jnp.asarray(np.where(fin, back, 0.0),
+                                     jnp.bfloat16), np.float32)
+        want = xbf @ wbf.T
     got = np.asarray(qmatmul_fast(jnp.asarray(x, jnp.bfloat16), qtd,
                                   interpret=True))
     err = np.abs(got - want)
