@@ -252,38 +252,149 @@ def dequantize_tq2_0(buf: np.ndarray, n: int) -> np.ndarray:
 # encoders for the tractable types
 # ---------------------------------------------------------------------------
 
-def quantize_iq4_nl(x: np.ndarray) -> np.ndarray:
-    """Reference-style best-scale search over the non-linear LUT
-    (quantize_row_iq4_nl semantics, ntry=7)."""
+def _best_index_iq4(x: np.ndarray) -> np.ndarray:
+    """Exact best_index_int8 over the ascending 16-entry IQ4 LUT
+    (ggml-quants.c:4562): nearest value, ties to the UPPER index."""
+    vals = KVALUES_IQ4NL.astype(np.float32)
+    mu = np.clip(np.searchsorted(vals, x, side="right"), 1, 15)
+    lo, hi = vals[mu - 1], vals[mu]
+    idx = np.where((x - lo) < (hi - x), mu - 1, mu)
+    idx = np.where(x <= vals[0], 0, idx)
+    idx = np.where(x >= vals[15], 15, idx)
+    return idx.astype(np.uint8)
+
+
+def _nearest_int(v: np.ndarray) -> np.ndarray:
+    """ggml nearest_int: round half to even (the 12582912.0f trick)."""
+    return np.rint(v).astype(np.int32)
+
+
+def _iq4_impl(xb: np.ndarray, qw, sbs: int):
+    """Exact quantize_row_iq4_nl_impl (ggml-quants.c:4573, ntry=7) over
+    all super-blocks at once; xb [nbl, sbs] f32, qw same shape or None.
+    Returns (d fp16-rounded f32 [nbl], L [nbl, sbs] u8,
+    ls [nbl, sbs/32] i32 six-bit scales or None).
+
+    All arithmetic stays f32 with the C code's sequential accumulation
+    order (sum loops unrolled over the 32-lane axis) — byte parity with
+    llama-quantize depends on matching every rounding."""
+    f32 = np.float32
+    nbl = xb.shape[0]
+    nb32 = sbs // 32
+    lut = KVALUES_IQ4NL.astype(f32)
+    sigma2 = np.zeros(nbl, f32)
+    for j in range(sbs):  # sequential f32 sum, C order
+        sigma2 += xb[:, j] * xb[:, j]
+    sigma2 *= f32(2.0 / sbs)
+    scales = np.zeros((nbl, nb32), f32)
+    L = np.zeros((nbl, sbs), np.uint8)
+    amax_scale = np.zeros(nbl, f32)
+    max_scale = np.zeros(nbl, f32)
+    for ib in range(nb32):
+        b = xb[:, ib * 32:(ib + 1) * 32]
+        if qw is not None:
+            w = (qw[:, ib * 32:(ib + 1) * 32]
+                 * np.sqrt(sigma2[:, None] + b * b)).astype(f32)
+        else:
+            w = (b * b).astype(f32)
+        ab = np.abs(b)
+        am_i = ab.argmax(axis=1)          # first max (strict > in C)
+        rows = np.arange(nbl)
+        amax = ab[rows, am_i]
+        mx = b[rows, am_i]
+        live = amax >= f32(1e-15)         # GROUP_MAX_EPS
+
+        def sums(idv):
+            ql = _best_index_iq4(idv[:, None] * b)
+            q = lut[ql]
+            sumqx = np.zeros(nbl, f32)
+            sumq2 = np.zeros(nbl, f32)
+            for j in range(32):           # sequential f32, C order
+                sumqx += w[:, j] * q[:, j] * b[:, j]
+                sumq2 += w[:, j] * q[:, j] * q[:, j]
+            return ql, sumqx, sumq2
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            d = np.where(live, (-mx / lut[0]).astype(f32), f32(0))
+            idv = np.where(d != 0, f32(1) / d, f32(0))
+            ql0, sumqx, sumq2 = sums(idv)
+            d = np.where(sumq2 != 0, sumqx / sumq2, f32(0))
+            best = d * sumqx
+            for itry in range(-7, 8):
+                idv = np.where(live, (f32(itry) + lut[0]) / mx, f32(0))
+                _, sx, s2 = sums(idv)
+                upd = live & (s2 > 0) & (sx * sx > best * s2)
+                d = np.where(upd, sx / s2, d)
+                best = np.where(upd, d * sx, best)
+        scales[:, ib] = np.where(live, d, f32(0))
+        L[:, ib * 32:(ib + 1) * 32] = ql0  # single-block path placeholder
+        bigger = np.abs(scales[:, ib]) > amax_scale
+        amax_scale = np.where(bigger, np.abs(scales[:, ib]), amax_scale)
+        max_scale = np.where(bigger, scales[:, ib], max_scale)
+    if nb32 > 1:
+        d = (-max_scale / f32(32)).astype(f32)
+        d16 = d.astype(np.float16).astype(f32)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            idv = np.where(d != 0, f32(1) / d, f32(0))
+        ls = np.zeros((nbl, nb32), np.int32)
+        for ib in range(nb32):
+            l = np.clip(_nearest_int(idv * scales[:, ib]), -32, 31)
+            dl = (d * l.astype(f32)).astype(f32)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                idl = np.where(dl != 0, f32(1) / dl, f32(0))
+            b = xb[:, ib * 32:(ib + 1) * 32]
+            L[:, ib * 32:(ib + 1) * 32] = _best_index_iq4(idl[:, None] * b)
+            ls[:, ib] = l + 32
+        return d16, L, ls
+    # single-block (IQ4_NL): recompute L at the fp16-rounded... no — the
+    # C code re-indexes with id = 1/scales[0] BEFORE fp16 rounding
+    d16 = scales[:, 0].astype(np.float16).astype(f32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        idv = np.where(scales[:, 0] != 0, f32(1) / scales[:, 0], f32(0))
+    L = _best_index_iq4(idv[:, None] * xb)
+    return d16, L, None
+
+
+def quantize_iq4_nl(x: np.ndarray, quant_weights=None) -> np.ndarray:
+    """Exact quantize_iq4_nl (ggml-quants.c:4684, ntry=7, imatrix-aware)."""
     xb = np.ascontiguousarray(x, np.float32).reshape(-1, 32)
     nb = xb.shape[0]
-    amax = np.abs(xb).max(axis=1)
-    rows = np.arange(nb)
-    mx = xb[rows, np.abs(xb).argmax(axis=1)]
-    dead = amax < 1e-30
-    with np.errstate(divide="ignore", invalid="ignore"):
-        d0 = np.where(dead, 0.0, mx / KVALUES_IQ4NL[0])
-    best_d = d0.copy()
-    best_err = np.full(nb, np.inf, dtype=np.float32)
-    lut = KVALUES_IQ4NL.astype(np.float32)
-    for itry in range(-7, 8):
-        d = d0 * (1 + itry * 0.01) if itry else d0
-        with np.errstate(divide="ignore", invalid="ignore"):
-            inv = np.where(d != 0, 1.0 / d, 0.0)
-        q = np.abs(xb * inv[:, None, None][:, :, 0] [..., None] - lut[None, None, :]).argmin(axis=2) if False else None
-        scaled = xb * inv[:, None]
-        idx = np.abs(scaled[:, :, None] - lut[None, None, :]).argmin(axis=2)
-        err = ((lut[idx] * d[:, None] - xb) ** 2).sum(axis=1)
-        better = err < best_err
-        best_err = np.where(better, err, best_err)
-        best_d = np.where(better, d, best_d)
-    d16 = best_d.astype(np.float16).astype(np.float32)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        inv = np.where(d16 != 0, 1.0 / d16, 0.0)
-    idx = np.abs((xb * inv[:, None])[:, :, None] - lut[None, None, :]).argmin(axis=2)
+    qw = (None if quant_weights is None
+          else np.ascontiguousarray(quant_weights, np.float32).reshape(nb, 32))
+    d16, L, _ = _iq4_impl(xb, qw, 32)
     out = np.empty((nb, 18), dtype=np.uint8)
-    out[:, :2] = best_d.astype(np.float16).view(np.uint8).reshape(nb, 2)
-    out[:, 2:] = (idx[:, :16] | (idx[:, 16:] << 4)).astype(np.uint8)
+    out[:, :2] = d16.astype(np.float16).view(np.uint8).reshape(nb, 2)
+    out[:, 2:] = (L[:, :16] | (L[:, 16:] << 4)).astype(np.uint8)
+    return out.reshape(-1)
+
+
+def quantize_iq4_xs(x: np.ndarray, quant_weights=None) -> np.ndarray:
+    """Exact quantize_iq4_xs (ggml-quants.c:4722: 256-superblock, 6-bit
+    sub-scales split into scales_l nibbles + scales_h 2-bit pairs)."""
+    xb = np.ascontiguousarray(x, np.float32).reshape(-1, QK_K)
+    nbl = xb.shape[0]
+    qw = (None if quant_weights is None
+          else np.ascontiguousarray(quant_weights,
+                                    np.float32).reshape(nbl, QK_K))
+    d16, L, ls = _iq4_impl(xb, qw, QK_K)
+    out = np.zeros((nbl, 136), dtype=np.uint8)
+    out[:, 0:2] = d16.astype(np.float16).view(np.uint8).reshape(nbl, 2)
+    scales_h = np.zeros(nbl, np.uint16)
+    scales_l = np.zeros((nbl, 4), np.uint8)
+    for ib in range(8):
+        l = ls[:, ib].astype(np.uint16)
+        if ib % 2 == 0:
+            scales_l[:, ib // 2] |= (l & 0xF).astype(np.uint8)
+        else:
+            scales_l[:, ib // 2] |= ((l & 0xF) << 4).astype(np.uint8)
+        scales_h |= ((l >> 4) << (2 * ib)).astype(np.uint16)
+    out[:, 2:4] = scales_h.view(np.uint8).reshape(nbl, 2)
+    out[:, 4:8] = scales_l
+    q4 = np.empty((nbl, 128), np.uint8)
+    for i in range(8):
+        q4[:, 16 * i:16 * i + 16] = (L[:, 32 * i:32 * i + 16]
+                                     | (L[:, 32 * i + 16:32 * i + 32] << 4))
+    out[:, 8:] = q4
     return out.reshape(-1)
 
 
@@ -674,6 +785,7 @@ DEQUANT_IQ = {
 
 QUANT_IQ = {
     GGMLType.IQ4_NL: quantize_iq4_nl,
+    GGMLType.IQ4_XS: quantize_iq4_xs,
     GGMLType.TQ2_0: quantize_tq2_0,
     GGMLType.IQ2_XXS: quantize_iq2_xxs,
     GGMLType.IQ2_XS: quantize_iq2_xs,
@@ -685,6 +797,8 @@ QUANT_IQ = {
 }
 
 QUANT_IQ_IMATRIX = {
+    GGMLType.IQ4_NL: quantize_iq4_nl,
+    GGMLType.IQ4_XS: quantize_iq4_xs,
     GGMLType.IQ2_XXS: quantize_iq2_xxs,
     GGMLType.IQ2_XS: quantize_iq2_xs,
     GGMLType.IQ2_S: quantize_iq2_s,

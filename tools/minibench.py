@@ -33,6 +33,11 @@ def main():
                     help="time the qp8 transposed-plane layout against "
                          "the interleaved layout in ONE process "
                          "(drift-proof evidence of the structural win)")
+    ap.add_argument("--ab-hoist", action="store_true",
+                    help="time GHT_QP8_HOIST=1 (r5 prologue/expansion "
+                         "scratch) against =0 (r4 per-block) in ONE "
+                         "process — the env is a trace-time static, so "
+                         "each variant jits its own whole-step program")
     args = ap.parse_args()
 
     import jax
@@ -190,8 +195,8 @@ def main():
                        "q8_0" if args.kv == "q8_0" else jnp.bfloat16)
     from functools import partial
 
-    @partial(jax.jit, donate_argnames=("kv",))
-    def decode_step(weights, kv, tok, pos):
+    @partial(jax.jit, static_argnames=("tag",), donate_argnames=("kv",))
+    def decode_step(weights, kv, tok, pos, tag="a"):
         logits, kv = forward(cfg, weights, tok, kv, pos, logits_all=False)
         return kv, jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None], pos + 1
 
@@ -208,17 +213,21 @@ def main():
     rtt = min(rtts)
     print(f"rtt {rtt*1e3:.1f} ms", flush=True)
 
-    def time_variant(w, label):
+    def time_variant(w, label, tag="a", env=None):
         nonlocal kv
+        import os as _os
+
+        if env is not None:
+            _os.environ["GHT_QP8_HOIST"] = env
         tok = jnp.zeros((1, 1), jnp.int32)
         pos = jnp.int32(args.ctx // 2)
-        kv, tok, pos = decode_step(w, kv, tok, pos)
+        kv, tok, pos = decode_step(w, kv, tok, pos, tag=tag)
         sync(tok)
         best = 1e9
         for trial in range(3):
             t0 = time.perf_counter()
             for _ in range(args.steps):
-                kv, tok, pos = decode_step(w, kv, tok, pos)
+                kv, tok, pos = decode_step(w, kv, tok, pos, tag=tag)
             sync(tok)
             dt = max(time.perf_counter() - t0 - rtt, 1e-9) / args.steps
             best = min(best, dt)
@@ -230,9 +239,17 @@ def main():
 
     if args.ab_ffp:
         label_a, label_b = "ffp", "split"
+    if args.ab_hoist:
+        a = time_variant(weights, "hoist=1", tag="h1", env="1")
+        b = time_variant(weights, "hoist=0", tag="h0", env="0")
+        a2 = time_variant(weights, "hoist=1#2", tag="h1", env="1")
+        b2 = time_variant(weights, "hoist=0#2", tag="h0", env="0")
+        print(f"A/B: hoist=1 {min(a, a2)*1e3:.3f} vs hoist=0 "
+              f"{min(b, b2)*1e3:.3f} ms/step", flush=True)
+        return
     a = time_variant(weights, label_a)
     if weights_b is not None:
-        b = time_variant(weights_b, label_b)
+        b = time_variant(weights_b, label_b, tag="b")
         # interleave a second pass of each to cancel drift
         a2 = time_variant(weights, label_a + "#2")
         b2 = time_variant(weights_b, label_b + "#2")

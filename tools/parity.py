@@ -110,16 +110,66 @@ def run(cmd, **kw):
                           **kw)
 
 
-def compare_quantize(base: str, tmp: str, qname: str) -> dict:
+def write_imatrix_dat(npz_path: str, dat_path: str):
+    """Our .npz imatrix -> the reference's legacy .dat format
+    (examples/quantize/quantize.cpp:133 load_imatrix): n_entries, then
+    per entry [len, name, ncall, nval, f32 values].  ncall=1 so the
+    loader's `v /= ncall` leaves our (already chunk-averaged) values
+    bit-identical — both quantizers then consume the same f32 weights."""
+    import struct
+
+    z = np.load(npz_path)
+    names = [n for n in z.files if not n.startswith("__count__")]
+    with open(dat_path, "wb") as f:
+        f.write(struct.pack("<i", len(names)))
+        for n in names:
+            vals = np.ascontiguousarray(z[n].reshape(-1), np.float32)
+            nb = n.encode()
+            f.write(struct.pack("<i", len(nb)))
+            f.write(nb)
+            f.write(struct.pack("<ii", 1, vals.size))
+            f.write(vals.tobytes())
+        # trailer: last_call + dataset name (newer writers emit it)
+        f.write(struct.pack("<i", 1))
+        ds = b"parity-corpus"
+        f.write(struct.pack("<i", len(ds)))
+        f.write(ds)
+
+
+def make_imatrix(base: str, corpus: str, tmp: str) -> tuple[str, str]:
+    """Collect the imatrix with OUR engine on the shared corpus; emit
+    both our .npz and the reference's .dat holding identical values."""
+    npz = os.path.join(tmp, "imatrix.npz")
+    dat = os.path.join(tmp, "imatrix.dat")
+    if not (os.path.exists(npz) and os.path.exists(dat)):
+        r = run([sys.executable, "-m", "ggml_hexagon_tpu.cli", "imatrix",
+                 "-m", base, "-f", corpus, "-o", npz, "--ctx-size", "128"],
+                cwd="/root/repo",
+                env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        assert r.returncode == 0, (r.stdout[-400:], r.stderr[-800:])
+        write_imatrix_dat(npz, dat)
+    return npz, dat
+
+
+def compare_quantize(base: str, tmp: str, qname: str,
+                     imatrix: tuple[str, str] | None = None) -> dict:
     """Reference llama-quantize vs ours: tensor payload bytes."""
     from ggml_hexagon_tpu.gguf import GGUFReader
 
-    ref_out = os.path.join(tmp, f"ref_{qname}.gguf")
-    our_out = os.path.join(tmp, f"our_{qname}.gguf")
-    r = run([f"{REF_BIN}/llama-quantize", base, ref_out, qname])
+    tag = qname + ("_im" if imatrix else "")
+    ref_out = os.path.join(tmp, f"ref_{tag}.gguf")
+    our_out = os.path.join(tmp, f"our_{tag}.gguf")
+    ref_cmd = [f"{REF_BIN}/llama-quantize"]
+    our_cmd = [sys.executable, "-m", "ggml_hexagon_tpu.cli", "quantize",
+               base, our_out, qname]
+    if imatrix:
+        npz, dat = imatrix
+        ref_cmd += ["--imatrix", dat]
+        our_cmd += ["--imatrix", npz]
+    ref_cmd += [base, ref_out, qname]
+    r = run(ref_cmd)
     assert r.returncode == 0, r.stderr[-800:]
-    r = run([sys.executable, "-m", "ggml_hexagon_tpu.cli", "quantize",
-             base, our_out, qname], cwd="/root/repo",
+    r = run(our_cmd, cwd="/root/repo",
             env={**os.environ, "JAX_PLATFORMS": "cpu"})
     assert r.returncode == 0, r.stderr[-800:]
     same = 0
@@ -189,6 +239,11 @@ def main():
     ap.add_argument("--tmp", default="/tmp/parity")
     ap.add_argument("--qtypes", nargs="+",
                     default=["Q8_0", "Q4_0", "Q4_K_M", "Q6_K"])
+    ap.add_argument("--imatrix-qtypes", nargs="+", default=[],
+                    help="additionally run these ftypes WITH a shared "
+                         "imatrix (collected by our engine, exported to "
+                         "the reference's .dat) — the VERDICT r4 #5 rows: "
+                         "IQ4_XS IQ3_XXS Q2_K")
     ap.add_argument("--train", type=int, default=500,
                     help="pre-train the tiny model this many steps so the "
                          "gates run on sharp logits (0 = round-2 behavior)")
@@ -212,32 +267,40 @@ def main():
         text = " ".join(rng.choice(words, size=4000))
         open(corpus, "w").write(text)
 
+    im = None
+    if args.imatrix_qtypes:
+        print("collecting shared imatrix...", flush=True)
+        im = make_imatrix(base, corpus, args.tmp)
+
     results = {"quant": {}, "greedy": {}, "ppl": {}}
-    for q in args.qtypes:
-        print(f"== {q} ==", flush=True)
-        qres = compare_quantize(base, args.tmp, q)
-        results["quant"][q] = qres
+    plan = [(q, None) for q in args.qtypes] + \
+           [(q, im) for q in args.imatrix_qtypes]
+    for q, use_im in plan:
+        key = q + ("_im" if use_im else "")
+        print(f"== {key} ==", flush=True)
+        qres = compare_quantize(base, args.tmp, q, imatrix=use_im)
+        results["quant"][key] = qres
         print(f"  quantize: {qres['same']} tensors byte-identical, "
               f"{len(qres['diff'])} differ", flush=True)
         for name, why in qres["diff"][:6]:
             print(f"    {name}: {why}", flush=True)
         g = greedy_compare(qres["ref"],
                            "The meaning of life is")
-        results["greedy"][q] = g["match"]
+        results["greedy"][key] = g["match"]
         print(f"  greedy decode identical: {g['match']}", flush=True)
         if not g["match"]:
             print(f"    ref: {g['ref'][:120]!r}\n    our: {g['our'][:120]!r}",
                   flush=True)
             g8 = greedy_compare(qres["ref"], "The meaning of life is",
                                 q8_act=True)
-            results["greedy"][q + "_q8act"] = g8["match"]
+            results["greedy"][key + "_q8act"] = g8["match"]
             print(f"  greedy (q8-act mode) identical: {g8['match']}",
                   flush=True)
             if not g8["match"]:
                 print(f"    ref: {g8['ref'][:120]!r}\n"
                       f"    our: {g8['our'][:120]!r}", flush=True)
         p = ppl_compare(qres["ref"], corpus)
-        results["ppl"][q] = p
+        results["ppl"][key] = p
         print(f"  ppl ref={p['ref_ppl']} ours={p['our_ppl']} "
               f"delta={p['delta']} | q8-act ours={p['our_ppl_q8']} "
               f"delta={p['delta_q8']}", flush=True)
