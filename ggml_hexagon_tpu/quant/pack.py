@@ -252,10 +252,9 @@ def use_qp8_layout(cfg: QConfig, k: int, n_pad: int = 0) -> bool:
     Q3_K/Q5_0/Q5_1: wire-density packed planes, e.g. Q6_K at 6 bits vs
     the interleaved layout's int8 rows — measured ~20% faster on the
     ffn_down shape, tools/qp8_sweep.py) — plus the coded i-quants and
-    ternary, which ride 2-4 bpw arithmetic-code qp8 planes (subject to
-    the 65536-row gate below).  Only Q8_0 (signed) and IQ4 (LUT) keep
-    the interleaved route.  GHT_QP8=0 forces the interleaved layout
-    everywhere."""
+    ternary, which ride 2-4 bpw arithmetic-code qp8 planes.  Only Q8_0
+    (signed) and IQ4 (LUT) keep the interleaved route.  GHT_QP8=0 forces
+    the interleaved layout everywhere."""
     import os
 
     if os.environ.get("GHT_QP8", "1") in ("", "0"):
@@ -264,12 +263,12 @@ def use_qp8_layout(cfg: QConfig, k: int, n_pad: int = 0) -> bool:
 
     if not supports_qp8(cfg, k):
         return False
-    # lm_head-class multi-plane tensors keep the interleaved f32 route:
-    # measured 542 GB/s on the qp8 Q6_K 128256x4096 head vs ~750 on the
-    # il byte path (tools/decode_comp.py r4) — the e=K/16 expansion rows
-    # and 4+2-bit unpack don't amortize at this width
-    if not _is_nib(cfg) and n_pad >= 65536:
-        return False
+    # lm_head-class multi-plane tensors: r4 gated these to the il f32
+    # route (qp8 then re-ran its prologue+expansion on all ~63 lane
+    # blocks — 542 GB/s vs il's ~750).  The r5 scratch hoist removed that
+    # redundancy: same-process A/B (tools/head_lab.py, Q6_K 128256x4096)
+    # measures qp8 773 vs il 797 us mean (-3%) at 25% less HBM, so the
+    # gate is gone.
     return True
 
 

@@ -315,7 +315,11 @@ def quantize_model(
                     f"{name} ({data.size} elements, row {C})")
         from .. import native
 
-        packed = native.quantize_native(data.reshape(-1), int(ttype), quant_weights=qw)
+        # imatrix runs take the numpy encoders: they mirror the
+        # reference's quantize_row_*_impl byte-for-byte (qkx3/qp paths,
+        # r5); the native fast path still serves the plain encoders
+        packed = (native.quantize_native(data.reshape(-1), int(ttype))
+                  if qw is None else None)
         if packed is None:
             packed = ref_numpy.quantize(data.reshape(-1), ttype, quant_weights=qw)
         w.add_tensor(name, packed, ttype, raw_ne=info.ne)

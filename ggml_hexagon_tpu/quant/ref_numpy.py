@@ -31,8 +31,12 @@ def _roundf(x: np.ndarray) -> np.ndarray:
 
 
 def _nearest_int(x: np.ndarray) -> np.ndarray:
-    """ggml nearest_int: round-to-nearest-even (the 12582912 magic trick)."""
-    return np.rint(x).astype(np.int32)
+    """ggml nearest_int: round-to-nearest-even (the 12582912 magic trick).
+
+    The C trick operates on FLOAT values — inputs must round through f32
+    first (numpy promotion quietly makes some quotients f64, which can
+    round the other way at half-points; bit us in the r5 imatrix parity)."""
+    return np.rint(np.asarray(x, np.float32)).astype(np.int32)
 
 
 def _f16(x: np.ndarray) -> np.ndarray:
@@ -248,34 +252,50 @@ def make_qx_quants(
     reference (initial + is in -9..9, is != 0) keeping the weighted-LS refit.
     """
     G, n = x.shape
-    amax, mx = _signed_absmax(x)
+    xf = np.ascontiguousarray(x, np.float32)
+    amax, mx = _signed_absmax(xf)
     dead = amax < GROUP_MAX_EPS
-    w = (x * x) if qw is None else qw
+    w = ((xf * xf) if qw is None
+         else np.ascontiguousarray(qw, np.float32))
 
     with np.errstate(divide="ignore", invalid="ignore"):
-        iscale0 = np.where(dead, 0.0, -nmax / np.where(mx == 0, 1.0, mx))
+        iscale0 = np.where(
+            dead, 0.0,
+            -np.float32(nmax) / np.where(mx == 0, 1.0, mx)).astype(
+            np.float32)
 
     def trial(iscale):
-        l = np.clip(_nearest_int(iscale[:, None] * x), -nmax, nmax - 1)
-        sumlx = (w * x * l).sum(axis=1)
-        suml2 = (w * l.astype(np.float64) * l).sum(axis=1)
+        # sequential f32 accumulation in the C loop's order — the
+        # imatrix-weighted sums have enough dynamic range that numpy's
+        # pairwise summation flips candidate decisions (r5 byte parity)
+        l = np.clip(_nearest_int(iscale[:, None] * xf), -nmax, nmax - 1)
+        lf = l.astype(np.float32)
+        sumlx = np.zeros(G, np.float32)
+        suml2 = np.zeros(G, np.float32)
+        for j in range(n):
+            sumlx += w[:, j] * xf[:, j] * lf[:, j]
+            suml2 += w[:, j] * lf[:, j] * lf[:, j]
         return l, sumlx, suml2
 
     L, sumlx, suml2 = trial(iscale0)
     with np.errstate(divide="ignore", invalid="ignore"):
-        scale = np.where(suml2 != 0, sumlx / suml2, 0.0)
+        scale = np.where(suml2 != 0, sumlx / suml2, 0.0).astype(np.float32)
     best = scale * sumlx
     for is_ in range(-9, 10):
         if is_ == 0:
             continue
         with np.errstate(divide="ignore", invalid="ignore"):
-            isc = np.where(dead, 0.0, -(nmax + 0.1 * is_) / np.where(mx == 0, 1.0, mx))
+            isc = np.where(
+                dead, 0.0,
+                -(np.float32(nmax) + np.float32(0.1) * np.float32(is_))
+                / np.where(mx == 0, 1.0, mx)).astype(np.float32)
         l, slx, sl2 = trial(isc)
         better = (sl2 > 0) & (slx * slx > best * sl2)
         if better.any():
             L = np.where(better[:, None], l, L)
             with np.errstate(divide="ignore", invalid="ignore"):
-                scale = np.where(better, slx / sl2, scale)
+                scale = np.where(better, slx / sl2, scale).astype(
+                    np.float32)
             best = np.where(better, scale * slx, best)
     L = np.where(dead[:, None], 0, L + nmax)
     scale = np.where(dead, 0.0, scale)
@@ -321,9 +341,9 @@ def make_qkx2_quants(
         # (updated on acceptance), not the original block min
         laux = quant_at(isc, cur_min)
         lf = laux.astype(np.float32)
-        sum_l = (weights * lf).sum(axis=1, dtype=np.float32)
-        sum_l2 = (weights * lf * lf).sum(axis=1, dtype=np.float32)
-        sum_xl = (weights * lf * x).sum(axis=1, dtype=np.float32)
+        sum_l = _seq_sum(weights * lf)
+        sum_l2 = _seq_sum(weights * lf * lf)
+        sum_xl = _seq_sum(weights * lf * x)
         D = sum_w * sum_l2 - sum_l * sum_l
         with np.errstate(divide="ignore", invalid="ignore"):
             this_scale = (sum_w * sum_xl - sum_x * sum_l) / D
@@ -349,35 +369,206 @@ def make_qkx2_quants(
     return L.astype(np.int32), scale.astype(np.float32), the_min.astype(np.float32)
 
 
+def _seq_sum(arr: np.ndarray) -> np.ndarray:
+    """[G, n] -> [G] f32 sum in the C loop's sequential order (numpy's
+    pairwise summation rounds differently; byte parity needs C order)."""
+    acc = np.zeros(arr.shape[0], np.float32)
+    a32 = arr.astype(np.float32, copy=False)
+    for j in range(arr.shape[1]):
+        acc += a32[:, j]
+    return acc
+
+
+def make_qkx3_quants(
+    x: np.ndarray,
+    nmax: int,
+    weights: np.ndarray,
+    rmin: float,
+    rdelta: float,
+    nstep: int,
+    use_mad: bool,
+    degenerate_leq: bool = True,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Exact make_qkx3_quants (ggml-quants.c, the IMATRIX asymmetric
+    search): like make_qkx2 but the degenerate gate is `max <= min`, and
+    the candidate sweep recomputes iscale from the RUNNING min — both the
+    (rmin + rdelta*is + nmax)/(max - min) denominator and the
+    quantization offset track the accepted min.
+    x, weights: [G, n].  Returns (L [G, n] in [0, nmax], scale, the_min).
+    degenerate_leq=False gives make_qkx2_quants' `max == min` gate — the
+    ONLY difference between the two C functions (when weights are given),
+    so exact qkx2 consumers (Q2_K's plain path) call here with it."""
+    G, n = x.shape
+    mn0 = np.minimum(x.min(axis=1), 0.0).astype(np.float32)
+    mx = x.max(axis=1).astype(np.float32)
+    sum_w = _seq_sum(weights)
+    sum_x = _seq_sum(weights * x)
+    flat = (mx <= mn0) if degenerate_leq else (mx == mn0)
+
+    rng0 = np.where(flat, 1.0, mx - mn0).astype(np.float32)
+    iscale = (np.float32(nmax) / rng0).astype(np.float32)
+    scale = (np.float32(1.0) / iscale).astype(np.float32)
+    cur_min = mn0.copy()
+
+    def quant_at(isc, base):
+        return np.clip(_nearest_int(isc[:, None] * (x - base[:, None])),
+                       0, nmax)
+
+    L = quant_at(iscale, cur_min)
+    diff0 = (scale[:, None] * L.astype(np.float32)
+             + cur_min[:, None] - x)
+    diff0 = np.abs(diff0) if use_mad else diff0 * diff0
+    best_mad = _seq_sum(weights * diff0)
+
+    for is_ in range(nstep + 1):
+        rng = np.where(flat, 1.0, mx - cur_min).astype(np.float32)
+        isc = (np.float32(rmin + rdelta * is_ + nmax) / rng).astype(
+            np.float32)
+        laux = quant_at(isc, cur_min)
+        lf = laux.astype(np.float32)
+        sum_l = _seq_sum(weights * lf)
+        sum_l2 = _seq_sum(weights * lf * lf)
+        sum_xl = _seq_sum(weights * lf * x)
+        D = sum_w * sum_l2 - sum_l * sum_l
+        with np.errstate(divide="ignore", invalid="ignore"):
+            this_scale = ((sum_w * sum_xl - sum_x * sum_l) / D).astype(
+                np.float32)
+            this_min = ((sum_l2 * sum_x - sum_l * sum_xl) / D).astype(
+                np.float32)
+            fixup = this_min > 0
+            this_min = np.where(fixup, 0.0, this_min).astype(np.float32)
+            this_scale = np.where(
+                fixup, np.where(sum_l2 != 0, sum_xl / sum_l2, this_scale),
+                this_scale).astype(np.float32)
+        diff = this_scale[:, None] * lf + this_min[:, None] - x
+        diff = np.abs(diff) if use_mad else diff * diff
+        mad = _seq_sum(weights * diff)
+        better = (D > 0) & (mad < best_mad)
+        if better.any():
+            L = np.where(better[:, None], laux, L)
+            best_mad = np.where(better, mad, best_mad)
+            scale = np.where(better, this_scale, scale)
+            cur_min = np.where(better, this_min, cur_min)
+
+    L = np.where(flat[:, None], 0, L)
+    scale = np.where(flat, 0.0, scale)
+    the_min = np.where(flat, -mn0, -cur_min)
+    return (L.astype(np.int32), scale.astype(np.float32),
+            the_min.astype(np.float32))
+
+
+def make_qp_quants(x: np.ndarray, nmax: int, sw: np.ndarray
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Exact make_qp_quants (ggml-quants.c — the IMATRIX super-scale
+    quantizer): non-negative entries x [G, n] with per-entry weights sw,
+    9-candidate iscale sweep + up-to-5 rounds of coordinate descent.
+    Returns (L [G, n] int, scale [G])."""
+    G, n = x.shape
+    xf = np.ascontiguousarray(x, np.float32)
+    swf = np.ascontiguousarray(sw, np.float32)
+    mx = xf.max(axis=1)
+    zero = mx == 0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        iscale = np.where(zero, 0.0, nmax / np.where(mx == 0, 1.0, mx)
+                          ).astype(np.float32)
+        scale = np.where(zero, 0.0, 1.0 / np.where(iscale == 0, 1.0,
+                                                   iscale)).astype(
+            np.float32)
+    L0 = _nearest_int(iscale[:, None] * xf).astype(np.float32)
+    d0 = xf - scale[:, None] * L0
+    best_mse = _seq_sum(swf * d0 * d0)
+    for is_ in range(-4, 5):
+        if is_ == 0:
+            continue
+        with np.errstate(divide="ignore", invalid="ignore"):
+            isc = (np.float32(0.1 * is_ + nmax)
+                   / np.where(mx == 0, 1.0, mx)).astype(np.float32)
+            sc_is = (1.0 / isc).astype(np.float32)
+        l = np.minimum(nmax, _nearest_int(isc[:, None] * xf)).astype(
+            np.float32)
+        di = xf - sc_is[:, None] * l
+        mse = _seq_sum(swf * di * di)
+        upd = ~zero & (mse < best_mse)
+        best_mse = np.where(upd, mse, best_mse)
+        iscale = np.where(upd, isc, iscale)
+    L = np.minimum(nmax, _nearest_int(iscale[:, None] * xf)).astype(
+        np.int32)
+    Lf = L.astype(np.float32)
+    sumlx = _seq_sum(swf * xf * Lf)
+    suml2 = _seq_sum(swf * Lf * Lf)
+    for _ in range(5):
+        changed = np.zeros(G, dtype=bool)
+        for i in range(n):
+            # all products stay f32 (int32 operands promote numpy to f64,
+            # which rounds make_qp's running sums differently than the C
+            # f32 chain — one f16 ulp of d was enough to flip bytes)
+            w, xi = swf[:, i], xf[:, i]
+            li = L[:, i]
+            lif = li.astype(np.float32)
+            slx = sumlx - w * xi * lif
+            sl2 = suml2 - w * lif * lif
+            cond = (slx > 0) & (sl2 > 0)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                new_l = np.minimum(nmax, _nearest_int(
+                    np.where(cond, xi * sl2 / np.where(slx == 0, 1.0, slx),
+                             lif)))
+            nlf = new_l.astype(np.float32)
+            neq = cond & (new_l != li)
+            slx2 = (slx + w * xi * nlf).astype(np.float32)
+            sl22 = (sl2 + w * nlf * nlf).astype(np.float32)
+            acc = neq & (slx2 * slx2 * suml2 > sumlx * sumlx * sl22)
+            L[:, i] = np.where(acc, new_l, li)
+            sumlx = np.where(acc, slx2, sumlx)
+            suml2 = np.where(acc, sl22, suml2)
+            changed |= acc
+        if not changed.any():
+            break
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out_scale = np.where(zero | (suml2 == 0), 0.0,
+                             sumlx / np.where(suml2 == 0, 1.0, suml2))
+    return L, out_scale.astype(np.float32)
+
+
 def make_q3_quants(x: np.ndarray, nmax: int) -> tuple[np.ndarray, np.ndarray]:
     """Symmetric search with coordinate-descent refinement (do_rmse=true).
 
     x: [G, n].  Returns (L [G, n] offset +nmax, scale [G]).
     """
     G, n = x.shape
-    amax, mx = _signed_absmax(x)
+    xf = np.ascontiguousarray(x, np.float32)
+    amax, mx = _signed_absmax(xf)
     dead = amax < GROUP_MAX_EPS
     with np.errstate(divide="ignore", invalid="ignore"):
-        iscale = np.where(dead, 0.0, -nmax / np.where(mx == 0, 1.0, mx))
-    L = np.clip(_nearest_int(iscale[:, None] * x), -nmax, nmax - 1)
-    w = x * x
-    sumlx = (w * x * L).sum(axis=1)
-    suml2 = (w * L.astype(np.float64) * L).sum(axis=1)
+        iscale = np.where(
+            dead, 0.0,
+            -np.float32(nmax) / np.where(mx == 0, 1.0, mx)).astype(
+            np.float32)
+    L = np.clip(_nearest_int(iscale[:, None] * xf), -nmax, nmax - 1)
+    w = xf * xf
+    # f32 sums in C order (see _seq_sum); int operands stay out of the
+    # products so numpy can't promote them to f64
+    Lf = L.astype(np.float32)
+    sumlx = _seq_sum(w * xf * Lf)
+    suml2 = _seq_sum(w * Lf * Lf)
     for _ in range(5):
         n_changed = np.zeros(G, dtype=bool)
         for i in range(n):
-            wi, xi, li = w[:, i], x[:, i], L[:, i]
-            slx = sumlx - wi * xi * li
-            sl2 = suml2 - wi * li.astype(np.float64) * li
+            wi, xi, li = w[:, i], xf[:, i], L[:, i]
+            lif = li.astype(np.float32)
+            slx = (sumlx - wi * xi * lif).astype(np.float32)
+            sl2 = (suml2 - wi * lif * lif).astype(np.float32)
             with np.errstate(divide="ignore", invalid="ignore"):
                 new_l = np.clip(
-                    _nearest_int(np.where(slx > 0, xi * sl2 / np.where(slx == 0, 1, slx), li)),
+                    _nearest_int(np.where(
+                        slx > 0,
+                        xi * sl2 / np.where(slx == 0, 1, slx), lif)),
                     -nmax,
                     nmax - 1,
                 )
+            nlf = new_l.astype(np.float32)
             cand = (slx > 0) & (new_l != li)
-            slx2 = slx + wi * xi * new_l
-            sl22 = sl2 + wi * new_l.astype(np.float64) * new_l
+            slx2 = (slx + wi * xi * nlf).astype(np.float32)
+            sl22 = (sl2 + wi * nlf * nlf).astype(np.float32)
             accept = cand & (sl22 > 0) & (slx2 * slx2 * suml2 > sumlx * sumlx * sl22)
             L[:, i] = np.where(accept, new_l, li)
             sumlx = np.where(accept, slx2, sumlx)
@@ -425,38 +616,86 @@ def _unpack_k4_scales(sc: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return d6, m6
 
 
+def _q45_imatrix_scales(xb: np.ndarray, qw: np.ndarray, nmax_g: int):
+    """Shared head of quantize_row_q{4,5}_K_impl's imatrix path:
+    per-super-block sigma2 = 2*Σx²/256, weight = qw*sqrt(sigma2 + x²),
+    make_qkx3(-0.9, .05, 36) group scales/mins, make_qp(63) super-scales.
+    Returns (L3 [nb,8,32], sc_packed, d, dmin)."""
+    nb = xb.shape[0]
+    g = xb.reshape(nb * 8, 32)
+    sigma2 = np.float32(2.0) * _seq_sum(xb * xb) / np.float32(QK_K)
+    weights = (qw.reshape(nb * 8, 32)
+               * np.sqrt(sigma2.repeat(8)[:, None] + g * g)).astype(
+        np.float32)
+    L3, scales, mins = make_qkx3_quants(g, nmax_g, weights, -0.9, 0.05,
+                                        36, False)
+    sw = _seq_sum(weights).reshape(nb, 8)
+    Ls, dm = make_qp_quants(scales.reshape(nb, 8), 63, sw)
+    Lm, mm = make_qp_quants(mins.reshape(nb, 8), 63, sw)
+    sc_packed = _pack_k4_scales(np.minimum(63, Ls).astype(np.uint8),
+                                np.minimum(63, Lm).astype(np.uint8))
+    return L3.reshape(nb, 8, 32), sc_packed, _f16(dm), _f16(mm)
+
+
 def quantize_q4_K(x: np.ndarray, quant_weights: np.ndarray | None = None) -> np.ndarray:
     xb = _blocks(x, QK_K)
     nb = xb.shape[0]
     g = xb.reshape(nb * 8, 32)  # 8 sub-blocks of 32
-    if quant_weights is None:
-        av = np.sqrt((g * g).mean(axis=1, keepdims=True))
-        weights = av + np.abs(g)
-    else:
-        qw = np.ascontiguousarray(quant_weights, np.float32).reshape(nb * 8, 32)
-        sigma2 = 2.0 * (g * g).sum(axis=1, keepdims=True) / QK_K
-        weights = qw * np.sqrt(sigma2 + g * g)
-    _, scales, mins = make_qkx2_quants(g, 15, weights, -1.0, 0.1, 20, False)
+    if quant_weights is not None:
+        qw = np.ascontiguousarray(quant_weights, np.float32).reshape(
+            nb, QK_K)
+        L3, sc_packed, d, dmin = _q45_imatrix_scales(xb, qw, 15)
+        d6, m6 = _unpack_k4_scales(sc_packed)
+        dl = d[:, None] * d6
+        ml = dmin[:, None] * m6
+        gx = xb.reshape(nb, 8, 32)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            l = _nearest_int((gx + ml[:, :, None])
+                             / np.where(dl == 0, 1.0, dl)[:, :, None])
+        l = np.where((dl != 0)[:, :, None], np.clip(l, 0, 15),
+                     L3).astype(np.uint8)
+        l2 = l.reshape(nb, 4, 2, 32)
+        qs = (l2[:, :, 0, :] | (l2[:, :, 1, :] << 4)).reshape(nb, 128)
+        out = np.empty((nb, TYPE_TRAITS[GGMLType.Q4_K].type_size),
+                       dtype=np.uint8)
+        out[:, 0:2] = d.astype(np.float16).view(np.uint8).reshape(nb, 2)
+        out[:, 2:4] = dmin.astype(np.float16).view(np.uint8).reshape(nb, 2)
+        out[:, 4:16] = sc_packed
+        out[:, 16:] = qs
+        return out.reshape(-1)
+    f32 = np.float32
+    av = np.sqrt(_seq_sum(g * g) / f32(32.0))[:, None]
+    weights = (av + np.abs(g)).astype(f32)
+    L2, scales, mins = make_qkx3_quants(g, 15, weights, -1.0, 0.1, 20,
+                                        False, degenerate_leq=False)
     scales = scales.reshape(nb, 8)
     mins = mins.reshape(nb, 8)
     max_scale = scales.max(axis=1)
     max_min = mins.max(axis=1)
     with np.errstate(divide="ignore", invalid="ignore"):
-        inv_scale = np.where(max_scale > 0, 63.0 / max_scale, 0.0)
-        inv_min = np.where(max_min > 0, 63.0 / max_min, 0.0)
-    ls = np.minimum(63, _nearest_int(inv_scale[:, None] * scales)).astype(np.uint8)
-    lm = np.minimum(63, _nearest_int(inv_min[:, None] * mins)).astype(np.uint8)
+        inv_scale = np.where(max_scale > 0, f32(63.0)
+                             / np.where(max_scale == 0, 1,
+                                        max_scale).astype(f32),
+                             0.0).astype(f32)
+        inv_min = np.where(max_min > 0, f32(63.0)
+                           / np.where(max_min == 0, 1,
+                                      max_min).astype(f32), 0.0).astype(f32)
+    ls = np.minimum(63, _nearest_int(inv_scale[:, None] * scales)
+                    & 0xFF).astype(np.uint8)
+    lm = np.minimum(63, _nearest_int(inv_min[:, None] * mins)
+                    & 0xFF).astype(np.uint8)
     sc_packed = _pack_k4_scales(ls, lm)
-    d = _f16(max_scale / 63.0)
-    dmin = _f16(max_min / 63.0)
-    # requantize with quantized scales
+    d = _f16(max_scale.astype(f32) / f32(63.0))
+    dmin = _f16(max_min.astype(f32) / f32(63.0))
+    # requantize with quantized scales (C `if (!d) continue` keeps qkx2 L)
     d6, m6 = _unpack_k4_scales(sc_packed)
-    dl = d[:, None] * d6  # [nb, 8]
-    ml = dmin[:, None] * m6
+    dl = (d[:, None] * d6).astype(f32)  # [nb, 8]
+    ml = (dmin[:, None] * m6).astype(f32)
     gx = xb.reshape(nb, 8, 32)
     with np.errstate(divide="ignore", invalid="ignore"):
-        l = _nearest_int((gx + ml[:, :, None]) / np.where(dl == 0, 1.0, dl)[:, :, None])
-    l = np.where((dl != 0)[:, :, None], np.clip(l, 0, 15), 0).astype(np.uint8)
+        l = _nearest_int((gx + ml[:, :, None]) / np.where(dl == 0, 1.0, dl).astype(f32)[:, :, None])
+    l = np.where((dl != 0)[:, :, None], np.clip(l, 0, 15),
+                 L2.reshape(nb, 8, 32)).astype(np.uint8)
     # pack nibbles: per 64 elems, 32 bytes of lo|hi<<4
     l2 = l.reshape(nb, 4, 2, 32)
     qs = (l2[:, :, 0, :] | (l2[:, :, 1, :] << 4)).reshape(nb, 128)
@@ -493,29 +732,67 @@ def quantize_q5_K(x: np.ndarray, quant_weights: np.ndarray | None = None) -> np.
         av = np.sqrt((g * g).mean(axis=1, keepdims=True))
         weights = av + np.abs(g)
     else:
-        qw = np.ascontiguousarray(quant_weights, np.float32).reshape(nb * 8, 32)
-        sigma2 = 2.0 * (g * g).sum(axis=1, keepdims=True) / QK_K
-        weights = qw * np.sqrt(sigma2 + g * g)
-    _, scales, mins = make_qkx2_quants(g, 31, weights, -0.5, 0.1, 15, False)
+        qw = np.ascontiguousarray(quant_weights, np.float32).reshape(
+            nb, QK_K)
+        L3, sc_packed, d, dmin = _q45_imatrix_scales(xb, qw, 31)
+        d6, m6 = _unpack_k4_scales(sc_packed)
+        dl = d[:, None] * d6
+        ml = dmin[:, None] * m6
+        gx = xb.reshape(nb, 8, 32)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            l = _nearest_int((gx + ml[:, :, None])
+                             / np.where(dl == 0, 1.0, dl)[:, :, None])
+        L = np.where((dl != 0)[:, :, None], np.clip(l, 0, 31),
+                     L3).astype(np.int32).reshape(nb, QK_K)
+        qh = np.zeros((nb, 32), dtype=np.uint8)
+        ql = np.empty((nb, 4, 32), dtype=np.uint8)
+        Lc = L.reshape(nb, 4, 2, 32)
+        for c in range(4):
+            l1 = Lc[:, c, 0, :]
+            l2 = Lc[:, c, 1, :]
+            qh |= (((l1 > 15).astype(np.uint8) << (2 * c))
+                   | ((l2 > 15).astype(np.uint8) << (2 * c + 1)))
+            ql[:, c, :] = ((l1 & 0xF) | ((l2 & 0xF) << 4)).astype(np.uint8)
+        out = np.empty((nb, TYPE_TRAITS[GGMLType.Q5_K].type_size),
+                       dtype=np.uint8)
+        out[:, 0:2] = d.astype(np.float16).view(np.uint8).reshape(nb, 2)
+        out[:, 2:4] = dmin.astype(np.float16).view(np.uint8).reshape(nb, 2)
+        out[:, 4:16] = sc_packed
+        out[:, 16:48] = qh
+        out[:, 48:] = ql.reshape(nb, 128)
+        return out.reshape(-1)
+    f32 = np.float32
+    av = np.sqrt(_seq_sum(g * g) / f32(32.0))[:, None]
+    weights = (av + np.abs(g)).astype(f32)
+    L2, scales, mins = make_qkx3_quants(g, 31, weights, -0.5, 0.1, 15,
+                                        False, degenerate_leq=False)
     scales = scales.reshape(nb, 8)
     mins = mins.reshape(nb, 8)
     max_scale = scales.max(axis=1)
     max_min = mins.max(axis=1)
     with np.errstate(divide="ignore", invalid="ignore"):
-        inv_scale = np.where(max_scale > 0, 63.0 / max_scale, 0.0)
-        inv_min = np.where(max_min > 0, 63.0 / max_min, 0.0)
-    ls = np.minimum(63, _nearest_int(inv_scale[:, None] * scales)).astype(np.uint8)
-    lm = np.minimum(63, _nearest_int(inv_min[:, None] * mins)).astype(np.uint8)
+        inv_scale = np.where(max_scale > 0, f32(63.0)
+                             / np.where(max_scale == 0, 1,
+                                        max_scale).astype(f32),
+                             0.0).astype(f32)
+        inv_min = np.where(max_min > 0, f32(63.0)
+                           / np.where(max_min == 0, 1,
+                                      max_min).astype(f32), 0.0).astype(f32)
+    ls = np.minimum(63, _nearest_int(inv_scale[:, None] * scales)
+                    & 0xFF).astype(np.uint8)
+    lm = np.minimum(63, _nearest_int(inv_min[:, None] * mins)
+                    & 0xFF).astype(np.uint8)
     sc_packed = _pack_k4_scales(ls, lm)
-    d = _f16(max_scale / 63.0)
-    dmin = _f16(max_min / 63.0)
+    d = _f16(max_scale.astype(f32) / f32(63.0))
+    dmin = _f16(max_min.astype(f32) / f32(63.0))
     d6, m6 = _unpack_k4_scales(sc_packed)
-    dl = d[:, None] * d6
-    ml = dmin[:, None] * m6
+    dl = (d[:, None] * d6).astype(f32)
+    ml = (dmin[:, None] * m6).astype(f32)
     gx = xb.reshape(nb, 8, 32)
     with np.errstate(divide="ignore", invalid="ignore"):
-        l = _nearest_int((gx + ml[:, :, None]) / np.where(dl == 0, 1.0, dl)[:, :, None])
-    L = np.where((dl != 0)[:, :, None], np.clip(l, 0, 31), 0).astype(np.int32).reshape(nb, QK_K)
+        l = _nearest_int((gx + ml[:, :, None]) / np.where(dl == 0, 1.0, dl).astype(f32)[:, :, None])
+    L = np.where((dl != 0)[:, :, None], np.clip(l, 0, 31),
+                 L2.reshape(nb, 8, 32)).astype(np.int32).reshape(nb, QK_K)
     # pack: per 64-elem chunk c (0..3): ql nibbles, qh bits 2c / 2c+1
     qh = np.zeros((nb, 32), dtype=np.uint8)
     ql = np.empty((nb, 4, 32), dtype=np.uint8)
@@ -563,9 +840,11 @@ def quantize_q6_K(x: np.ndarray, quant_weights: np.ndarray | None = None) -> np.
     if quant_weights is None:
         qw = None
     else:
-        qwf = np.ascontiguousarray(quant_weights, np.float32).reshape(nb, QK_K)
-        sigma2 = (xb * xb).sum(axis=1, keepdims=True) / QK_K
-        qw = (qwf * np.sqrt(sigma2 + xb * xb)).reshape(nb * 16, 16)
+        # quantize_row_q6_K_impl passes the RAW imatrix weights to
+        # make_qx_quants — its sigma2 weighting is commented out in the
+        # reference (ggml-quants.c): using it here broke byte parity (r5)
+        qw = np.ascontiguousarray(
+            quant_weights, np.float32).reshape(nb * 16, 16)
     _, scales = make_qx_quants(g, 32, qw)
     scales = scales.reshape(nb, 16)
     aidx = np.argmax(np.abs(scales), axis=1)
@@ -631,17 +910,57 @@ def dequantize_q6_K(buf: np.ndarray, n: int) -> np.ndarray:
     return out.reshape(-1)[:n]
 
 
+def _quantize_q2_K_imatrix(xb: np.ndarray, qw: np.ndarray) -> np.ndarray:
+    """Exact quantize_row_q2_K_impl (the reference's IMATRIX path):
+    weight = qw*sqrt(sigma2 + x^2) per 16-group, make_qkx3(-0.9, .05, 36),
+    make_qp super-scales (15), then requantize keeping the qkx3 codes
+    where the quantized group scale collapsed to zero."""
+    nb = xb.shape[0]
+    g = xb.reshape(nb * 16, 16)
+    sigma2 = _seq_sum(xb * xb) / np.float32(QK_K)
+    weights = (qw.reshape(nb * 16, 16)
+               * np.sqrt(sigma2.repeat(16)[:, None] + g * g)).astype(
+        np.float32)
+    L3, scales, mins = make_qkx3_quants(g, 3, weights, -0.9, 0.05, 36,
+                                        False)
+    sw = _seq_sum(weights).reshape(nb, 16)
+    Ls, dm = make_qp_quants(scales.reshape(nb, 16), 15, sw)
+    Lm, mm = make_qp_quants(mins.reshape(nb, 16), 15, sw)
+    d = _f16(dm)
+    dmin = _f16(mm)
+    sc_packed = (Ls.astype(np.uint8) | (Lm.astype(np.uint8) << 4))
+    dl = d[:, None] * (sc_packed & 0xF).astype(np.float32)
+    ml = dmin[:, None] * (sc_packed >> 4).astype(np.float32)
+    gx = xb.reshape(nb, 16, 16)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        l = _nearest_int((gx + ml[:, :, None])
+                         / np.where(dl == 0, 1.0, dl)[:, :, None])
+    # groups whose quantized scale is 0 KEEP the qkx3 codes (C `continue`)
+    L = np.where((dl != 0)[:, :, None], np.clip(l, 0, 3),
+                 L3.reshape(nb, 16, 16)).reshape(nb, QK_K).astype(np.uint8)
+    Lh = L.reshape(nb, 2, 4, 32)
+    qs = (Lh[:, :, 0, :] | (Lh[:, :, 1, :] << 2) | (Lh[:, :, 2, :] << 4)
+          | (Lh[:, :, 3, :] << 6)).reshape(nb, 64)
+    ts = TYPE_TRAITS[GGMLType.Q2_K].type_size
+    out = np.empty((nb, ts), dtype=np.uint8)
+    out[:, 0:16] = sc_packed
+    out[:, 16:80] = qs
+    out[:, 80:82] = d.astype(np.float16).view(np.uint8).reshape(nb, 2)
+    out[:, 82:84] = dmin.astype(np.float16).view(np.uint8).reshape(nb, 2)
+    return out.reshape(-1)
+
+
 def quantize_q2_K(x: np.ndarray, quant_weights: np.ndarray | None = None) -> np.ndarray:
     xb = _blocks(x, QK_K)
     nb = xb.shape[0]
+    if quant_weights is not None:
+        return _quantize_q2_K_imatrix(
+            xb, np.ascontiguousarray(quant_weights,
+                                     np.float32).reshape(nb, QK_K))
     g = xb.reshape(nb * 16, 16)
-    if quant_weights is None:
-        weights = np.abs(g)
-    else:
-        qw = np.ascontiguousarray(quant_weights, np.float32).reshape(nb * 16, 16)
-        sigma2 = (xb * xb).sum(axis=1) / QK_K
-        weights = qw * np.sqrt(sigma2.repeat(16)[:, None] + g * g)
-    _, scales, mins = make_qkx2_quants(g, 3, weights, -0.5, 0.1, 15, True)
+    weights = np.abs(g)
+    L2, scales, mins = make_qkx3_quants(g, 3, weights, -0.5, 0.1, 15,
+                                        True, degenerate_leq=False)
     scales = scales.reshape(nb, 16)
     mins = mins.reshape(nb, 16)
     q4scale = 15.0
@@ -649,23 +968,31 @@ def quantize_q2_K(x: np.ndarray, quant_weights: np.ndarray | None = None) -> np.
     max_min = mins.max(axis=1)
     sc4 = np.zeros((nb, 16), dtype=np.uint8)
     pos = max_scale > 0
+    f32 = np.float32
     with np.errstate(divide="ignore", invalid="ignore"):
-        isc = np.where(pos, q4scale / np.where(max_scale == 0, 1, max_scale), 0.0)
+        isc = np.where(pos, f32(q4scale) / np.where(
+            max_scale == 0, 1, max_scale).astype(f32), 0.0).astype(f32)
     sc4 = np.where(pos[:, None], _nearest_int(isc[:, None] * scales), 0).astype(np.uint8)
-    d = np.where(pos, _f16(max_scale / q4scale), 0.0).astype(np.float32)
+    d = np.where(pos, _f16(max_scale.astype(f32) / f32(q4scale)),
+                 0.0).astype(f32)
     posm = max_min > 0
     with np.errstate(divide="ignore", invalid="ignore"):
-        iscm = np.where(posm, q4scale / np.where(max_min == 0, 1, max_min), 0.0)
+        iscm = np.where(posm, f32(q4scale) / np.where(
+            max_min == 0, 1, max_min).astype(f32), 0.0).astype(f32)
     m4 = np.where(posm[:, None], _nearest_int(iscm[:, None] * mins), 0).astype(np.uint8)
-    dmin = np.where(posm, _f16(max_min / q4scale), 0.0).astype(np.float32)
+    dmin = np.where(posm, _f16(max_min.astype(f32) / f32(q4scale)),
+                    0.0).astype(f32)
     sc_packed = (sc4 | (m4 << 4)).astype(np.uint8)
-    # requantize
-    dl = d[:, None] * (sc_packed & 0xF).astype(np.float32)
-    ml = dmin[:, None] * (sc_packed >> 4).astype(np.float32)
+    # requantize (C `if (!d) continue` keeps the qkx2 codes)
+    dl = d[:, None] * (sc_packed & 0xF).astype(f32)
+    ml = dmin[:, None] * (sc_packed >> 4).astype(f32)
     gx = xb.reshape(nb, 16, 16)
     with np.errstate(divide="ignore", invalid="ignore"):
-        l = _nearest_int((gx + ml[:, :, None]) / np.where(dl == 0, 1.0, dl)[:, :, None])
-    L = np.where((dl != 0)[:, :, None], np.clip(l, 0, 3), 0).reshape(nb, QK_K).astype(np.uint8)
+        l = _nearest_int((gx + ml[:, :, None]).astype(f32)
+                         / np.where(dl == 0, 1.0, dl).astype(
+                             f32)[:, :, None])
+    L = np.where((dl != 0)[:, :, None], np.clip(l, 0, 3),
+                 L2.reshape(nb, 16, 16)).reshape(nb, QK_K).astype(np.uint8)
     # pack 2-bit: per 128-half, qs byte l = L[l] | L[l+32]<<2 | L[l+64]<<4 | L[l+96]<<6
     Lh = L.reshape(nb, 2, 4, 32)
     qs = (
@@ -707,22 +1034,44 @@ def quantize_q3_K(x: np.ndarray, quant_weights: np.ndarray | None = None) -> np.
     xb = _blocks(x, QK_K)
     nb = xb.shape[0]
     g = xb.reshape(nb * 16, 16)
+    L_grp = None
     if quant_weights is None:
-        _, scales = make_q3_quants(g, 4)
+        L_grp, scales = make_q3_quants(g, 4)
+        L_grp = L_grp.reshape(nb, 16, 16)
+        scales = scales.reshape(nb, 16)
+        aidx = np.argmax(np.abs(scales), axis=1)
+        rows = np.arange(nb)
+        max_scale = scales[rows, aidx]
+        nz = max_scale != 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            iscale = np.where(
+                nz, np.float32(-32.0)
+                / np.where(max_scale == 0, 1, max_scale).astype(
+                    np.float32), 0.0).astype(np.float32)
+        l6 = (np.clip(_nearest_int(iscale[:, None] * scales), -32, 31)
+              + 32).astype(np.int32)
+        l6 = np.where(nz[:, None], l6, 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            d16 = np.where(
+                nz, _f16(np.float32(1.0)
+                         / np.where(iscale == 0, 1, iscale).astype(
+                             np.float32)), 0.0).astype(np.float32)
     else:
+        # quantize_row_q3_K_impl imatrix path: group make_qx with
+        # weight = qw*sqrt(2*Σx²/256 + x²), SUPER-scale ALSO via
+        # make_qx_quants over the 16 group scales weighted by the group
+        # weight sums (not the -32/max normalization)
         qw = np.ascontiguousarray(quant_weights, np.float32).reshape(nb, QK_K)
-        sigma2 = 2.0 * (xb * xb).sum(axis=1, keepdims=True) / QK_K
-        w = (qw * np.sqrt(sigma2 + xb * xb)).reshape(nb * 16, 16)
-        _, scales = make_qx_quants(g, 4, w)
-    scales = scales.reshape(nb, 16)
-    aidx = np.argmax(np.abs(scales), axis=1)
-    rows = np.arange(nb)
-    max_scale = scales[rows, aidx]
-    nz = max_scale != 0
-    with np.errstate(divide="ignore", invalid="ignore"):
-        iscale = np.where(nz, -32.0 / np.where(max_scale == 0, 1, max_scale), 0.0)
-    l6 = (np.clip(_nearest_int(iscale[:, None] * scales), -32, 31) + 32).astype(np.int32)
-    l6 = np.where(nz[:, None], l6, 0)
+        sigma2 = (np.float32(2.0) * _seq_sum(xb * xb)
+                  / np.float32(QK_K))[:, None]
+        w = (qw * np.sqrt(sigma2 + xb * xb)).reshape(nb * 16, 16).astype(
+            np.float32)
+        L_grp, scales = make_qx_quants(g, 4, w)
+        L_grp = L_grp.reshape(nb, 16, 16)  # +4-offset group codes
+        sw = _seq_sum(w).reshape(nb, 16)
+        scales = scales.reshape(nb, 16)
+        l6, d_block = make_qx_quants(scales, 32, sw)  # +32-offset 6-bit
+        d16 = _f16(d_block)
     # pack 6-bit scales into 12 bytes
     scb = np.zeros((nb, 12), dtype=np.uint8)
     for j in range(16):
@@ -732,8 +1081,6 @@ def quantize_q3_K(x: np.ndarray, quant_weights: np.ndarray | None = None) -> np.
         else:
             scb[:, j - 8] |= ((lj & 0xF) << 4).astype(np.uint8)
         scb[:, 8 + j % 4] |= ((lj >> 4) << (2 * (j // 4))).astype(np.uint8)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        d16 = np.where(nz, _f16(1.0 / np.where(iscale == 0, 1, iscale)), 0.0).astype(np.float32)
     # re-extract 6-bit scales (identical to pack inverse) and requantize
     sc6 = np.zeros((nb, 16), dtype=np.int32)
     for j in range(16):
@@ -744,7 +1091,9 @@ def quantize_q3_K(x: np.ndarray, quant_weights: np.ndarray | None = None) -> np.
     gx = xb.reshape(nb, 16, 16)
     with np.errstate(divide="ignore", invalid="ignore"):
         l = _nearest_int(gx / np.where(dl == 0, 1.0, dl)[:, :, None])
-    L = np.where((dl != 0)[:, :, None], np.clip(l, -4, 3), 0) + 4
+    keep = (L_grp - 4) if L_grp is not None else 0  # imatrix: zero-scale
+    # groups keep the group-level make_qx codes (C `continue`)
+    L = np.where((dl != 0)[:, :, None], np.clip(l, -4, 3), keep) + 4
     L = L.reshape(nb, QK_K).astype(np.int32)
     # hmask: bit set when L > 3 (then L -= 4); bit index: elem j -> byte j%32, bit j//32
     hm_bit = (L > 3).astype(np.uint8)
