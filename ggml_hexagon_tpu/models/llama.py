@@ -427,9 +427,13 @@ def _kv_dequant(q, d, dtype):
     return (q.astype(jnp.float32) * d[..., None]).astype(dtype)
 
 
-FLASH_THRESHOLD = 1024  # cache sizes from here up use the memory-linear
-# flash path: at S=1024 the dense path materializes ~67 MB of scores +
-# probs per layer in HBM during prefill (~0.2 ms/layer of pure traffic)
+FLASH_THRESHOLD = 512  # cache sizes from here up use the memory-linear
+# flash path: the dense path materializes O(T x S) scores + probs in HBM
+# during prefill.  r5 on-chip crossover (tools/prefill_attn_lab.py, 8B
+# geometry B=1 T=512 Hkv=8 G=4 D=128, same process): S=512 flash c=128
+# 74.2 us/layer vs dense 154.5; S=1024 flash c=128 120.2 vs the former
+# c=512 config's 179.5 — flash-from-512 with chunk 128 wins both.
+FLASH_CHUNK = 128
 
 
 def _attention(cfg: LlamaConfig, q, k_all, v_all, pos_start, T, swa: int = 0,
@@ -459,13 +463,13 @@ def _attention(cfg: LlamaConfig, q, k_all, v_all, pos_start, T, swa: int = 0,
     qg = q.transpose(0, 2, 1, 3).reshape(B, n_kv, group, T, hd)
     k = k_all.transpose(0, 2, 1, 3)  # [B, n_kv, S, hd]
     v = v_all.transpose(0, 2, 1, 3)
-    if (S >= FLASH_THRESHOLD and S % 512 == 0 and not cfg.alibi_max_bias
+    if (S >= FLASH_THRESHOLD and S % FLASH_CHUNK == 0 and not cfg.alibi_max_bias
             and cache_pos is None and causal):
         from ..ops.attention import flash_attention_cache
 
         out = flash_attention_cache(
             qg, k, v, pos_start, T, scale or 1.0 / float(np.sqrt(hd)),
-            swa=swa, logit_cap=logit_softcap,
+            swa=swa, logit_cap=logit_softcap, chunk=FLASH_CHUNK,
             k_scale=k_scale, v_scale=v_scale,
         )
         return (

@@ -81,24 +81,29 @@ def main():
     idxd = jnp.asarray(idx)
     gridd = jnp.asarray(grid)
 
+    # chunk the K/8 group axis via the GRID (an unrolled 64-chunk Python
+    # loop never finished Mosaic compilation; in-kernel dynamic_slice is
+    # not lowerable) — grid dim 1 walks CH-row index blocks and
+    # accumulates into the same output block ("arbitrary" semantics)
+    CH = 8
+
     def oh_kernel(idx_ref, grid_ref, o_ref):
         bn = o_ref.shape[1]
-        ii = idx_ref[:, :].astype(jnp.int32)            # [K/8, bn]
         g = grid_ref[:, :].astype(jnp.bfloat16)         # [256, 8]
-        acc = jnp.zeros((8, bn), jnp.float32)
-        # chunk the K/8 group axis so the one-hot stays in VMEM
-        CH = 64
-        for c in range(0, K // 8, CH):
-            blk = ii[c:c + CH, :]                       # [CH, bn]
-            cc = jax.lax.broadcasted_iota(
-                jnp.int32, (CH, bn, 256), 2)
-            oh = (cc == blk[:, :, None]).astype(jnp.bfloat16)
-            w8 = jax.lax.dot_general(
-                oh.reshape(CH * bn, 256), g,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)     # [CH*bn, 8]
-            acc = acc + w8.reshape(CH, bn, 8).sum(axis=0).T
-        o_ref[:, :] = acc
+        blk = idx_ref[:, :].astype(jnp.int32)           # [CH, bn]
+        cc = jax.lax.broadcasted_iota(jnp.int32, (CH, bn, 256), 2)
+        oh = (cc == blk[:, :, None]).astype(jnp.bfloat16)
+        w8 = jax.lax.dot_general(
+            oh.reshape(CH * bn, 256), g,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)         # [CH*bn, 8]
+        part = w8.reshape(CH, bn, 8).sum(axis=0).T
+
+        @pl.when(pl.program_id(1) == 0)
+        def _init():
+            o_ref[:, :] = jnp.zeros_like(o_ref)
+
+        o_ref[:, :] += part
 
     def timed(fn, args, label, nbytes, n_chain=24):
         def chain(n, x):
@@ -145,16 +150,17 @@ def main():
     def oh_call():
         return pl.pallas_call(
             oh_kernel,
-            grid=(N // BN,),
-            in_specs=[pl.BlockSpec((K // 8, BN), lambda i: (0, i),
+            grid=(N // BN, (K // 8) // CH),
+            in_specs=[pl.BlockSpec((CH, BN), lambda i, c: (c, i),
                                    memory_space=pltpu.VMEM),
-                      pl.BlockSpec((256, 8), lambda i: (0, 0),
+                      pl.BlockSpec((256, 8), lambda i, c: (0, 0),
                                    memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((8, BN), lambda i: (0, i),
+            out_specs=pl.BlockSpec((8, BN), lambda i, c: (0, i),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((8, N), jnp.float32),
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
+                vmem_limit_bytes=100 * 1024 * 1024,
+                dimension_semantics=("arbitrary", "arbitrary")),
         )(idxd, gridd)
 
     wbytes = K * N  # decoded int8 weight bytes per pass
