@@ -591,24 +591,214 @@ def quantize_iq2_s(x, quant_weights=None):
     return out.reshape(-1)
 
 
-def quantize_iq3_xxs(x, quant_weights=None):
-    xb = np.ascontiguousarray(x, np.float32).reshape(-1, QK_K)
-    qw = None if quant_weights is None else np.asarray(quant_weights, np.float32).reshape(xb.shape)
+_IQ3XXS_TABLES = None
+
+
+def _iq3xxs_tables():
+    """kmap + padded neighbour table for the 256-entry iq3 grid, exactly
+    iq3xs_init_impl (ggml-quants.c:3358): for each off-grid 12-bit index,
+    ALL grid points sorted by (d2, grid index) through the end of the 2nd
+    distance shell (nwant=2; iq3_compare_func breaks d2 ties by index,
+    which a stable argsort on d2 reproduces)."""
+    global _IQ3XXS_TABLES
+    if _IQ3XXS_TABLES is not None:
+        return _IQ3XXS_TABLES
+    # the npz grid holds the PUBLISHED dequant bytes (8l+4, but 62 for
+    # l=7); the quantizer's internal lattice (iq3xs_init kgrid_256) is
+    # 2l+1 — recover the 3-bit codes first
+    l4 = (IQ3XXS_GRID.astype(np.int32) - 4) // 8     # [256, 4] codes 0..7
+    grid = 2 * l4 + 1                                # lattice values 1..15
+    uu = (l4 << (3 * np.arange(4))).sum(axis=1)
+    kmap = np.full(4096, -1, np.int32)
+    kmap[uu] = np.arange(256)
+    off = np.nonzero(kmap < 0)[0]
+    pos = ((off[:, None] >> (3 * np.arange(4))) & 7) * 2 + 1
+    d2 = ((grid[None, :, :] - pos[:, None, :]) ** 2).sum(axis=2)
+    order = np.argsort(d2, axis=1, kind="stable")    # (d2, index) order
+    d2s = np.take_along_axis(d2, order, axis=1)
+    in2nd = d2s > d2s[:, :1]
+    second = np.where(in2nd.any(axis=1),
+                      np.take_along_axis(
+                          d2s, in2nd.argmax(axis=1)[:, None], 1)[:, 0],
+                      d2s[:, -1])
+    counts = (d2s <= second[:, None]).sum(axis=1)
+    maxn = int(counts.max())
+    nbt = np.full((4096, maxn), -1, np.int32)
+    nbt[off] = np.where(np.arange(maxn)[None] < counts[:, None],
+                        order[:, :maxn], -1)
+    _IQ3XXS_TABLES = (kmap, nbt)
+    return _IQ3XXS_TABLES
+
+
+def _iq3_neighbour(u, xv, wv, sc):
+    """Vectorized iq3_find_best_neighbour (ggml-quants.c:3524): first
+    strict-minimum weighted distance over the cell's neighbour list.
+    u [M] off-grid 12-bit codes, xv [M,4], wv=waux [M,4], sc [M] f32."""
+    f32 = np.float32
+    kmap, nbt = _iq3xxs_tables()
+    cand = nbt[u]                                    # [M, maxn], -1 pad
+    lat = (2 * ((IQ3XXS_GRID.astype(np.int32) - 4) // 8) + 1).astype(f32)
+    q = lat[cand]                                    # [M, maxn, 4] 2l+1
+    d2 = np.zeros(cand.shape, f32)
+    for i in range(4):                               # C sequential f32
+        diff = (sc[:, None] * q[:, :, i] - xv[:, i:i + 1]).astype(f32)
+        d2 += (wv[:, i:i + 1] * diff * diff).astype(f32)
+    d2 = np.where(cand >= 0, d2, np.inf)
+    j = np.argmin(d2, axis=1)                        # first best, like C
+    return cand[np.arange(len(u)), j]
+
+
+def _iq3xxs_impl(xb, qw):
+    """Exact quantize_row_iq3_xxs_impl (ggml-quants.c:3548): 31-candidate
+    scale sweep with truncated-neighbour grid snapping, off-grid re-snap
+    post-pass, parity signs with min-importance flip — all arithmetic in
+    f32 with the C code's sequential accumulation order.
+    Returns (d_f16bytes [N,2] u8, q3idx [N,64] u8, aux32 [N,8] u32)."""
+    f32 = np.float32
+    kmap, _ = _iq3xxs_tables()
+    gridq = (IQ3XXS_GRID.astype(np.int32) - 4) // 8     # L codes [256,4]
     N = xb.shape[0]
-    w = _block_weights(xb, qw)
-    xval, sbytes = _extract_signs(xb, w, parity=True)
-    qvals = IQ3XXS_GRID.astype(np.float32) / 4.0
-    scales, idx = _signgrid_search(xval, w, sub=32, cell=4, kmax=8, step=0.2,
-                                   qvals=qvals)
-    d = scales.max(axis=1) / 31.0
-    ls = _pack_subscales(scales, d)
+    xb = xb.astype(f32)
+    rows = np.arange(N)
+    sumx2 = np.zeros(N, f32)
+    for j in range(QK_K):                            # C sequential f32
+        sumx2 += xb[:, j] * xb[:, j]
+    sigma2 = (f32(2) * sumx2 / f32(QK_K)).astype(f32)
+
+    scales = np.zeros((N, 8), f32)
+    q3idx = np.zeros((N, 8, 8), np.int32)
+    sign4 = np.zeros((N, 8, 4), np.uint32)
+    L = np.zeros((N, 32), np.int32)                  # persists across ib
+    iog = np.ones((N, 8), bool)                      # is_on_grid persists
+    arange4 = 3 * np.arange(4)
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        for ib in range(8):
+            xb32 = xb[:, 32 * ib:32 * ib + 32]
+            if qw is not None:
+                w = (qw[:, 32 * ib:32 * ib + 32]
+                     * np.sqrt(sigma2[:, None] + xb32 * xb32)).astype(f32)
+            else:
+                w = (xb32 * xb32).astype(f32)
+            waux = np.sqrt(w).astype(f32)
+            # signs per 8-group with odd-parity flip at first-min w*x*x
+            g = xb32.reshape(N, 4, 8)
+            wg = w.reshape(N, 4, 8)
+            neg = g < 0
+            xval = np.abs(g).astype(f32)
+            bits = (neg.astype(np.uint8)
+                    << np.arange(8, dtype=np.uint8)).sum(
+                        axis=2).astype(np.uint8)
+            odd = (np.bitwise_count(bits) & 1).astype(bool)
+            imp = (wg * g * g).astype(f32)
+            imin = np.argmin(imp, axis=2)
+            rr = np.nonzero(odd)
+            xval[rr[0], rr[1], imin[odd]] *= f32(-1)
+            bits[odd] ^= (np.uint8(1) << imin[odd]).astype(np.uint8)
+            bits &= 127
+            xval = xval.reshape(N, 32)
+            mx = xval.max(axis=1)
+            live = mx >= f32(1e-8)                   # GROUP_MAX_EPS_IQ3_XXS
+            L[~live] = 0                             # C memset on dead
+            mxs = np.where(live, mx, f32(1))
+            best = np.zeros(N, f32)
+            scale = (mxs / f32(15)).astype(f32)
+            for is_ in range(-15, 16):
+                id_ = ((f32(15) + f32(is_) * f32(0.2)) / mxs).astype(f32)
+                this_scale = (f32(1) / id_).astype(f32)
+                t = (f32(0.5) * (id_[:, None] * xval - f32(1))).astype(f32)
+                laux = np.clip(_nearest_int(t), 0, 7)
+                u = (laux.reshape(N, 8, 4) << arange4).sum(axis=2)  # [N,8]
+                gi = kmap[u]
+                on = gi >= 0
+                need = live[:, None] & ~on
+                if need.any():
+                    ri, ci = np.nonzero(need)
+                    gi_n = _iq3_neighbour(
+                        u[need], xval.reshape(N, 8, 4)[ri, ci],
+                        waux.reshape(N, 8, 4)[ri, ci], this_scale[ri])
+                    laux = laux.reshape(N, 8, 4).copy()
+                    laux[ri, ci] = gridq[gi_n]
+                    laux = laux.reshape(N, 32)
+                qv = (2 * laux + 1).astype(f32)
+                sumqx = np.zeros(N, f32)
+                sumq2 = np.zeros(N, f32)
+                for i in range(32):                  # C sequential f32
+                    sumqx += (w[:, i] * xval[:, i] * qv[:, i]).astype(f32)
+                    sumq2 += (w[:, i] * qv[:, i] * qv[:, i]).astype(f32)
+                upd = live & (sumq2 > 0) & (sumqx * sumqx > best * sumq2)
+                ns = (sumqx / sumq2).astype(f32)
+                scale = np.where(upd, ns, scale)
+                best = np.where(upd, (ns * sumqx).astype(f32), best)
+                L = np.where(upd[:, None], laux, L)
+                iog = np.where(upd[:, None], on, iog)
+            # post-pass: re-snap off-grid cells at the final scale
+            post = live & (~iog).any(axis=1) & (scale > 0)
+            if post.any():
+                id2 = (f32(1) / np.where(post, scale, f32(1))).astype(f32)
+                t = (f32(0.5) * (id2[:, None] * xval - f32(1))).astype(f32)
+                lp = np.clip(_nearest_int(t), 0, 7)
+                u = (lp.reshape(N, 8, 4) << arange4).sum(axis=2)
+                cells = post[:, None] & ~iog
+                ri, ci = np.nonzero(cells)
+                ui = u[cells]
+                gi = kmap[ui].copy()
+                bad = gi < 0
+                if bad.any():
+                    gi[bad] = _iq3_neighbour(
+                        ui[bad], xval.reshape(N, 8, 4)[ri[bad], ci[bad]],
+                        waux.reshape(N, 8, 4)[ri[bad], ci[bad]],
+                        scale[ri[bad]])
+                L = L.reshape(N, 8, 4).copy()
+                L[ri, ci] = gridq[gi]
+                L = L.reshape(N, 32)
+                qv = (2 * L + 1).astype(f32)
+                sumqx = np.zeros(N, f32)
+                sumq2 = np.zeros(N, f32)
+                for i in range(32):
+                    sumqx += (w[:, i] * xval[:, i] * qv[:, i]).astype(f32)
+                    sumq2 += (w[:, i] * qv[:, i] * qv[:, i]).astype(f32)
+                ok = post & (sumq2 > 0)
+                scale = np.where(ok, (sumqx / sumq2).astype(f32), scale)
+            # negative-scale flip ("should never happen" guard, C 3708)
+            flip = live & (scale < 0)
+            scale = np.abs(scale)
+            bits = np.where(flip[:, None], (~bits) & np.uint8(127), bits)
+            # encode this sub-block
+            uf = (L.reshape(N, 8, 4) << arange4).sum(axis=2)
+            gf = kmap[uf]
+            q3idx[:, ib] = np.where(live[:, None], gf, 0)
+            sign4[:, ib] = np.where(live[:, None], bits.astype(np.uint32),
+                                    0)
+            scales[:, ib] = np.where(live, scale, f32(0))
+    max_scale = scales.max(axis=1)
+    dead = max_scale == 0
+    d = (max_scale / f32(31)).astype(f32)
+    d16 = np.where(dead, f32(0), (d * f32(1.0125)).astype(f32)).astype(
+        np.float16)
+    idv = (f32(1) / np.where(dead, f32(1), d)).astype(f32)
+    ls = np.clip(_nearest_int(
+        (f32(0.5) * (idv[:, None] * scales - f32(1))).astype(f32)), 0, 15)
+    aux32 = (sign4[..., 0] | (sign4[..., 1] << 7) | (sign4[..., 2] << 14)
+             | (sign4[..., 3] << 21)
+             | (np.where(dead[:, None], 0, ls).astype(np.uint32) << 28))
+    q3idx = np.where(dead[:, None, None], 0, q3idx)
+    aux32 = np.where(dead[:, None], np.uint32(0), aux32)
+    return (d16.view(np.uint8).reshape(N, 2),
+            q3idx.reshape(N, 64).astype(np.uint8), aux32.astype("<u4"))
+
+
+def quantize_iq3_xxs(x, quant_weights=None):
+    """Exact quantize_row_iq3_xxs_impl — see _iq3xxs_impl; byte parity
+    with llama-quantize verified in tests/test_quant_vs_libggml.py."""
+    xb = np.ascontiguousarray(x, np.float32).reshape(-1, QK_K)
+    qw = (None if quant_weights is None
+          else np.asarray(quant_weights, np.float32).reshape(xb.shape))
+    N = xb.shape[0]
+    d16, q3, aux32 = _iq3xxs_impl(xb, qw)
     out = np.zeros((N, 98), np.uint8)
-    out[:, :2] = (d * 1.0125).astype(np.float16).view(np.uint8).reshape(N, 2)
-    out[:, 2:66] = idx.astype(np.uint8)
-    s4 = sbytes.reshape(N, 8, 4).astype(np.uint32)
-    aux32 = (s4[..., 0] | (s4[..., 1] << 7) | (s4[..., 2] << 14)
-             | (s4[..., 3] << 21) | (ls.astype(np.uint32) << 28))
-    out[:, 66:98] = aux32.astype("<u4").view(np.uint8).reshape(N, 32)
+    out[:, :2] = d16
+    out[:, 2:66] = q3
+    out[:, 66:98] = aux32.view(np.uint8).reshape(N, 32)
     return out.reshape(-1)
 
 

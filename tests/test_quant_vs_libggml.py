@@ -93,3 +93,32 @@ def test_iq4_byte_parity(ggml, csym, ts, bs, use_qw):
        if use_qw else None)
     mine = getattr(IQ, csym)(x.reshape(-1), quant_weights=qwt)
     assert np.array_equal(out, mine)
+
+
+@pytest.mark.parametrize("use_qw", [False, True])
+def test_iq3_xxs_byte_parity(ggml, use_qw):
+    """quantize_row_iq3_xxs_impl (ggml-quants.c:3548) — the codebook
+    grid search with truncated neighbour lists; needs ggml_quantize_init
+    to build kmap/kneighbors (iq3xs_init_impl)."""
+    from ggml_hexagon_tpu.quant import iquants as IQ
+
+    ggml.ggml_quantize_init.argtypes = [ctypes.c_int]
+    ggml.ggml_quantize_init(18)  # GGML_TYPE_IQ3_XXS
+    fn = ggml.quantize_iq3_xxs
+    fn.restype = ctypes.c_size_t
+    fn.argtypes = [ctypes.POINTER(ctypes.c_float), ctypes.c_void_p,
+                   ctypes.c_int64, ctypes.c_int64,
+                   ctypes.POINTER(ctypes.c_float)]
+    rng = np.random.default_rng(11)
+    nrow, k = 16, 512
+    x = rng.normal(size=(nrow, k)).astype(np.float32) * 0.02
+    qwt = (np.tile(rng.random((k,)).astype(np.float32) + 0.05, nrow)
+           if use_qw else None)
+    out = np.zeros(nrow * (k // 256) * 98, np.uint8)
+    fn(x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), out.ctypes.data,
+       nrow, k,
+       qwt.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+       if use_qw else None)
+    mine = IQ.quantize_iq3_xxs(x.reshape(-1), quant_weights=qwt)
+    assert np.array_equal(out, mine), (
+        f"iq3_xxs qw={use_qw}: {int((out != mine).sum())}/{out.size} differ")
