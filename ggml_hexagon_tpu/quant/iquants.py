@@ -569,76 +569,266 @@ def quantize_iq2_xs(x, quant_weights=None):
     return out.reshape(-1)
 
 
-def quantize_iq2_s(x, quant_weights=None):
-    xb = np.ascontiguousarray(x, np.float32).reshape(-1, QK_K)
-    qw = None if quant_weights is None else np.asarray(quant_weights, np.float32).reshape(xb.shape)
+_IQ2S_TABLES = None
+
+
+def _iq2s_tables():
+    """kmap + padded neighbour table for the 1024-entry iq2_s grid,
+    exactly iq2xs_init_impl (ggml-quants.c:2564) with nwant=1: for each
+    off-grid 16-bit 2-bit-field code, ALL grid points at the MINIMAL
+    (d2, index)-ordered distance.  kmap_size = 43692 (the quantizer only
+    produces field values 0..2)."""
+    global _IQ2S_TABLES
+    if _IQ2S_TABLES is not None:
+        return _IQ2S_TABLES
+    # published bytes {8, 25, 43} -> codes {0, 1, 2} -> lattice 2l+1
+    pub = IQ2S_GRID.astype(np.int32)
+    l8 = np.select([pub == 8, pub == 25, pub == 43], [0, 1, 2])
+    grid = (2 * l8 + 1).astype(np.int32)             # [1024, 8] in 1/3/5
+    kmap_size = 43692
+    uu = (l8 << (2 * np.arange(8))).sum(axis=1)
+    kmap = np.full(kmap_size, -1, np.int32)
+    kmap[uu] = np.arange(grid.shape[0])
+    off = np.nonzero(kmap < 0)[0]
+    counts = np.zeros(len(off), np.int64)
+    chunks = []
+    for s in range(0, len(off), 4096):               # chunk the 43k rows
+        o = off[s:s + 4096]
+        pos = ((o[:, None] >> (2 * np.arange(8))) & 3) * 2 + 1
+        d2 = ((grid[None, :, :].astype(np.int32)
+               - pos[:, None, :]) ** 2).sum(axis=2, dtype=np.int32)
+        order = np.argsort(d2, axis=1, kind="stable")
+        d2s = np.take_along_axis(d2, order, axis=1)
+        c = (d2s == d2s[:, :1]).sum(axis=1)          # nwant=1: first shell
+        counts[s:s + 4096] = c
+        chunks.append(order[:, :int(c.max())])
+    maxn = int(counts.max())
+    nbt = np.full((kmap_size, maxn), -1, np.int32)
+    row = 0
+    for ch in chunks:
+        n, m = ch.shape
+        sel = off[row:row + n]
+        nbt[sel, :m] = np.where(
+            np.arange(m)[None] < counts[row:row + n, None], ch, -1)
+        row += n
+    _IQ2S_TABLES = (kmap, nbt, grid)
+    return _IQ2S_TABLES
+
+
+def _iq2s_neighbour(u, xv, wv, sc):
+    """Vectorized iq2_find_best_neighbour (ggml-quants.c:2930): first
+    strict-minimum weighted 8-dim distance over the neighbour list."""
+    f32 = np.float32
+    kmap, nbt, grid = _iq2s_tables()
+    cand = nbt[u]
+    q = grid.astype(f32)[cand]                       # [M, maxn, 8]
+    d2 = np.zeros(cand.shape, f32)
+    for i in range(8):                               # C sequential f32
+        diff = (sc[:, None] * q[:, :, i] - xv[:, i:i + 1]).astype(f32)
+        d2 += (wv[:, i:i + 1] * diff * diff).astype(f32)
+    d2 = np.where(cand >= 0, d2, np.inf)
+    j = np.argmin(d2, axis=1)
+    return cand[np.arange(len(u)), j]
+
+
+def _iq2s_impl(xb, qw):
+    """Exact quantize_row_iq2_s_impl (ggml-quants.c:4749): 16-weight
+    sub-blocks, 2 cells of 8, kMaxQ=3, is in -9..9 with step 0.1, full
+    8-bit signs, non-imatrix weight 0.25*sigma2 + x^2, d fudge 0.9875.
+    Returns (d16 [N,2] u8, qs [N,32] u8, sgn [N,32] u8, qh [N,8] u8,
+    ls [N,16] i32)."""
+    f32 = np.float32
+    kmap, _, grid = _iq2s_tables()
+    gridq = (grid - 1) // 2                          # codes [1024, 8]
     N = xb.shape[0]
-    w = _block_weights(xb, qw)
-    xval, sbytes = _extract_signs(xb, w, parity=False)  # full 8-bit signs
-    qvals = IQ2S_GRID.astype(np.float32) / 8.0
-    scales, idx = _signgrid_search(xval, w, sub=16, cell=8, kmax=3, step=0.1,
-                                   qvals=qvals)
-    d = scales.max(axis=1) / 31.0
-    ls = _pack_subscales(scales, d)
+    xb = xb.astype(f32)
+    sumx2 = np.zeros(N, f32)
+    for j in range(QK_K):                            # C sequential f32
+        sumx2 += xb[:, j] * xb[:, j]
+    sigma2 = (f32(2) * sumx2 / f32(QK_K)).astype(f32)
+
+    scales = np.zeros((N, 16), f32)
+    qs_all = np.zeros((N, 16, 2), np.int32)
+    sg_all = np.zeros((N, 16, 2), np.uint8)
+    live_all = np.zeros((N, 16), bool)
+    L = np.zeros((N, 16), np.int32)                  # persists across ib
+    arange8 = 2 * np.arange(8)
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        for ib in range(16):
+            xb16 = xb[:, 16 * ib:16 * ib + 16]
+            if qw is not None:
+                w = (qw[:, 16 * ib:16 * ib + 16]
+                     * np.sqrt(sigma2[:, None] + xb16 * xb16)).astype(f32)
+            else:
+                w = (f32(0.25) * sigma2[:, None] + xb16 * xb16).astype(f32)
+            waux = np.sqrt(w).astype(f32)
+            neg = xb16.reshape(N, 2, 8) < 0
+            bits = (neg.astype(np.uint8)
+                    << np.arange(8, dtype=np.uint8)).sum(
+                        axis=2).astype(np.uint8)     # [N, 2] full signs
+            xval = np.abs(xb16).astype(f32)
+            mx = xval.max(axis=1)
+            live = mx >= f32(1e-8)                   # GROUP_MAX_EPS_IQ2_S
+            mxs = np.where(live, mx, f32(1))
+            best = np.zeros(N, f32)
+            scale = (mxs / f32(5)).astype(f32)
+            iog = np.ones((N, 2), bool)              # C inits true (4817)
+            for is_ in range(-9, 10):
+                id_ = ((f32(5) + f32(is_) * f32(0.1)) / mxs).astype(f32)
+                this_scale = (f32(1) / id_).astype(f32)
+                t = (f32(0.5) * (id_[:, None] * xval - f32(1))).astype(f32)
+                laux = np.clip(_nearest_int(t), 0, 2)
+                u = (laux.reshape(N, 2, 8) << arange8).sum(axis=2)  # [N,2]
+                gi = kmap[u]
+                on = gi >= 0
+                need = live[:, None] & ~on
+                if need.any():
+                    ri, ci = np.nonzero(need)
+                    gi_n = _iq2s_neighbour(
+                        u[need], xval.reshape(N, 2, 8)[ri, ci],
+                        waux.reshape(N, 2, 8)[ri, ci], this_scale[ri])
+                    laux = laux.reshape(N, 2, 8).copy()
+                    laux[ri, ci] = gridq[gi_n]
+                    laux = laux.reshape(N, 16)
+                qv = (2 * laux + 1).astype(f32)
+                sumqx = np.zeros(N, f32)
+                sumq2 = np.zeros(N, f32)
+                for i in range(16):                  # C sequential f32
+                    sumqx += (w[:, i] * xval[:, i] * qv[:, i]).astype(f32)
+                    sumq2 += (w[:, i] * qv[:, i] * qv[:, i]).astype(f32)
+                upd = live & (sumq2 > 0) & (sumqx * sumqx > best * sumq2)
+                ns = (sumqx / sumq2).astype(f32)
+                scale = np.where(upd, ns, scale)
+                best = np.where(upd, (ns * sumqx).astype(f32), best)
+                L = np.where(upd[:, None], laux, L)
+                iog = np.where(upd[:, None], on, iog)
+            post = live & (~iog).any(axis=1) & (scale > 0)
+            if post.any():
+                id2 = (f32(1) / np.where(post, scale, f32(1))).astype(f32)
+                t = (f32(0.5) * (id2[:, None] * xval - f32(1))).astype(f32)
+                lp = np.clip(_nearest_int(t), 0, 2)
+                u = (lp.reshape(N, 2, 8) << arange8).sum(axis=2)
+                cells = post[:, None] & ~iog         # only off-grid cells
+                ri, ci = np.nonzero(cells)
+                L = L.reshape(N, 2, 8).copy()
+                L[ri, ci] = lp.reshape(N, 2, 8)[ri, ci]
+                ui = u[cells]
+                gi = kmap[ui]
+                bad = gi < 0
+                if bad.any():
+                    gi_n = _iq2s_neighbour(
+                        ui[bad], xval.reshape(N, 2, 8)[ri[bad], ci[bad]],
+                        waux.reshape(N, 2, 8)[ri[bad], ci[bad]],
+                        scale[ri[bad]])
+                    L[ri[bad], ci[bad]] = gridq[gi_n]
+                L = L.reshape(N, 16)
+                qv = (2 * L + 1).astype(f32)
+                sumqx = np.zeros(N, f32)
+                sumq2 = np.zeros(N, f32)
+                for i in range(16):
+                    sumqx += (w[:, i] * xval[:, i] * qv[:, i]).astype(f32)
+                    sumq2 += (w[:, i] * qv[:, i] * qv[:, i]).astype(f32)
+                ok = post & (sumq2 > 0)
+                scale = np.where(ok, (sumqx / sumq2).astype(f32), scale)
+            flip = live & (scale < 0)
+            scale = np.abs(scale)
+            bits = np.where(flip[:, None], (~bits).astype(np.uint8), bits)
+            uf = (L.reshape(N, 2, 8) << arange8).sum(axis=2)
+            gf = kmap[uf]
+            qs_all[:, ib] = np.where(live[:, None], gf, 0)
+            sg_all[:, ib] = np.where(live[:, None], bits, 0)
+            live_all[:, ib] = live
+            scales[:, ib] = np.where(live, scale, f32(0))
+    max_scale = scales.max(axis=1)
+    dead = max_scale == 0
+    d = (max_scale / f32(31)).astype(f32)
+    d16 = np.where(dead, f32(0), (d * f32(0.9875)).astype(f32)).astype(
+        np.float16)
+    idv = (f32(1) / np.where(dead, f32(1), d)).astype(f32)
+    ls = np.clip(_nearest_int(
+        (f32(0.5) * (idv[:, None] * scales - f32(1))).astype(f32)), 0, 15)
+    ls = np.where(dead[:, None], 0, ls)
+    i8 = qs_all.reshape(N, 32)                       # [N, 32] cell order
+    qh = np.zeros((N, 8), np.uint32)
+    hi = (i8 >> 8).reshape(N, 8, 4)
+    qh = (hi[:, :, 0] | (hi[:, :, 1] << 2) | (hi[:, :, 2] << 4)
+          | (hi[:, :, 3] << 6)).astype(np.uint8)
+    qh = np.where(dead[:, None], 0, qh).astype(np.uint8)
+    qs = np.where(dead[:, None], 0, i8 & 255).astype(np.uint8)
+    sgn = np.where(dead[:, None], 0, sg_all.reshape(N, 32)).astype(np.uint8)
+    return d16.view(np.uint8).reshape(N, 2), qs, sgn, qh, ls
+
+
+def quantize_iq2_s(x, quant_weights=None):
+    """Exact quantize_row_iq2_s_impl — see _iq2s_impl; byte parity with
+    llama-quantize verified in tests/test_quant_vs_libggml.py."""
+    xb = np.ascontiguousarray(x, np.float32).reshape(-1, QK_K)
+    qw = (None if quant_weights is None
+          else np.asarray(quant_weights, np.float32).reshape(xb.shape))
+    N = xb.shape[0]
+    d16, qs, sgn, qh, ls = _iq2s_impl(xb, qw)
     out = np.zeros((N, 82), np.uint8)
-    out[:, :2] = (d * 0.9875).astype(np.float16).view(np.uint8).reshape(N, 2)
-    out[:, 2:34] = (idx & 255).astype(np.uint8)
-    out[:, 34:66] = sbytes
-    hi = (idx >> 8).astype(np.uint8).reshape(N, 8, 4)
-    out[:, 66:74] = (hi[:, :, 0] | (hi[:, :, 1] << 2) | (hi[:, :, 2] << 4)
-                     | (hi[:, :, 3] << 6))
-    out[:, 74:82] = (ls[:, 0::2] | (ls[:, 1::2] << 4))
+    out[:, :2] = d16
+    out[:, 2:34] = qs
+    out[:, 34:66] = sgn
+    out[:, 66:74] = qh
+    out[:, 74:82] = (ls[:, 0::2] | (ls[:, 1::2] << 4)).astype(np.uint8)
     return out.reshape(-1)
 
 
-_IQ3XXS_TABLES = None
+_IQ3_TABLES = {}
 
 
-def _iq3xxs_tables():
-    """kmap + padded neighbour table for the 256-entry iq3 grid, exactly
+def _iq3_tables(variant: str):
+    """kmap + padded neighbour table + lattice for the iq3 grids, exactly
     iq3xs_init_impl (ggml-quants.c:3358): for each off-grid 12-bit index,
-    ALL grid points sorted by (d2, grid index) through the end of the 2nd
-    distance shell (nwant=2; iq3_compare_func breaks d2 ties by index,
-    which a stable argsort on d2 reproduces)."""
-    global _IQ3XXS_TABLES
-    if _IQ3XXS_TABLES is not None:
-        return _IQ3XXS_TABLES
-    # the npz grid holds the PUBLISHED dequant bytes (8l+4, but 62 for
-    # l=7); the quantizer's internal lattice (iq3xs_init kgrid_256) is
-    # 2l+1 — recover the 3-bit codes first
-    l4 = (IQ3XXS_GRID.astype(np.int32) - 4) // 8     # [256, 4] codes 0..7
+    ALL grid points sorted by (d2, grid index) through the end of the
+    nwant-th distance shell (nwant=2 for the 256-grid / xxs, 3 for the
+    512-grid / s; iq3_compare_func breaks d2 ties by index, which a
+    stable argsort on d2 reproduces)."""
+    if variant in _IQ3_TABLES:
+        return _IQ3_TABLES[variant]
+    if variant == "xxs":
+        # the npz grid holds the PUBLISHED dequant bytes (8l+4, but 62
+        # for l=7); the quantizer's internal lattice (kgrid_256) is 2l+1
+        l4 = (IQ3XXS_GRID.astype(np.int32) - 4) // 8
+        nwant = 2
+    else:
+        l4 = (IQ3S_GRID.astype(np.int32) - 1) // 2   # stored as 2l+1
+        nwant = 3
     grid = 2 * l4 + 1                                # lattice values 1..15
+    gsz = grid.shape[0]
     uu = (l4 << (3 * np.arange(4))).sum(axis=1)
     kmap = np.full(4096, -1, np.int32)
-    kmap[uu] = np.arange(256)
+    kmap[uu] = np.arange(gsz)
     off = np.nonzero(kmap < 0)[0]
     pos = ((off[:, None] >> (3 * np.arange(4))) & 7) * 2 + 1
     d2 = ((grid[None, :, :] - pos[:, None, :]) ** 2).sum(axis=2)
     order = np.argsort(d2, axis=1, kind="stable")    # (d2, index) order
     d2s = np.take_along_axis(d2, order, axis=1)
-    in2nd = d2s > d2s[:, :1]
-    second = np.where(in2nd.any(axis=1),
-                      np.take_along_axis(
-                          d2s, in2nd.argmax(axis=1)[:, None], 1)[:, 0],
-                      d2s[:, -1])
-    counts = (d2s <= second[:, None]).sum(axis=1)
+    shell = d2s[:, :1]
+    counts = np.zeros(len(off), np.int64)
+    for _ in range(nwant):
+        counts = (d2s <= shell).sum(axis=1)
+        nxt = np.where(d2s > shell, d2s, np.iinfo(np.int64).max).min(axis=1)
+        shell = np.where((nxt < np.iinfo(np.int64).max)[:, None],
+                         nxt[:, None], shell)
     maxn = int(counts.max())
     nbt = np.full((4096, maxn), -1, np.int32)
     nbt[off] = np.where(np.arange(maxn)[None] < counts[:, None],
                         order[:, :maxn], -1)
-    _IQ3XXS_TABLES = (kmap, nbt)
-    return _IQ3XXS_TABLES
+    _IQ3_TABLES[variant] = (kmap, nbt, grid.astype(np.int32))
+    return _IQ3_TABLES[variant]
 
 
-def _iq3_neighbour(u, xv, wv, sc):
+def _iq3_neighbour(u, xv, wv, sc, variant: str):
     """Vectorized iq3_find_best_neighbour (ggml-quants.c:3524): first
     strict-minimum weighted distance over the cell's neighbour list.
     u [M] off-grid 12-bit codes, xv [M,4], wv=waux [M,4], sc [M] f32."""
     f32 = np.float32
-    kmap, nbt = _iq3xxs_tables()
+    kmap, nbt, grid = _iq3_tables(variant)
     cand = nbt[u]                                    # [M, maxn], -1 pad
-    lat = (2 * ((IQ3XXS_GRID.astype(np.int32) - 4) // 8) + 1).astype(f32)
-    q = lat[cand]                                    # [M, maxn, 4] 2l+1
+    q = grid.astype(f32)[cand]                       # [M, maxn, 4] 2l+1
     d2 = np.zeros(cand.shape, f32)
     for i in range(4):                               # C sequential f32
         diff = (sc[:, None] * q[:, :, i] - xv[:, i:i + 1]).astype(f32)
@@ -655,8 +845,8 @@ def _iq3xxs_impl(xb, qw):
     f32 with the C code's sequential accumulation order.
     Returns (d_f16bytes [N,2] u8, q3idx [N,64] u8, aux32 [N,8] u32)."""
     f32 = np.float32
-    kmap, _ = _iq3xxs_tables()
-    gridq = (IQ3XXS_GRID.astype(np.int32) - 4) // 8     # L codes [256,4]
+    kmap, _, _grid = _iq3_tables("xxs")
+    gridq = (_grid - 1) // 2                            # L codes [256,4]
     N = xb.shape[0]
     xb = xb.astype(f32)
     rows = np.arange(N)
@@ -715,7 +905,8 @@ def _iq3xxs_impl(xb, qw):
                     ri, ci = np.nonzero(need)
                     gi_n = _iq3_neighbour(
                         u[need], xval.reshape(N, 8, 4)[ri, ci],
-                        waux.reshape(N, 8, 4)[ri, ci], this_scale[ri])
+                        waux.reshape(N, 8, 4)[ri, ci], this_scale[ri],
+                        "xxs")
                     laux = laux.reshape(N, 8, 4).copy()
                     laux[ri, ci] = gridq[gi_n]
                     laux = laux.reshape(N, 32)
@@ -747,7 +938,7 @@ def _iq3xxs_impl(xb, qw):
                     gi[bad] = _iq3_neighbour(
                         ui[bad], xval.reshape(N, 8, 4)[ri[bad], ci[bad]],
                         waux.reshape(N, 8, 4)[ri[bad], ci[bad]],
-                        scale[ri[bad]])
+                        scale[ri[bad]], "xxs")
                 L = L.reshape(N, 8, 4).copy()
                 L[ri, ci] = gridq[gi]
                 L = L.reshape(N, 32)
@@ -802,25 +993,157 @@ def quantize_iq3_xxs(x, quant_weights=None):
     return out.reshape(-1)
 
 
-def quantize_iq3_s(x, quant_weights=None):
-    xb = np.ascontiguousarray(x, np.float32).reshape(-1, QK_K)
-    qw = None if quant_weights is None else np.asarray(quant_weights, np.float32).reshape(xb.shape)
+def _iq3s_impl(xb, qw):
+    """Exact quantize_row_iq3_s_impl (ggml-quants.c:3776): like the xxs
+    search but over the 512-entry grid with nwant=3 neighbour shells,
+    FULL 8-bit signs (no parity flip), is in -9..9, is_on_grid reset per
+    sub-block, the post-pass re-snapping ALL cells, d fudge 1.033 and
+    nibble-packed sub-scales.  Returns (d16 [N,2] u8, qs [N,64] u8,
+    qh [N,8] u8, signs [N,32] u8, ls [N,8] i32)."""
+    f32 = np.float32
+    kmap, _, grid = _iq3_tables("s")
+    gridq = (grid - 1) // 2                          # L codes [512, 4]
     N = xb.shape[0]
-    w = _block_weights(xb, qw)
-    xval, sbytes = _extract_signs(xb, w, parity=False)
-    qvals = IQ3S_GRID.astype(np.float32)
-    scales, idx = _signgrid_search(xval, w, sub=32, cell=4, kmax=8, step=0.2,
-                                   qvals=qvals)
-    # iq3_s decode: db = d*(1 + 2*ls), ls 4-bit
-    d = scales.max(axis=1) / 31.0
-    ls = _pack_subscales(scales, d)
+    xb = xb.astype(f32)
+    sumx2 = np.zeros(N, f32)
+    for j in range(QK_K):                            # C sequential f32
+        sumx2 += xb[:, j] * xb[:, j]
+    sigma2 = (f32(2) * sumx2 / f32(QK_K)).astype(f32)
+
+    scales = np.zeros((N, 8), f32)
+    gf_all = np.zeros((N, 8, 8), np.int32)
+    sg_all = np.zeros((N, 8, 4), np.uint8)
+    qh = np.zeros((N, 8), np.uint8)
+    live_all = np.zeros((N, 8), bool)
+    L = np.zeros((N, 32), np.int32)                  # persists across ib
+    arange4 = 3 * np.arange(4)
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        for ib in range(8):
+            xb32 = xb[:, 32 * ib:32 * ib + 32]
+            if qw is not None:
+                w = (qw[:, 32 * ib:32 * ib + 32]
+                     * np.sqrt(sigma2[:, None] + xb32 * xb32)).astype(f32)
+            else:
+                w = (xb32 * xb32).astype(f32)
+            waux = np.sqrt(w).astype(f32)
+            neg = xb32.reshape(N, 4, 8) < 0
+            bits = (neg.astype(np.uint8)
+                    << np.arange(8, dtype=np.uint8)).sum(
+                        axis=2).astype(np.uint8)     # full 8-bit signs
+            xval = np.abs(xb32).astype(f32)
+            mx = xval.max(axis=1)
+            live = mx != 0                           # C: if (!max)
+            mxs = np.where(live, mx, f32(1))
+            best = np.zeros(N, f32)
+            scale = (mxs / f32(15)).astype(f32)
+            iog = np.zeros((N, 8), bool)             # reset per sub-block
+            for is_ in range(-9, 10):
+                id_ = ((f32(15) + f32(is_) * f32(0.2)) / mxs).astype(f32)
+                this_scale = (f32(1) / id_).astype(f32)
+                t = (f32(0.5) * (id_[:, None] * xval - f32(1))).astype(f32)
+                laux = np.clip(_nearest_int(t), 0, 7)
+                u = (laux.reshape(N, 8, 4) << arange4).sum(axis=2)
+                gi = kmap[u]
+                on = gi >= 0
+                need = live[:, None] & ~on
+                if need.any():
+                    ri, ci = np.nonzero(need)
+                    gi_n = _iq3_neighbour(
+                        u[need], xval.reshape(N, 8, 4)[ri, ci],
+                        waux.reshape(N, 8, 4)[ri, ci], this_scale[ri],
+                        "s")
+                    laux = laux.reshape(N, 8, 4).copy()
+                    laux[ri, ci] = gridq[gi_n]
+                    laux = laux.reshape(N, 32)
+                qv = (2 * laux + 1).astype(f32)
+                sumqx = np.zeros(N, f32)
+                sumq2 = np.zeros(N, f32)
+                for i in range(32):                  # C sequential f32
+                    sumqx += (w[:, i] * xval[:, i] * qv[:, i]).astype(f32)
+                    sumq2 += (w[:, i] * qv[:, i] * qv[:, i]).astype(f32)
+                upd = live & (sumq2 > 0) & (sumqx * sumqx > best * sumq2)
+                ns = (sumqx / sumq2).astype(f32)
+                scale = np.where(upd, ns, scale)
+                best = np.where(upd, (ns * sumqx).astype(f32), best)
+                L = np.where(upd[:, None], laux, L)
+                iog = np.where(upd[:, None], on, iog)
+            # post-pass: re-snap ALL cells at the final scale (the
+            # is_on_grid skip is commented out in the reference)
+            post = live & (~iog).any(axis=1) & (scale > 0)
+            if post.any():
+                id2 = (f32(1) / np.where(post, scale, f32(1))).astype(f32)
+                t = (f32(0.5) * (id2[:, None] * xval - f32(1))).astype(f32)
+                lp = np.clip(_nearest_int(t), 0, 7)
+                u = (lp.reshape(N, 8, 4) << arange4).sum(axis=2)
+                cells = np.broadcast_to(post[:, None], (N, 8))
+                ri, ci = np.nonzero(cells)
+                ui = u[cells]
+                gi = kmap[ui].copy()
+                bad = gi < 0
+                if bad.any():
+                    gi[bad] = _iq3_neighbour(
+                        ui[bad], xval.reshape(N, 8, 4)[ri[bad], ci[bad]],
+                        waux.reshape(N, 8, 4)[ri[bad], ci[bad]],
+                        scale[ri[bad]], "s")
+                L = L.reshape(N, 8, 4).copy()
+                L[ri, ci] = gridq[gi]
+                L = L.reshape(N, 32)
+                qv = (2 * L + 1).astype(f32)
+                sumqx = np.zeros(N, f32)
+                sumq2 = np.zeros(N, f32)
+                for i in range(32):
+                    sumqx += (w[:, i] * xval[:, i] * qv[:, i]).astype(f32)
+                    sumq2 += (w[:, i] * qv[:, i] * qv[:, i]).astype(f32)
+                ok = post & (sumq2 > 0)
+                scale = np.where(ok, (sumqx / sumq2).astype(f32), scale)
+            flip = live & (scale < 0)
+            scale = np.abs(scale)
+            bits = np.where(flip[:, None], (~bits).astype(np.uint8), bits)
+            uf = (L.reshape(N, 8, 4) << arange4).sum(axis=2)
+            gf = kmap[uf]
+            gf_all[:, ib] = np.where(live[:, None], gf, 0)
+            sg_all[:, ib] = np.where(live[:, None], bits, 0)
+            qh[:, ib] = np.where(
+                live, ((gf >> 8) << np.arange(8)).sum(axis=1), 0
+            ).astype(np.uint8)
+            live_all[:, ib] = live
+            scales[:, ib] = np.where(live, scale, f32(0))
+    # qs/signs POINTERS only advance on live sub-blocks in the C code
+    # (the dead-sub-block `continue` skips them) — compact accordingly;
+    # qh and the nibble scales keep original ib indexing
+    qs_out = np.zeros((N, 8, 8), np.uint8)
+    sg_out = np.zeros((N, 8, 4), np.uint8)
+    slot = np.cumsum(live_all, axis=1) - 1
+    ri, ib_i = np.nonzero(live_all)
+    qs_out[ri, slot[ri, ib_i]] = (gf_all[ri, ib_i] & 255).astype(np.uint8)
+    sg_out[ri, slot[ri, ib_i]] = sg_all[ri, ib_i]
+    max_scale = scales.max(axis=1)
+    dead = max_scale == 0
+    d = (max_scale / f32(31)).astype(f32)
+    d16 = np.where(dead, f32(0), (d * f32(1.033)).astype(f32)).astype(
+        np.float16)
+    idv = (f32(1) / np.where(dead, f32(1), d)).astype(f32)
+    ls = np.clip(_nearest_int(
+        (f32(0.5) * (idv[:, None] * scales - f32(1))).astype(f32)), 0, 15)
+    ls = np.where(dead[:, None], 0, ls)
+    return (d16.view(np.uint8).reshape(N, 2),
+            qs_out.reshape(N, 64), qh, sg_out.reshape(N, 32), ls)
+
+
+def quantize_iq3_s(x, quant_weights=None):
+    """Exact quantize_row_iq3_s_impl — see _iq3s_impl; byte parity with
+    llama-quantize verified in tests/test_quant_vs_libggml.py."""
+    xb = np.ascontiguousarray(x, np.float32).reshape(-1, QK_K)
+    qw = (None if quant_weights is None
+          else np.asarray(quant_weights, np.float32).reshape(xb.shape))
+    N = xb.shape[0]
+    d16, qs, qh, sgn, ls = _iq3s_impl(xb, qw)
     out = np.zeros((N, 110), np.uint8)
-    out[:, :2] = (d * 1.033).astype(np.float16).view(np.uint8).reshape(N, 2)
-    out[:, 2:66] = (idx & 255).astype(np.uint8)
-    hibit = (idx >> 8).astype(np.uint8).reshape(N, 8, 8)  # per 32-chunk, 8 cells
-    out[:, 66:74] = (hibit << np.arange(8, dtype=np.uint8)).sum(axis=2).astype(np.uint8)
-    out[:, 74:106] = sbytes
-    out[:, 106:110] = (ls[:, 0::2] | (ls[:, 1::2] << 4))
+    out[:, :2] = d16
+    out[:, 2:66] = qs
+    out[:, 66:74] = qh
+    out[:, 74:106] = sgn
+    out[:, 106:110] = (ls[:, 0::2] | (ls[:, 1::2] << 4)).astype(np.uint8)
     return out.reshape(-1)
 
 

@@ -95,16 +95,21 @@ def test_iq4_byte_parity(ggml, csym, ts, bs, use_qw):
     assert np.array_equal(out, mine)
 
 
+@pytest.mark.parametrize("csym,gtype,ts", [
+    ("quantize_iq3_xxs", 18, 98),   # GGML_TYPE_IQ3_XXS
+    ("quantize_iq3_s", 21, 110),    # GGML_TYPE_IQ3_S
+    ("quantize_iq2_s", 22, 82),     # GGML_TYPE_IQ2_S
+])
 @pytest.mark.parametrize("use_qw", [False, True])
-def test_iq3_xxs_byte_parity(ggml, use_qw):
-    """quantize_row_iq3_xxs_impl (ggml-quants.c:3548) — the codebook
-    grid search with truncated neighbour lists; needs ggml_quantize_init
-    to build kmap/kneighbors (iq3xs_init_impl)."""
+def test_iq3_byte_parity(ggml, csym, gtype, ts, use_qw):
+    """quantize_row_iq3_{xxs,s}_impl (ggml-quants.c:3548/3776) — the
+    codebook grid search with truncated neighbour lists; needs
+    ggml_quantize_init to build kmap/kneighbors (iq3xs_init_impl)."""
     from ggml_hexagon_tpu.quant import iquants as IQ
 
     ggml.ggml_quantize_init.argtypes = [ctypes.c_int]
-    ggml.ggml_quantize_init(18)  # GGML_TYPE_IQ3_XXS
-    fn = ggml.quantize_iq3_xxs
+    ggml.ggml_quantize_init(gtype)
+    fn = getattr(ggml, csym)
     fn.restype = ctypes.c_size_t
     fn.argtypes = [ctypes.POINTER(ctypes.c_float), ctypes.c_void_p,
                    ctypes.c_int64, ctypes.c_int64,
@@ -114,11 +119,11 @@ def test_iq3_xxs_byte_parity(ggml, use_qw):
     x = rng.normal(size=(nrow, k)).astype(np.float32) * 0.02
     qwt = (np.tile(rng.random((k,)).astype(np.float32) + 0.05, nrow)
            if use_qw else None)
-    out = np.zeros(nrow * (k // 256) * 98, np.uint8)
+    out = np.zeros(nrow * (k // 256) * ts, np.uint8)
     fn(x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), out.ctypes.data,
        nrow, k,
        qwt.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
        if use_qw else None)
-    mine = IQ.quantize_iq3_xxs(x.reshape(-1), quant_weights=qwt)
+    mine = getattr(IQ, csym)(x.reshape(-1), quant_weights=qwt)
     assert np.array_equal(out, mine), (
-        f"iq3_xxs qw={use_qw}: {int((out != mine).sum())}/{out.size} differ")
+        f"{csym} qw={use_qw}: {int((out != mine).sum())}/{out.size} differ")
