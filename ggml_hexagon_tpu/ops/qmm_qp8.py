@@ -1030,7 +1030,12 @@ def _qp8_indirect_kernel(K: int, depth: int, gs: int, pb: tuple, cm: str,
     b_ref = rest[0] if affine else None
     o_ref = rest[-1]
     bn = o_ref.shape[1]
+    # the x block is a full 8-row sublane tile of COPIES of input row p
+    # (a (1, K) block over a [P, K] array is not expressible for P > 1 —
+    # Mosaic requires the second-minor block dim to divide 8 or equal the
+    # array dim); quantize on the tile, keep row 0
     x8, amax = _qp8_prologue(K, 1, None, "", x_ref, None)
+    x8, amax = x8[:1], amax[:1]
     X4 = _qp8_expand(K, depth, 1, gs, x8)
     y = _qp8_body(K, depth, 1, gs, pb, cm, off, bn, X4, amax, q_ref,
                   s_ref, b_ref)
@@ -1045,9 +1050,13 @@ def _qp8_indirect_call(ids, x, fq, fs, fb=None, *, pb, cm, G, bn, npe,
     nb = npe // bn
     kern = functools.partial(_qp8_indirect_kernel, K, depth, gs, pb, cm,
                              fb is not None, off)
+    # 8 sublane copies of each input row so every grid step reads a full
+    # (8, K) tile (see _qp8_indirect_kernel; a (1, K) block over [P, K]
+    # only lowers when P == 1)
+    x = jnp.broadcast_to(x[:, None, :], (P, 8, K)).reshape(P * 8, K)
     wmap = lambda p, j, ids_ref: (0, ids_ref[p] * nb + j)
     in_specs = [
-        pl.BlockSpec((1, K), lambda p, j, ids_ref: (p, 0),
+        pl.BlockSpec((8, K), lambda p, j, ids_ref: (p, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((fq.shape[0], bn), wmap, memory_space=pltpu.VMEM),
         pl.BlockSpec((G, bn), wmap, memory_space=pltpu.VMEM),

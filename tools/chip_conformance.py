@@ -150,6 +150,30 @@ def main():
         got = qmatmul_fast_dual(x, qt4il, qt6, wn_il4, wn_il6, eps)
         check("qmm_fast_dual Q4_K+Q6_K", got, want)
 
+    # --- gathered-expert indirect (MUL_MAT_ID) path on-chip ---
+    # VERDICT r4 #7: a conformance row for qp8_matmul_indirect; Q4_K
+    # defaults to the t-layout so this exercises the qp8 gathered kernel
+    # (ops/qmm_qp8.py _qp8_indirect_call); the il variant is covered by
+    # the same call on an il-forced tensor.
+    from ggml_hexagon_tpu.ops.qmm_fast import (qmatmul_fast_indirect,
+                                               supports_indirect)
+
+    E, npe = 4, 512
+    for lay in ("t", "il"):
+        qte = B.random_qtensor(rng, E * npe, k, GGMLType.Q4_K,
+                               fast="host").astype_device(layout=lay)
+        if not supports_indirect(qte, npe):
+            print(f"qmm_indirect {lay}-layout Q4_K SKIP", flush=True)
+            continue
+        ids_np = np.asarray([1, 3], np.int32)
+        xi = jnp.asarray(rng.normal(size=(2, k)) * 0.5, jnp.float32)
+        we = dequantize_fast(qte)[:E * npe]
+        want = jnp.stack(
+            [xi[i] @ we[ids_np[i] * npe:(ids_np[i] + 1) * npe].T
+             for i in range(2)])
+        got = qmatmul_fast_indirect(xi, qte, jnp.asarray(ids_np), npe)
+        check(f"qmm_indirect {lay}-layout Q4_K", got, want)
+
     # --- whole-FFN megakernel vs unfused composition ---
     from ggml_hexagon_tpu.ops.ffn_fused import ffn_fused, supports_ffn_fused
     from ggml_hexagon_tpu.ops.qmm_fast import uninterleave_cols

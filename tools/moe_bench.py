@@ -23,6 +23,8 @@ _jc()
 
 
 def main():
+    import argparse
+
     import jax
     import jax.numpy as jnp
 
@@ -31,16 +33,24 @@ def main():
                                                qmatmul_fast_indirect)
     from ggml_hexagon_tpu.quant.formats import GGMLType
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--qtype", default="Q4_K",
+                    help="expert weight type; Q5_K matches the BASELINE "
+                         "Mixtral-8x7B Q5_K_M config (llama-quant puts "
+                         "the expert FFN at Q5_K there)")
+    args = ap.parse_args()
+    qtype = GGMLType[args.qtype]
+
     print(f"devices: {jax.devices()}", flush=True)
     rng = np.random.default_rng(0)
     d, n_ff_e, E, K = 4096, 14336, 8, 2
 
     def qt(n, k):
-        return B.random_qtensor(rng, n, k, GGMLType.Q4_K,
+        return B.random_qtensor(rng, n, k, qtype,
                                 fast="host").astype_device().without_wire()
 
-    print(f"building {E} experts x {n_ff_e} (gate+up+down, Q4_K)...",
-          flush=True)
+    print(f"building {E} experts x {n_ff_e} (gate+up+down, "
+          f"{qtype.name})...", flush=True)
     gate = qt(E * n_ff_e, d)
     up = qt(E * n_ff_e, d)
     down = qt(E * d, n_ff_e)
@@ -88,6 +98,15 @@ def main():
     td = timeit(step_dense, x, 8, f"dense all-{E} experts")
     print(f"\nspeedup dense/indirect: {td/ti:.2f}x (ideal ~{E//K}x: "
           f"cost follows n_expert_used={K}, not n_expert={E})", flush=True)
+    # Mixtral-8x7B has 32 layers; the expert FFN above is the dominant
+    # decode cost (attention/router/embed ~ the 8B model's non-FFN tail,
+    # ~0.9 ms/step in the r4 composition).  Projection, clearly labeled:
+    n_layer, other_ms = 32, 0.9
+    for name, t in (("indirect", ti), ("dense-forced", td)):
+        step_ms = n_layer * t * 1e3 + other_ms
+        print(f"projected Mixtral decode ({name:12s}): "
+              f"{t*1e6:7.0f} us/layer -> {1000.0/step_ms:6.1f} t/s "
+              f"(32 layers + {other_ms} ms non-FFN tail)", flush=True)
 
 
 if __name__ == "__main__":
