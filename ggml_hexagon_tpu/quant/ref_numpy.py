@@ -646,8 +646,11 @@ def quantize_q4_K(x: np.ndarray, quant_weights: np.ndarray | None = None) -> np.
             nb, QK_K)
         L3, sc_packed, d, dmin = _q45_imatrix_scales(xb, qw, 15)
         d6, m6 = _unpack_k4_scales(sc_packed)
-        dl = d[:, None] * d6
-        ml = dmin[:, None] * m6
+        # C: const float d = fp16(d)*sc — f32 multiply; an int32 operand
+        # promotes numpy to f64, whose extra precision flips half-way
+        # requantize roundings (2 bytes in 5.6 MB on the parity model)
+        dl = d[:, None] * d6.astype(np.float32)
+        ml = dmin[:, None] * m6.astype(np.float32)
         gx = xb.reshape(nb, 8, 32)
         with np.errstate(divide="ignore", invalid="ignore"):
             l = _nearest_int((gx + ml[:, :, None])
@@ -736,8 +739,11 @@ def quantize_q5_K(x: np.ndarray, quant_weights: np.ndarray | None = None) -> np.
             nb, QK_K)
         L3, sc_packed, d, dmin = _q45_imatrix_scales(xb, qw, 31)
         d6, m6 = _unpack_k4_scales(sc_packed)
-        dl = d[:, None] * d6
-        ml = dmin[:, None] * m6
+        # C: const float d = fp16(d)*sc — f32 multiply; an int32 operand
+        # promotes numpy to f64, whose extra precision flips half-way
+        # requantize roundings (2 bytes in 5.6 MB on the parity model)
+        dl = d[:, None] * d6.astype(np.float32)
+        ml = dmin[:, None] * m6.astype(np.float32)
         gx = xb.reshape(nb, 8, 32)
         with np.errstate(divide="ignore", invalid="ignore"):
             l = _nearest_int((gx + ml[:, :, None])
