@@ -61,8 +61,12 @@ def main():
     ids = jnp.asarray([1, 6], jnp.int32)  # one token, top-2 experts
     x = jnp.asarray(rng.normal(size=(2, d)), jnp.float32)
 
+    # the expert planes are jit ARGUMENTS, not closure constants — the
+    # tunneled backend embeds jit constants in the remote_compile
+    # request, and 0.88 GB of planes wedges it (same gotcha as
+    # tools/head_lab.py)
     @jax.jit
-    def step_indirect(xx):
+    def step_indirect(xx, gate, up, down):
         g = qmatmul_fast_indirect(xx, gate, ids, n_ff_e)
         u = qmatmul_fast_indirect(xx, up, ids, n_ff_e)
         gu = (g * jax.nn.sigmoid(g) * u).astype(jnp.float32)
@@ -70,7 +74,7 @@ def main():
         return (y * 1e-6 + xx).astype(jnp.float32)
 
     @jax.jit
-    def step_dense(xx):
+    def step_dense(xx, gate, up, down):
         # all-experts traffic: every expert row streams (the dense
         # masked-evaluation baseline); one token against E*n_ff rows
         g = qmatmul_fast(xx, gate)
@@ -81,14 +85,14 @@ def main():
         return (y[:, :d] * 1e-6 + xx).astype(jnp.float32)
 
     def timeit(f, xx, n, label):
-        y = f(xx)
+        y = f(xx, gate, up, down)
         float(np.asarray(y)[0, 0])  # compile + warm
         best = 1e9
         for _ in range(3):
             z = xx
             t0 = time.perf_counter()
             for _ in range(n):
-                z = f(z)
+                z = f(z, gate, up, down)
             float(np.asarray(z)[0, 0])
             best = min(best, (time.perf_counter() - t0 - 0.027) / n)
         print(f"{label:38s} {best*1e3:8.2f} ms", flush=True)
