@@ -523,66 +523,231 @@ def _pack_subscales(scales, d):
     return np.clip(np.rint(0.5 * (inv[:, None] * scales - 1)), 0, 15).astype(np.uint8)
 
 
-def quantize_iq2_xxs(x, quant_weights=None):
-    xb = np.ascontiguousarray(x, np.float32).reshape(-1, QK_K)
-    qw = None if quant_weights is None else np.asarray(quant_weights, np.float32).reshape(xb.shape)
+def _iq2_subblock_exact(xb, qw, variant, sub, ncell, parity, sigma_mult,
+                        eps, memset_dead_L, iog_tracked, is_lo, is_hi,
+                        qp_init):
+    """Shared exact iq2 sub-block search (quantize_row_iq2_{xxs,xs,s}_impl
+    bodies differ only in the knobs above).  xb [N, 256] f32, qw same or
+    None (ones — the C asserts quant_weights for xxs/xs, so None has no
+    reference behavior; ones keeps the same machinery).
+    Returns (scales [N, nsub] f32, gidx [N, nsub, ncell] i32,
+    signs [N, nsub, ncell] u8, live [N, nsub] bool)."""
+    f32 = np.float32
+    kmap, _, grid = _iq2_tables(variant)
+    gridq = (grid - 1) // 2
     N = xb.shape[0]
-    w = _block_weights(xb, qw)
-    xval, sbytes = _extract_signs(xb, w, parity=True)
-    qvals = IQ2XXS_GRID.astype(np.float32) / 8.0
-    scales, idx = _signgrid_search(xval, w, sub=32, cell=8, kmax=3, step=0.1,
-                                   qvals=qvals)
-    d = scales.max(axis=1) / 31.0
-    ls = _pack_subscales(scales, d)  # [N, 8]
-    out = np.zeros((N, 66), np.uint8)
-    out[:, :2] = d.astype(np.float16).view(np.uint8).reshape(N, 2)
-    idx4 = idx.reshape(N, 8, 4).astype(np.uint32)
-    s4 = sbytes.reshape(N, 8, 4).astype(np.uint32)
+    nsub = QK_K // sub
+    sumx2 = np.zeros(N, f32)
+    for j in range(QK_K):                            # C sequential f32
+        sumx2 += xb[:, j] * xb[:, j]
+    sigma2 = (f32(sigma_mult) * sumx2 / f32(QK_K)).astype(f32)
+    if qw is None:
+        qw = np.ones_like(xb)
+
+    scales = np.zeros((N, nsub), f32)
+    gidx = np.zeros((N, nsub, ncell), np.int32)
+    sgn = np.zeros((N, nsub, ncell), np.uint8)
+    live_all = np.zeros((N, nsub), bool)
+    L = np.zeros((N, sub), np.int32)                 # persists across ib
+    arange8 = 2 * np.arange(8)
+    smask = np.uint8(127) if parity else np.uint8(255)
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        for ib in range(nsub):
+            xbs = xb[:, sub * ib:sub * ib + sub]
+            w = (qw[:, sub * ib:sub * ib + sub]
+                 * np.sqrt(sigma2[:, None] + xbs * xbs)).astype(f32)
+            waux = np.sqrt(w).astype(f32)
+            g = xbs.reshape(N, ncell, 8)
+            wg = w.reshape(N, ncell, 8)
+            neg = g < 0
+            xval = np.abs(g).astype(f32)
+            bits = (neg.astype(np.uint8)
+                    << np.arange(8, dtype=np.uint8)).sum(
+                        axis=2).astype(np.uint8)
+            if parity:
+                odd = (np.bitwise_count(bits) & 1).astype(bool)
+                imp = (wg * g * g).astype(f32)
+                imin = np.argmin(imp, axis=2)
+                rr = np.nonzero(odd)
+                xval[rr[0], rr[1], imin[odd]] *= f32(-1)
+                bits[odd] ^= (np.uint8(1) << imin[odd]).astype(np.uint8)
+                bits &= 127
+            xval = xval.reshape(N, sub)
+            mx = xval.max(axis=1)
+            live = mx >= f32(eps)
+            if memset_dead_L:
+                L[~live] = 0
+            best = np.zeros(N, f32)
+            if qp_init:
+                from .ref_numpy import make_qp_quants
+
+                L0, scale = make_qp_quants(xval, 4, w)
+                L = np.where(live[:, None], L0.astype(np.int32), L)
+                eff = (scale * f32(3)).astype(f32)
+                denom = np.where(live & (eff > 0), eff, f32(1))
+            else:
+                mxs = np.where(live, mx, f32(1))
+                scale = (mxs / f32(5)).astype(f32)
+                denom = mxs
+            iog = np.ones((N, ncell), bool)
+            for is_ in range(is_lo, is_hi + 1):
+                id_ = ((f32(5) + f32(is_) * f32(0.1)) / denom).astype(f32)
+                this_scale = (f32(1) / id_).astype(f32)
+                t = (f32(0.5) * (id_[:, None] * xval - f32(1))).astype(f32)
+                laux = np.clip(_nearest_int(t), 0, 2)
+                u = (laux.reshape(N, ncell, 8) << arange8).sum(axis=2)
+                gi = kmap[u]
+                on = gi >= 0
+                need = live[:, None] & ~on
+                if need.any():
+                    ri, ci = np.nonzero(need)
+                    gi_n = _iq2s_neighbour(
+                        u[need], xval.reshape(N, ncell, 8)[ri, ci],
+                        waux.reshape(N, ncell, 8)[ri, ci],
+                        this_scale[ri], variant)
+                    laux = laux.reshape(N, ncell, 8).copy()
+                    laux[ri, ci] = gridq[gi_n]
+                    laux = laux.reshape(N, sub)
+                qv = (2 * laux + 1).astype(f32)
+                sumqx = np.zeros(N, f32)
+                sumq2 = np.zeros(N, f32)
+                for i in range(sub):                 # C sequential f32
+                    sumqx += (w[:, i] * xval[:, i] * qv[:, i]).astype(f32)
+                    sumq2 += (w[:, i] * qv[:, i] * qv[:, i]).astype(f32)
+                upd = live & (sumq2 > 0) & (sumqx * sumqx > best * sumq2)
+                ns = (sumqx / sumq2).astype(f32)
+                scale = np.where(upd, ns, scale)
+                best = np.where(upd, (ns * sumqx).astype(f32), best)
+                L = np.where(upd[:, None], laux, L)
+                iog = np.where(upd[:, None], on, iog)
+            if iog_tracked:
+                post = live & (~iog).any(axis=1) & (scale > 0)
+                cellsel = ~iog                       # off-grid cells only
+            else:
+                post = live & (scale > 0)            # xxs: ALL cells
+                cellsel = np.ones((N, ncell), bool)
+            if post.any():
+                id2 = (f32(1) / np.where(post, scale, f32(1))).astype(f32)
+                t = (f32(0.5) * (id2[:, None] * xval - f32(1))).astype(f32)
+                lp = np.clip(_nearest_int(t), 0, 2)
+                u = (lp.reshape(N, ncell, 8) << arange8).sum(axis=2)
+                cells = post[:, None] & cellsel
+                ri, ci = np.nonzero(cells)
+                ui = u[cells]
+                gi = kmap[ui].copy()
+                bad = gi < 0
+                if bad.any():
+                    gi[bad] = _iq2s_neighbour(
+                        ui[bad], xval.reshape(N, ncell, 8)[ri[bad],
+                                                           ci[bad]],
+                        waux.reshape(N, ncell, 8)[ri[bad], ci[bad]],
+                        scale[ri[bad]], variant)
+                # on-grid cells: gridq[gi] == the clamped lp codes, so a
+                # single grid-point rewrite covers both C branches
+                L = L.reshape(N, ncell, 8).copy()
+                L[ri, ci] = gridq[gi]
+                L = L.reshape(N, sub)
+                qv = (2 * L + 1).astype(f32)
+                sumqx = np.zeros(N, f32)
+                sumq2 = np.zeros(N, f32)
+                for i in range(sub):
+                    sumqx += (w[:, i] * xval[:, i] * qv[:, i]).astype(f32)
+                    sumq2 += (w[:, i] * qv[:, i] * qv[:, i]).astype(f32)
+                ok = post & (sumq2 > 0)
+                scale = np.where(ok, (sumqx / sumq2).astype(f32), scale)
+            flip = live & (scale < 0)
+            scale = np.abs(scale)
+            bits = np.where(flip[:, None],
+                            (~bits).astype(np.uint8) & smask, bits)
+            uf = (L.reshape(N, ncell, 8) << arange8).sum(axis=2)
+            gf = kmap[uf]
+            gidx[:, ib] = np.where(live[:, None], gf, 0)
+            sgn[:, ib] = np.where(live[:, None], bits, 0)
+            live_all[:, ib] = live
+            scales[:, ib] = np.where(live, scale, f32(0))
+    return scales, gidx, sgn, live_all
+
+
+def quantize_iq2_xxs(x, quant_weights=None):
+    """Exact quantize_row_iq2_xxs_impl (ggml-quants.c:2954); byte parity
+    with llama-quantize verified in tests/test_quant_vs_libggml.py."""
+    f32 = np.float32
+    xb = np.ascontiguousarray(x, np.float32).reshape(-1, QK_K)
+    qw = (None if quant_weights is None
+          else np.asarray(quant_weights, np.float32).reshape(xb.shape))
+    N = xb.shape[0]
+    scales, gidx, sgn, _live = _iq2_subblock_exact(
+        xb, qw, "xxs", 32, 4, True, 1.0, 1e-15, True, False, -6, 6, True)
+    max_scale = scales.max(axis=1)
+    dead = max_scale == 0
+    d = (max_scale / f32(31)).astype(f32)
+    d16 = np.where(dead, f32(0), d).astype(np.float16)
+    idv = (f32(1) / np.where(dead, f32(1), d)).astype(f32)
+    ls = np.clip(_nearest_int(
+        (f32(0.5) * (idv[:, None] * scales - f32(1))).astype(f32)), 0, 15)
+    idx4 = gidx.astype(np.uint32)
+    s4 = sgn.astype(np.uint32)
     aux32a = (idx4[..., 0] | (idx4[..., 1] << 8) | (idx4[..., 2] << 16)
               | (idx4[..., 3] << 24))
     aux32b = (s4[..., 0] | (s4[..., 1] << 7) | (s4[..., 2] << 14)
-              | (s4[..., 3] << 21) | (ls.astype(np.uint32) << 28))
-    dead = scales.max(axis=1) <= 0
-    aux32a[dead] = 0
-    aux32b[dead] = 0
-    packed = np.stack([aux32a, aux32b], axis=2)  # [N, 8, 2] u32
+              | (s4[..., 3] << 21)
+              | (np.where(dead[:, None], 0, ls).astype(np.uint32) << 28))
+    aux32a = np.where(dead[:, None], np.uint32(0), aux32a)
+    aux32b = np.where(dead[:, None], np.uint32(0), aux32b)
+    out = np.zeros((N, 66), np.uint8)
+    out[:, :2] = d16.view(np.uint8).reshape(N, 2)
+    packed = np.stack([aux32a, aux32b], axis=2)      # [N, 8, 2] u32
     out[:, 2:] = packed.astype("<u4").view(np.uint8).reshape(N, 64)
     return out.reshape(-1)
 
 
 def quantize_iq2_xs(x, quant_weights=None):
+    """Exact quantize_row_iq2_xs_impl (ggml-quants.c:3127); byte parity
+    with llama-quantize verified in tests/test_quant_vs_libggml.py."""
+    f32 = np.float32
     xb = np.ascontiguousarray(x, np.float32).reshape(-1, QK_K)
-    qw = None if quant_weights is None else np.asarray(quant_weights, np.float32).reshape(xb.shape)
+    qw = (None if quant_weights is None
+          else np.asarray(quant_weights, np.float32).reshape(xb.shape))
     N = xb.shape[0]
-    w = _block_weights(xb, qw)
-    xval, sbytes = _extract_signs(xb, w, parity=True)
-    qvals = IQ2XS_GRID.astype(np.float32) / 8.0
-    scales, idx = _signgrid_search(xval, w, sub=16, cell=8, kmax=3, step=0.1,
-                                   qvals=qvals)
-    d = scales.max(axis=1) / 31.0
-    ls = _pack_subscales(scales, d)  # [N, 16]
+    scales, gidx, sgn, _live = _iq2_subblock_exact(
+        xb, qw, "xs", 16, 2, True, 1.0, 1e-15, True, True, -9, 9, False)
+    max_scale = scales.max(axis=1)
+    dead = max_scale == 0
+    d = (max_scale / f32(31)).astype(f32)
+    d16 = np.where(dead, f32(0), d).astype(np.float16)
+    idv = (f32(1) / np.where(dead, f32(1), d)).astype(f32)
+    ls = np.clip(_nearest_int(
+        (f32(0.5) * (idv[:, None] * scales - f32(1))).astype(f32)), 0, 15)
+    ls = np.where(dead[:, None], 0, ls)
+    q16 = (gidx.reshape(N, 32).astype(np.uint16)
+           | (sgn.reshape(N, 32).astype(np.uint16) << 9))
+    q16 = np.where(dead[:, None], np.uint16(0), q16)
     out = np.zeros((N, 74), np.uint8)
-    out[:, :2] = d.astype(np.float16).view(np.uint8).reshape(N, 2)
-    q16 = (idx.astype(np.uint16) | (sbytes.astype(np.uint16) << 9))
+    out[:, :2] = d16.view(np.uint8).reshape(N, 2)
     out[:, 2:66] = q16.astype("<u2").view(np.uint8).reshape(N, 64)
-    out[:, 66:74] = (ls[:, 0::2] | (ls[:, 1::2] << 4))
+    out[:, 66:74] = (ls[:, 0::2] | (ls[:, 1::2] << 4)).astype(np.uint8)
     return out.reshape(-1)
 
 
-_IQ2S_TABLES = None
+_IQ2_TABLES = {}
 
 
 def _iq2s_tables():
-    """kmap + padded neighbour table for the 1024-entry iq2_s grid,
-    exactly iq2xs_init_impl (ggml-quants.c:2564) with nwant=1: for each
-    off-grid 16-bit 2-bit-field code, ALL grid points at the MINIMAL
-    (d2, index)-ordered distance.  kmap_size = 43692 (the quantizer only
-    produces field values 0..2)."""
-    global _IQ2S_TABLES
-    if _IQ2S_TABLES is not None:
-        return _IQ2S_TABLES
+    return _iq2_tables("s")
+
+
+def _iq2_tables(variant: str):
+    """kmap + padded neighbour table for the iq2 grids, exactly
+    iq2xs_init_impl (ggml-quants.c:2564): for each off-grid 16-bit
+    2-bit-field code, ALL grid points through the end of the nwant-th
+    (d2, index)-ordered distance shell (nwant=2 for xxs/xs, 1 for s).
+    kmap_size = 43692 (the quantizer only produces field values 0..2)."""
+    if variant in _IQ2_TABLES:
+        return _IQ2_TABLES[variant]
     # published bytes {8, 25, 43} -> codes {0, 1, 2} -> lattice 2l+1
-    pub = IQ2S_GRID.astype(np.int32)
+    pub = {"xxs": IQ2XXS_GRID, "xs": IQ2XS_GRID,
+           "s": IQ2S_GRID}[variant].astype(np.int32)
+    nwant = 1 if variant == "s" else 2
     l8 = np.select([pub == 8, pub == 25, pub == 43], [0, 1, 2])
     grid = (2 * l8 + 1).astype(np.int32)             # [1024, 8] in 1/3/5
     kmap_size = 43692
@@ -599,7 +764,14 @@ def _iq2s_tables():
                - pos[:, None, :]) ** 2).sum(axis=2, dtype=np.int32)
         order = np.argsort(d2, axis=1, kind="stable")
         d2s = np.take_along_axis(d2, order, axis=1)
-        c = (d2s == d2s[:, :1]).sum(axis=1)          # nwant=1: first shell
+        shell = d2s[:, :1]
+        c = np.zeros(len(o), np.int64)
+        for _ in range(nwant):                       # full nwant shells
+            c = (d2s <= shell).sum(axis=1)
+            nxt = np.where(d2s > shell, d2s,
+                           np.iinfo(np.int32).max).min(axis=1)
+            shell = np.where((nxt < np.iinfo(np.int32).max)[:, None],
+                             nxt[:, None], shell)
         counts[s:s + 4096] = c
         chunks.append(order[:, :int(c.max())])
     maxn = int(counts.max())
@@ -611,15 +783,15 @@ def _iq2s_tables():
         nbt[sel, :m] = np.where(
             np.arange(m)[None] < counts[row:row + n, None], ch, -1)
         row += n
-    _IQ2S_TABLES = (kmap, nbt, grid)
-    return _IQ2S_TABLES
+    _IQ2_TABLES[variant] = (kmap, nbt, grid)
+    return _IQ2_TABLES[variant]
 
 
-def _iq2s_neighbour(u, xv, wv, sc):
+def _iq2s_neighbour(u, xv, wv, sc, variant: str = "s"):
     """Vectorized iq2_find_best_neighbour (ggml-quants.c:2930): first
     strict-minimum weighted 8-dim distance over the neighbour list."""
     f32 = np.float32
-    kmap, nbt, grid = _iq2s_tables()
+    kmap, nbt, grid = _iq2_tables(variant)
     cand = nbt[u]
     q = grid.astype(f32)[cand]                       # [M, maxn, 8]
     d2 = np.zeros(cand.shape, f32)
